@@ -1,0 +1,90 @@
+"""Deterministic image codec + perceptual hash.
+
+The sandbox has no PIL/libjpeg, so per the driver contract the *codec* is a
+deterministic stand-in while all the Ray-side plumbing (binary columns, actor
+pools, batch sizing, schema) is real:
+
+- ``DRAW`` — lossless: header + raw C-order uint8 HxWxC pixels (PNG stand-in).
+- ``DJPG`` — lossy: uniform quantization with step ``q`` (JPEG stand-in); the
+  reconstruction error is bounded so PSNR >= 40 dB holds for q <= 4, matching
+  the north rule's per-row invariant (BASELINE.json input_hint).
+
+``generate_pixels`` is the shared deterministic pseudo-photo generator
+(pure integer function of the image index — FIXTURES.md §1), used both when
+building fixture tables and as the *reference decode* that tests compare
+against (the allclose/PSNR invariant).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC_RAW = b"DRAW"
+MAGIC_LOSSY = b"DJPG"
+_HDR = struct.Struct("<4sIIIB")  # magic, w, h, channels, q
+
+
+def generate_pixels(index: int, w: int, h: int, channels: int = 3) -> np.ndarray:
+    """Deterministic pseudo-photo for image ``index``: gradient + hash noise.
+    Pure integer arithmetic (reproducible in SQL for the oracle check)."""
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(channels, dtype=np.int64)[None, None, :]
+    v = (index * 97 + x * 31 + y * 17 + c * 11) % 256
+    return v.astype(np.uint8)
+
+
+def encode(pixels: np.ndarray, fmt: str, q: int = 4) -> bytes:
+    """Encode HxWxC uint8 pixels. fmt 'png' -> DRAW lossless, 'jpeg' -> DJPG
+    quantized with step q."""
+    assert pixels.dtype == np.uint8 and pixels.ndim == 3
+    h, w, channels = pixels.shape
+    if fmt == "png":
+        return _HDR.pack(MAGIC_RAW, w, h, channels, 0) + pixels.tobytes()
+    if fmt == "jpeg":
+        quant = (pixels.astype(np.int64) // q).astype(np.uint8)
+        return _HDR.pack(MAGIC_LOSSY, w, h, channels, q) + quant.tobytes()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """Decode DRAW/DJPG bytes -> HxWxC uint8 array (zero-copy frombuffer for
+    lossless)."""
+    magic, w, h, channels, q = _HDR.unpack_from(buf, 0)
+    body = np.frombuffer(buf, dtype=np.uint8, offset=_HDR.size)
+    body = body.reshape(h, w, channels)
+    if magic == MAGIC_RAW:
+        return body
+    if magic == MAGIC_LOSSY:
+        # midpoint reconstruction: error <= q/2 -> PSNR >= 20*log10(255/(q/2))
+        recon = body.astype(np.int64) * q + q // 2
+        return np.clip(recon, 0, 255).astype(np.uint8)
+    raise ValueError("bad magic")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 arrays."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit mean-threshold perceptual hash: grayscale -> 8x8 block means ->
+    bit per block (above/below global mean).  Deterministic, pure numpy."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    bh, bw = h // 8, w // 8
+    blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).ravel()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    # wrap into signed int64 (phash column is int64)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val

@@ -1,0 +1,465 @@
+"""Pure-numpy geometry kernels: affine transforms, a hierarchical cell index
+(H3/S2 stand-in), WKB codec, point-in-polygon, and bounds snapping.
+
+This environment has no shapely/pyproj/rasterio, so everything here is
+implemented from first principles on numpy float64 arrays. Semantics mirror the
+reference:
+
+- affine pixel<->geo math and floor-based rowcol:
+  /root/reference/demeter/raster/__init__.py:92-108 (value_at/values_at),
+  /root/reference/demeter/raster/utils/transform.py:10-78
+- bounds snapped to a degree grid:
+  /root/reference/demeter/utils.py:33-57 (bounds_snapped_to_grid)
+- tile keys as the partitioning scheme:
+  /root/reference/demeter/raster/polaris.py:358-370
+
+All functions are vectorized over point arrays; none loop over rows.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Affine transforms.  Layout follows rasterio's Affine: (a, b, c, d, e, f)
+#   x = a*col + b*row + c
+#   y = d*col + e*row + f
+# i.e. c,f are the coordinates of the top-left corner of pixel (0,0).
+# --------------------------------------------------------------------------
+
+
+def affine_xy(transform, rows, cols, offset: str = "center"):
+    """Pixel (row, col) -> geo (x, y). offset in {'center','ul','lr'}.
+
+    Mirrors rasterio.transform.xy as used by align_bounds_to_transform
+    (reference transform.py:19-40).
+    """
+    a, b, c, d, e, f = transform
+    rows = np.asarray(rows, dtype=np.float64)
+    cols = np.asarray(cols, dtype=np.float64)
+    if offset == "center":
+        rows, cols = rows + 0.5, cols + 0.5
+    elif offset == "lr":
+        rows, cols = rows + 1.0, cols + 1.0
+    elif offset != "ul":
+        raise ValueError(f"bad offset {offset}")
+    x = a * cols + b * rows + c
+    y = d * cols + e * rows + f
+    return x, y
+
+
+def affine_rowcol(transform, xs, ys, op=np.floor):
+    """Geo (x, y) -> integer pixel (row, col), floor rule like
+    rasterio.transform.rowcol (reference raster/__init__.py:105-108).
+
+    Works for general invertible affines; for the common axis-aligned
+    north-up case (b == d == 0) this reduces to
+    col = floor((x - c) / a), row = floor((y - f) / e).
+    """
+    a, b, c, d, e, f = transform
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    det = a * e - b * d
+    if det == 0:
+        raise ValueError("non-invertible transform")
+    # inverse affine applied to (x - c, y - f)
+    col_f = (e * (xs - c) - b * (ys - f)) / det
+    row_f = (-d * (xs - c) + a * (ys - f)) / det
+    return op(row_f).astype(np.int64), op(col_f).astype(np.int64)
+
+
+def resolution(transform):
+    """(x_res, y_res) — reference transform.py:10-16."""
+    a, _, _, _, e, _ = transform
+    return a, -e
+
+
+def raster_bounds(transform, h: int, w: int):
+    """(left, bottom, right, top) of an axis-aligned raster."""
+    a, b, c, d, e, f = transform
+    xs = [c, c + a * w + b * h]
+    ys = [f, f + d * w + e * h]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def floor_unless_close(number: float) -> int:
+    """Reference transform.py:69-78: snap up when within float tolerance of
+    the ceiling, else floor.  Needed for exact tile-assignment parity."""
+    ceil = math.ceil(number)
+    if math.isclose(number, ceil):
+        return ceil
+    return math.floor(number)
+
+
+def _floor_unless_close_arr(arr):
+    arr = np.asarray(arr, dtype=np.float64)
+    ceil = np.ceil(arr)
+    close = np.isclose(arr, ceil, rtol=1e-09, atol=0.0)
+    return np.where(close, ceil, np.floor(arr)).astype(np.int64)
+
+
+def align_bounds_to_transform(bounds, transform):
+    """Expand bounds to the transform's pixel grid (reference
+    transform.py:19-40): snap up/left with float tolerance, down/right plain
+    floor."""
+    left, bottom, right, top = bounds
+    top_row, left_col = affine_rowcol(
+        transform, np.array([left]), np.array([top]), op=_floor_unless_close_arr
+    )
+    bottom_row, right_col = affine_rowcol(
+        transform, np.array([right]), np.array([bottom])
+    )
+    new_left, new_top = affine_xy(transform, top_row, left_col, offset="ul")
+    new_right, new_bottom = affine_xy(transform, bottom_row, right_col, offset="lr")
+    return float(new_left[0]), float(new_bottom[0]), float(new_right[0]), float(new_top[0])
+
+
+def aligned_pixel_grids(bounds, transforms, tol: float = 0.01) -> bool:
+    """True when all transforms put the given bounds on one shared pixel grid
+    (same fractional pixel offset, same pixel counts) — reference
+    transform.py:43-66.  Tolerance is in fractional pixels (rounded to 2dp
+    there)."""
+    offsets = []
+    shapes = []
+    for t in transforms:
+        a, b, c, d, e, f = t
+        if b or d:
+            return False
+        left, bottom, right, top = bounds
+        col_off = (left - c) / a
+        row_off = (top - f) / e
+        width = round((right - left) / a)
+        height = round((bottom - top) / e)
+        offsets.append((round(row_off, 2) % 1, round(col_off, 2) % 1))
+        shapes.append((height, width))
+    return len(set(offsets)) <= 1 and len(set(shapes)) <= 1
+
+
+def bounds_snapped_to_grid(bounds_df, base: float = 1.0):
+    """Snap (minx, miny, maxx, maxy) arrays outward to multiples of ``base``
+    — reference demeter/utils.py:33-57.  Input: dict/struct of arrays; output
+    deduplicated int arrays."""
+    minx = np.floor(np.asarray(bounds_df["minx"], dtype=np.float64) / base)
+    miny = np.floor(np.asarray(bounds_df["miny"], dtype=np.float64) / base)
+    maxx = np.ceil(np.asarray(bounds_df["maxx"], dtype=np.float64) / base)
+    maxy = np.ceil(np.asarray(bounds_df["maxy"], dtype=np.float64) / base)
+    stacked = np.stack([minx, miny, maxx, maxy], axis=1).astype(np.int64)
+    uniq = np.unique(stacked, axis=0)
+    return uniq * int(base) if float(base).is_integer() else uniq * base
+
+
+# --------------------------------------------------------------------------
+# Hierarchical cell index (H3/S2 stand-in).
+#
+# Equirectangular quadtree over the lon/lat plane: at resolution r the world
+# splits into 2^r x 2^r cells;  cx = floor((lon+180)/360 * 2^r),
+# cy = floor((lat+90)/180 * 2^r).  A cell's parent at r-1 is (cx>>1, cy>>1).
+# cell_id packs (cx, cy) as cx * 2^29 + cy  (r <= 28), which is deliberately
+# plain integer arithmetic so a DuckDB oracle can reproduce it exactly.
+# This replaces the reference's 1-degree/MGRS/HU4 tile keys
+# (polaris.py:358-370, sentinel2/utils/tiles.py:19-99) with one uniform
+# hierarchical scheme usable as the shuffle key.
+# --------------------------------------------------------------------------
+
+CELL_Y_BITS = 29
+CELL_PACK = 1 << CELL_Y_BITS  # 536870912
+
+
+def cell_xy(lons, lats, res: int):
+    """(cx, cy) int64 arrays at resolution ``res`` (0..28)."""
+    n = float(1 << res)
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    cx = np.floor((lons + 180.0) / 360.0 * n).astype(np.int64)
+    cy = np.floor((lats + 90.0) / 180.0 * n).astype(np.int64)
+    np.clip(cx, 0, (1 << res) - 1, out=cx)
+    np.clip(cy, 0, (1 << res) - 1, out=cy)
+    return cx, cy
+
+
+def cell_id_from_xy(cx, cy):
+    return np.asarray(cx, dtype=np.int64) * CELL_PACK + np.asarray(cy, dtype=np.int64)
+
+
+def cell_id(lons, lats, res: int):
+    cx, cy = cell_xy(lons, lats, res)
+    return cell_id_from_xy(cx, cy)
+
+
+def cell_parent_id(cell_ids, levels: int):
+    """Parent cell id ``levels`` resolutions up."""
+    cell_ids = np.asarray(cell_ids, dtype=np.int64)
+    cx = cell_ids // CELL_PACK
+    cy = cell_ids % CELL_PACK
+    return cell_id_from_xy(cx >> levels, cy >> levels)
+
+
+def cell_bounds(cx: int, cy: int, res: int):
+    n = float(1 << res)
+    w = 360.0 / n
+    h = 180.0 / n
+    left = -180.0 + cx * w
+    bottom = -90.0 + cy * h
+    return left, bottom, left + w, bottom + h
+
+
+def cover_bbox(minx, miny, maxx, maxy, res: int):
+    """All (cx, cy) cells at ``res`` whose bounds intersect the bbox.
+    Used to cover polygons for the cell-equi-join prefilter (the coarse
+    analog of the reference's tile selection, polaris.py:358-370)."""
+    cx0, cy0 = cell_xy([minx], [miny], res)
+    cx1, cy1 = cell_xy([maxx], [maxy], res)
+    xs = np.arange(cx0[0], cx1[0] + 1, dtype=np.int64)
+    ys = np.arange(cy0[0], cy1[0] + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return gx.ravel(), gy.ravel()
+
+
+# --------------------------------------------------------------------------
+# WKB codec (pure python/numpy; little-endian; Polygon=3, MultiPolygon=6).
+# The fields table stores geometry as a WKB binary column (SURVEY.md §1.4).
+# --------------------------------------------------------------------------
+
+
+def wkb_from_rings(rings) -> bytes:
+    """Encode one Polygon from a list of (N,2) float arrays (first=outer)."""
+    out = [struct.pack("<BI", 1, 3), struct.pack("<I", len(rings))]
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        out.append(struct.pack("<I", len(ring)))
+        out.append(ring.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def wkb_from_polygons(polygons) -> bytes:
+    """Encode a MultiPolygon from a list of ring-lists."""
+    out = [struct.pack("<BI", 1, 6), struct.pack("<I", len(polygons))]
+    for rings in polygons:
+        out.append(wkb_from_rings(rings))
+    return b"".join(out)
+
+
+def parse_wkb(buf: bytes):
+    """Decode WKB Polygon/MultiPolygon -> list of polygons, each a list of
+    (N,2) float64 ring arrays (outer first)."""
+    pos = 0
+
+    def read_polygon(pos):
+        byte_order, gtype = struct.unpack_from("<BI", buf, pos)
+        assert byte_order == 1 and gtype == 3, f"unsupported wkb type {gtype}"
+        pos += 5
+        (n_rings,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        rings = []
+        for _ in range(n_rings):
+            (n_pts,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            ring = np.frombuffer(buf, dtype="<f8", count=n_pts * 2, offset=pos)
+            rings.append(ring.reshape(n_pts, 2).astype(np.float64))
+            pos += n_pts * 16
+        return rings, pos
+
+    byte_order, gtype = struct.unpack_from("<BI", buf, pos)
+    assert byte_order == 1
+    if gtype == 3:
+        rings, _ = read_polygon(0)
+        return [rings]
+    if gtype == 6:
+        pos = 5
+        (n_polys,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        polys = []
+        for _ in range(n_polys):
+            rings, pos = read_polygon(pos)
+            polys.append(rings)
+        return polys
+    raise ValueError(f"unsupported wkb geometry type {gtype}")
+
+
+def polygon_bounds(polys):
+    allpts = np.vstack([ring for rings in polys for ring in rings])
+    return (
+        float(allpts[:, 0].min()),
+        float(allpts[:, 1].min()),
+        float(allpts[:, 0].max()),
+        float(allpts[:, 1].max()),
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-polygon kernels (vectorized over points).
+# --------------------------------------------------------------------------
+
+
+def points_in_ring(xs, ys, ring) -> np.ndarray:
+    """Even-odd (ray-crossing) test of N points against one closed ring.
+    Broadcasts points x edges: O(N*E) float ops, no python loop over points."""
+    xs = np.asarray(xs, dtype=np.float64)[:, None]
+    ys = np.asarray(ys, dtype=np.float64)[:, None]
+    ring = np.asarray(ring, dtype=np.float64)
+    x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    # edge straddles the horizontal line through y
+    straddle = (y1 > ys) != (y2 > ys)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_int = x1 + (ys - y1) * (x2 - x1) / (y2 - y1)
+    crossing = straddle & (xs < x_int)
+    return (crossing.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_polygon(xs, ys, polys) -> np.ndarray:
+    """Even-odd over all rings of all parts: XOR handles holes."""
+    result = np.zeros(len(np.asarray(xs)), dtype=bool)
+    for rings in polys:
+        for ring in rings:
+            result ^= points_in_ring(xs, ys, ring)
+    return result
+
+
+def points_in_convex_polygon(xs, ys, vertices, closed: bool = True) -> np.ndarray:
+    """Half-plane test for a convex CCW polygon: inside iff every edge cross
+    product >= 0.  This exact arithmetic form is reproducible in ANSI SQL,
+    so oracle-checked pipelines use this kernel for convex fences."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    verts = np.asarray(vertices, dtype=np.float64)
+    if np.array_equal(verts[0], verts[-1]):
+        verts = verts[:-1]
+    inside = np.ones(len(xs), dtype=bool)
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        cross = (x2 - x1) * (ys - y1) - (y2 - y1) * (xs - x1)
+        inside &= cross >= 0.0 if closed else cross > 0.0
+    return inside
+
+
+class PolygonIndex:
+    """Prepared-geometry polygon index: cell prefilter + exact PIP refine.
+
+    The Ray-native replacement for the reference's server-side
+    ``STIntersects`` spatial join (ssurgo.py:20-32): polygons are covered
+    into cells at ``res``; a point only tests the polygons whose cover
+    includes its cell.  Build once per actor (stages/pip.py), query per
+    batch.
+    """
+
+    def __init__(self, ids, wkbs, res: int = 12):
+        self.res = res
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.polys = [parse_wkb(w) for w in wkbs]
+        self.bounds = [polygon_bounds(p) for p in self.polys]
+        buckets: dict[int, list[int]] = {}
+        for i, b in enumerate(self.bounds):
+            gx, gy = cover_bbox(*b, res)
+            for cid in cell_id_from_xy(gx, gy):
+                buckets.setdefault(int(cid), []).append(i)
+        self._buckets = {k: np.array(v, dtype=np.int64) for k, v in buckets.items()}
+
+    def query_min_id(self, lons, lats):
+        """For each point: the smallest polygon id containing it, or -1.
+        Deterministic under overlap (min id), matching the oracle's
+        ``min(map_unit_key)`` tie rule."""
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        out = np.full(len(lons), -1, dtype=np.int64)
+        if len(lons) == 0:
+            return out
+        cells = cell_id(lons, lats, self.res)
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_cells[1:] != sorted_cells[:-1]]
+        )
+        ends = np.r_[starts[1:], len(sorted_cells)]
+        for s, e in zip(starts, ends):
+            cand = self._buckets.get(int(sorted_cells[s]))
+            if cand is None:
+                continue
+            idx = order[s:e]
+            px, py = lons[idx], lats[idx]
+            best = np.full(len(idx), -1, dtype=np.int64)
+            for ci in cand:
+                pid = self.ids[ci]
+                minx, miny, maxx, maxy = self.bounds[ci]
+                bb = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+                if not bb.any():
+                    continue
+                hit = np.zeros(len(idx), dtype=bool)
+                hit[bb] = points_in_polygon(px[bb], py[bb], self.polys[ci])
+                better = hit & ((best == -1) | (pid < best))
+                best[better] = pid
+            out[idx] = best
+        return out
+
+    def query_all(self, lons, lats):
+        """All (point_index, polygon_id) containment pairs — the one-to-many
+        spatial join (reference clip semantics, ssurgo.py:176-177)."""
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        if len(lons) == 0:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        cells = cell_id(lons, lats, self.res)
+        pt_idx: list[np.ndarray] = []
+        poly_ids: list[np.ndarray] = []
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        starts = np.flatnonzero(np.r_[True, sorted_cells[1:] != sorted_cells[:-1]])
+        ends = np.r_[starts[1:], len(sorted_cells)]
+        for s, e in zip(starts, ends):
+            cand = self._buckets.get(int(sorted_cells[s]))
+            if cand is None:
+                continue
+            idx = order[s:e]
+            px, py = lons[idx], lats[idx]
+            for ci in cand:
+                hit = points_in_polygon(px, py, self.polys[ci])
+                if hit.any():
+                    pt_idx.append(idx[hit])
+                    poly_ids.append(
+                        np.full(int(hit.sum()), self.ids[ci], dtype=np.int64)
+                    )
+        if not pt_idx:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        return np.concatenate(pt_idx), np.concatenate(poly_ids)
+
+
+# --------------------------------------------------------------------------
+# kNN over 2-D centroids (nearest-field lookup, north rule).
+# --------------------------------------------------------------------------
+
+
+class CentroidKNN:
+    """Brute-force vectorized nearest-centroid with deterministic min-id
+    tiebreak.  For the centroid counts the engine deals with (fields per
+    region, thousands), a float64 matmul per batch beats any tree; the
+    scale path is bucketing centroids by cell and searching expanding rings
+    (documented in stages/knn.py)."""
+
+    def __init__(self, ids, xs, ys):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        order = np.argsort(self.ids, kind="stable")  # min-id tiebreak via order
+        self.ids = self.ids[order]
+        self.xs = np.asarray(xs, dtype=np.float64)[order]
+        self.ys = np.asarray(ys, dtype=np.float64)[order]
+
+    def query(self, pxs, pys, chunk: int = 4096):
+        pxs = np.asarray(pxs, dtype=np.float64)
+        pys = np.asarray(pys, dtype=np.float64)
+        out_id = np.empty(len(pxs), dtype=np.int64)
+        out_d2 = np.empty(len(pxs), dtype=np.float64)
+        for s in range(0, len(pxs), chunk):
+            e = min(s + chunk, len(pxs))
+            dx = pxs[s:e, None] - self.xs[None, :]
+            dy = pys[s:e, None] - self.ys[None, :]
+            d2 = dx * dx + dy * dy
+            amin = np.argmin(d2, axis=1)  # first (=min id) wins ties
+            out_id[s:e] = self.ids[amin]
+            out_d2[s:e] = d2[np.arange(e - s), amin]
+        return out_id, out_d2
