@@ -15,13 +15,61 @@ functions use, or inside the callables.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+# The driver may import this file from any cwd, and Ray workers spawned by the
+# driver's session won't have this repo on their sys.path. Make the package
+# importable for this process AND ship it by value to workers (cloudpickle),
+# so no worker-side import of `demeter_ray` is ever needed.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _register_by_value() -> None:
+    import demeter_ray  # noqa: F401
+    import demeter_ray.functions.codec
+    import demeter_ray.functions.depth
+    import demeter_ray.functions.geo
+    import demeter_ray.functions.hashing
+    import demeter_ray.functions.text
+    import demeter_ray.pipelines.flagship
+    import demeter_ray.sources.fixtures
+    import demeter_ray.sources.tables
+    import demeter_ray.stages.cells
+    import demeter_ray.stages.images
+    import demeter_ray.stages.knn
+    import demeter_ray.stages.pip
+    import demeter_ray.stages.sample
+    import demeter_ray.stages.spatial
+
+    try:
+        from ray import cloudpickle
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("demeter_ray"):
+                cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass  # same-cwd sessions still work via normal imports
+
+
+_register_by_value()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+
+    Streams the documents table into the image+caption schema, decode-verifies
+    every row (PSNR/caption invariant), and runs the fused spatial enrichment
+    (cell index + PIP + kNN + elevation sampling) against the deterministic
+    fixture fields/rasters.  Ray session is owned by the caller.
+    """
+    from demeter_ray.pipelines import flagship
+
+    return flagship.entry_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -23,7 +23,8 @@ import numpy as np
 
 MAGIC_RAW = b"DRAW"
 MAGIC_LOSSY = b"DJPG"
-_HDR = struct.Struct("<4sIIIB")  # magic, w, h, channels, q
+_HDR_FMT = "<4sIIIB"  # magic, w, h, channels, q
+_HDR_SIZE = struct.calcsize(_HDR_FMT)
 
 
 def generate_pixels(index: int, w: int, h: int, channels: int = 3) -> np.ndarray:
@@ -42,18 +43,18 @@ def encode(pixels: np.ndarray, fmt: str, q: int = 4) -> bytes:
     assert pixels.dtype == np.uint8 and pixels.ndim == 3
     h, w, channels = pixels.shape
     if fmt == "png":
-        return _HDR.pack(MAGIC_RAW, w, h, channels, 0) + pixels.tobytes()
+        return struct.pack(_HDR_FMT, MAGIC_RAW, w, h, channels, 0) + pixels.tobytes()
     if fmt == "jpeg":
         quant = (pixels.astype(np.int64) // q).astype(np.uint8)
-        return _HDR.pack(MAGIC_LOSSY, w, h, channels, q) + quant.tobytes()
+        return struct.pack(_HDR_FMT, MAGIC_LOSSY, w, h, channels, q) + quant.tobytes()
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def decode(buf: bytes) -> np.ndarray:
     """Decode DRAW/DJPG bytes -> HxWxC uint8 array (zero-copy frombuffer for
     lossless)."""
-    magic, w, h, channels, q = _HDR.unpack_from(buf, 0)
-    body = np.frombuffer(buf, dtype=np.uint8, offset=_HDR.size)
+    magic, w, h, channels, q = struct.unpack_from(_HDR_FMT, buf, 0)
+    body = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE)
     body = body.reshape(h, w, channels)
     if magic == MAGIC_RAW:
         return body

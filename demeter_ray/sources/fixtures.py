@@ -1,0 +1,475 @@
+"""Deterministic synthetic fixture tables (FIXTURES.md).
+
+Everything is a pure function of ids (seed 42 via modular integer arithmetic
+or ``RandomState`` seeded by id) — no wall clock, no RNG state shared across
+tables — so any worker, any process, any scale regenerates byte-identical
+tables.  Mirrors the reference's fixture shapes:
+
+- images: BASELINE.json input_hint schema + derived lon/lat (geo-points)
+- fields: SSURGO mupolygon/mapunit stand-in (ssurgo.py:20-41)
+- components/horizons/fragments: the SSURGO dim tables (ssurgo.py:42-108),
+  with planted tie / null / interval-edge cases
+- raster_tiles: tiled raster table (Raster + 1-degree tiling,
+  raster/__init__.py:11-34, polaris.py:57-58) with 2-px identical overlap
+  strips and one planted conflicting-overlap pair
+- points/depths: sampling probes + static depth dim
+
+Tables cache to /tmp/demeter_ray_fixtures/<scale>/ as parquet; generation is
+idempotent (skips existing files).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from demeter_ray.functions import codec, geo
+from demeter_ray.functions.depth import STANDARD_DEPTHS
+
+# the fixture geography: a 0.5 x 0.5 degree agricultural window
+LON0, LON1 = -102.2, -101.7
+LAT0, LAT1 = 36.0, 36.5
+
+SCALES = {
+    # n_images, fields_grid (g x g), image sizes
+    "tiny": dict(n_images=60, grid=3, sizes=(32, 48, 64)),
+    "small": dict(n_images=20_000, grid=6, sizes=(32, 48, 64)),
+    "bench": dict(n_images=60_000, grid=6, sizes=(32, 48, 64)),
+}
+
+FIXTURE_ROOT = "/tmp/demeter_ray_fixtures"
+
+
+def fixture_dir(scale: str) -> str:
+    return os.path.join(FIXTURE_ROOT, scale)
+
+
+# ----------------------------------------------------------------- images
+
+
+def _mix(i: np.ndarray, mult: int, mod: int) -> np.ndarray:
+    return (i.astype(np.int64) * mult) % mod
+
+
+def image_lonlat(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic geo-point per image index.  Even indices pile into the
+    westernmost strip (one hot cell prefix — the skew/salting case,
+    FIXTURES.md §1); odd indices spread over the full window, which leaves
+    ~20%% outside the field polygons (anti-join rows)."""
+    i = np.asarray(i, dtype=np.int64)
+    u = _mix(i, 2654435761, 1_000_003) / 1_000_003.0
+    v = _mix(i, 40503, 999_983) / 999_983.0
+    hot = i % 2 == 0
+    lon = np.where(hot, LON0 + u * 0.05, LON0 + u * (LON1 - LON0))
+    lat = np.where(hot, LAT0 + v * 0.05, LAT0 + v * (LAT1 - LAT0))
+    return lon, lat
+
+
+def make_images(n: int, sizes=(32, 48, 64)) -> pa.Table:
+    idx = np.arange(n, dtype=np.int64)
+    # ~1% planted exact duplicates: i % 100 == 99 re-uses the pixels (and
+    # dimensions) of i-1, so the pair shares a phash
+    src = np.where(idx % 100 == 99, idx - 1, idx)
+    w = np.array([sizes[int(s) % len(sizes)] for s in src], dtype=np.int32)
+    h = np.array([sizes[(int(s) + 1) % len(sizes)] for s in src], dtype=np.int32)
+    fmt = np.where(idx % 2 == 0, "png", "jpeg")
+    blobs = []
+    phashes = np.empty(n, dtype=np.int64)
+    for k in range(n):
+        px = codec.generate_pixels(int(src[k]), int(w[k]), int(h[k]))
+        blobs.append(codec.encode(px, str(fmt[k])))
+        phashes[k] = codec.phash64(px)
+    lon, lat = image_lonlat(idx)
+    cell = geo.cell_id(lon, lat, 12)
+    captions = [f"field scene {int(i)} tile {int(c)}" for i, c in zip(idx, cell)]
+    return pa.table(
+        {
+            "image_id": pa.array([f"img{int(i):012d}" for i in idx], pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(w, pa.int32()),
+            "h": pa.array(h, pa.int32()),
+            "fmt": pa.array(fmt, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+        }
+    )
+
+
+# ----------------------------------------------------------------- fields
+
+
+def field_quad(gx: int, gy: int, grid: int) -> np.ndarray:
+    """Convex quad filling ~80% of grid cell (gx, gy), corners jittered
+    deterministically."""
+    cw = (LON1 - LON0) / grid
+    ch = (LAT1 - LAT0) / grid
+    x0 = LON0 + gx * cw
+    y0 = LAT0 + gy * ch
+    rng = np.random.RandomState(42 + gx * 97 + gy * 131)
+    jit = rng.uniform(0.0, 0.08, size=8)
+    mx, my = cw * 0.05, ch * 0.05
+    return np.array(
+        [
+            [x0 + mx + jit[0] * cw, y0 + my + jit[1] * ch],
+            [x0 + cw - mx - jit[2] * cw, y0 + my + jit[3] * ch],
+            [x0 + cw - mx - jit[4] * cw, y0 + ch - my - jit[5] * ch],
+            [x0 + mx + jit[6] * cw, y0 + ch - my - jit[7] * ch],
+        ]
+    )
+
+
+def make_fields(grid: int) -> pa.Table:
+    """grid x grid field polygons: mostly convex quads, every 7th an L-shaped
+    concave polygon, every 11th a two-part MultiPolygon, every 13th pair
+    overlapping (tie cases for min-key assignment)."""
+    keys, syms, names, wkbs = [], [], [], []
+    k = 0
+    for gy in range(grid):
+        for gx in range(grid):
+            mukey = 100001 + k
+            quad = field_quad(gx, gy, grid)
+            if k % 11 == 5:
+                # multipart: two half-size quads, NW + SE
+                c = quad.mean(axis=0)
+                q1 = (quad - c) * 0.45 + c + np.array([-0.02, 0.02]) * (LON1 - LON0) / grid
+                q2 = (quad - c) * 0.45 + c + np.array([0.02, -0.02]) * (LON1 - LON0) / grid
+                wkb = geo.wkb_from_polygons([[q1], [q2]])
+            elif k % 7 == 3:
+                # concave L-shape: quad minus its NE quarter
+                x0, y0 = quad[0]
+                x1 = quad[1][0]
+                y2 = quad[2][1]
+                xm = (x0 + x1) / 2
+                ym = (y0 + y2) / 2
+                ring = np.array(
+                    [[x0, y0], [x1, y0], [x1, ym], [xm, ym], [xm, y2], [x0, y2], [x0, y0]]
+                )
+                wkb = geo.wkb_from_rings([ring])
+            elif k % 13 == 0 and gx + 1 < grid:
+                # overlap case: stretch east into the neighbor cell
+                quad = quad.copy()
+                quad[1][0] += 0.15 * (LON1 - LON0) / grid
+                quad[2][0] += 0.15 * (LON1 - LON0) / grid
+                wkb = geo.wkb_from_rings([quad])
+            else:
+                wkb = geo.wkb_from_rings([quad])
+            keys.append(mukey)
+            syms.append(f"Mu{chr(65 + k % 26)}{k % 10}")
+            names.append(f"Map unit {mukey} silty clay loam")
+            wkbs.append(wkb)
+            k += 1
+    return pa.table(
+        {
+            "map_unit_key": pa.array(keys, pa.int64()),
+            "map_unit_symbol": pa.array(syms, pa.string()),
+            "map_unit_name": pa.array(names, pa.string()),
+            "geom_wkb": pa.array(wkbs, pa.binary()),
+            "crs": pa.array(["EPSG:4326"] * len(keys), pa.string()),
+        }
+    )
+
+
+# ------------------------------------------------- soil dimension tables
+
+
+def make_components(mukeys) -> pa.Table:
+    """Per map unit 1-3 components.  Planted cases (FIXTURES.md §3):
+    mukey%5==0 -> two majcompflag='Yes' components tying on max comppct_r;
+    mukey%7==3 -> only majcompflag='No' rows (left-join null case);
+    else one clear major + minor rows."""
+    rows = []
+    kinds = ["Series", "Taxadjunct", None]
+    drains = ["Well drained", "Poorly drained", None]
+    for mk in mukeys:
+        mk = int(mk)
+        base = mk * 10
+        if mk % 5 == 0:
+            rows.append((base + 1, mk, 45, "Yes", f"Comp{base+1}", kinds[mk % 3], drains[mk % 3]))
+            rows.append((base + 2, mk, 45, "Yes", f"Comp{base+2}", kinds[(mk + 1) % 3], drains[(mk + 1) % 3]))
+            rows.append((base + 3, mk, 10, "No", f"Comp{base+3}", None, None))
+        elif mk % 7 == 3:
+            rows.append((base + 1, mk, 60, "No", f"Comp{base+1}", kinds[mk % 3], None))
+            rows.append((base + 2, mk, 40, "No", f"Comp{base+2}", None, drains[mk % 3]))
+        else:
+            rows.append((base + 1, mk, 50 + mk % 30, "Yes", f"Comp{base+1}", kinds[mk % 3], drains[mk % 3]))
+            rows.append((base + 2, mk, 30, "Yes", f"Comp{base+2}", kinds[(mk + 2) % 3], drains[(mk + 2) % 3]))
+            rows.append((base + 3, mk, 20 - mk % 15, "No", f"Comp{base+3}", None, None))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "component_key": pa.array(cols[0], pa.int64()),
+            "map_unit_key": pa.array(cols[1], pa.int64()),
+            "comppct_r": pa.array(cols[2], pa.int32()),
+            "majcompflag": pa.array(cols[3], pa.string()),
+            "compname": pa.array(cols[4], pa.string()),
+            "compkind": pa.array(cols[5], pa.string()),
+            "drainagecl": pa.array(cols[6], pa.string()),
+        }
+    )
+
+
+_BOUNDARIES = [0, 5, 15, 30, 60, 100, 150, 200]
+
+
+def make_horizons(cokeys) -> pa.Table:
+    """Contiguous depth layers 0-200 per component with deterministic
+    properties.  Planted: om_r null when chkey%4==1; claytotal_r all-null for
+    cokey%9==0 (all-masked -> None case, ssurgo.py:289-297)."""
+    rows = []
+    for ck in cokeys:
+        ck = int(ck)
+        n_layers = 3 + ck % 4  # 3..6 layers
+        bounds = _BOUNDARIES[: n_layers + 1]
+        for li in range(n_layers):
+            chkey = ck * 100 + li
+            top, bot = bounds[li], bounds[li + 1]
+            om = None if chkey % 4 == 1 else round(0.5 + (chkey % 37) * 0.1, 2)
+            clay = None if ck % 9 == 0 else round(10.0 + (chkey % 23), 2)
+            sand = round(20.0 + (chkey % 41), 2)
+            bd = round(1.1 + (chkey % 7) * 0.08, 3)
+            fraggt10 = float(chkey % 5)
+            frag3to10 = float(chkey % 7)
+            sieveno10 = round(80.0 + (chkey % 20), 1)
+            rows.append((chkey, ck, top, bot, fraggt10, frag3to10, sieveno10, sand, clay, om, bd))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "horizon_key": pa.array(cols[0], pa.int64()),
+            "component_key": pa.array(cols[1], pa.int64()),
+            "hzdept_r": pa.array(cols[2], pa.int32()),
+            "hzdepb_r": pa.array(cols[3], pa.int32()),
+            "fraggt10_r": pa.array(cols[4], pa.float64()),
+            "frag3to10_r": pa.array(cols[5], pa.float64()),
+            "sieveno10_r": pa.array(cols[6], pa.float64()),
+            "sandtotal_r": pa.array(cols[7], pa.float64()),
+            "claytotal_r": pa.array(cols[8], pa.float64()),
+            "om_r": pa.array(cols[9], pa.float64()),
+            "dbovendry_r": pa.array(cols[10], pa.float64()),
+        }
+    )
+
+
+def make_fragments(chkeys) -> pa.Table:
+    """0-3 fragment rows per horizon; null fragkind rows are summed in volume
+    but excluded from the kind aggregation (ssurgo.py:231-240)."""
+    kinds = ["Gravel", "Cobbles", "Stones", None]
+    rows = []
+    for ch in chkeys:
+        ch = int(ch)
+        for j in range(ch % 3):
+            rows.append((ch, round(2.0 + (ch + j) % 9, 1), float(5 + j), kinds[(ch + j) % 4]))
+    if not rows:
+        rows.append((int(chkeys[0]), 1.0, 5.0, "Gravel"))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "horizon_key": pa.array(cols[0], pa.int64()),
+            "fragvol_r": pa.array(cols[1], pa.float64()),
+            "fragsize_r": pa.array(cols[2], pa.float64()),
+            "fragkind": pa.array(cols[3], pa.string()),
+        }
+    )
+
+
+# ------------------------------------------------------------ raster tiles
+
+TILE_PX = 64  # interior pixels per tile side
+TILE_DEG = 0.1
+RES_DEG = TILE_DEG / TILE_PX
+OVERLAP_PX = 2  # identical shared strip (usgs/utils.py:59-62 note)
+N_TILES = 5  # 5x5 tiles cover the window
+
+
+def elevation_value(gcol: np.ndarray, grow: np.ndarray) -> np.ndarray:
+    """Deterministic global elevation field, reproducible in SQL:
+    ((gcol*31 + grow*17) % 1000) / 10.0"""
+    return (((gcol * 31 + grow * 17) % 1000) / 10.0).astype(np.float64)
+
+
+def soil_value(gcol, grow, dataset: str, stat: str, depth_top: int) -> np.ndarray:
+    """Smooth deterministic soil property per (dataset, statistic, depth)."""
+    dshift = {"om": 0, "bd": 1000}[dataset]
+    sshift = {"mean": 0, "p5": 111, "p95": 222}[stat]
+    base = ((gcol * 13 + grow * 7 + dshift + sshift + depth_top * 29) % 500) / 100.0
+    return base + (0.5 if stat == "p5" else 0.0) - (0.5 if stat == "p95" else 0.0)
+
+
+def _tile_transform(tx: int, ty: int) -> list[float]:
+    # north-up; top of tile ty is LAT0 + (ty+1)*TILE_DEG
+    return [RES_DEG, 0.0, LON0 + tx * TILE_DEG, 0.0, -RES_DEG, LAT0 + (ty + 1) * TILE_DEG]
+
+
+def _tile_pixels(tx: int, ty: int, fn) -> np.ndarray:
+    """Tile raster with OVERLAP_PX extra columns/rows shared with the east /
+    south neighbors, values from the shared global function (identical in the
+    overlap)."""
+    w = TILE_PX + (OVERLAP_PX if tx + 1 < N_TILES else 0)
+    h = TILE_PX + (OVERLAP_PX if ty > 0 else 0)
+    gcol = tx * TILE_PX + np.arange(w, dtype=np.int64)[None, :]
+    # global row 0 = top of window (ty = N_TILES-1)
+    grow = (N_TILES - 1 - ty) * TILE_PX + np.arange(h, dtype=np.int64)[:, None]
+    return fn(gcol + 0 * grow, grow + 0 * gcol)
+
+
+def make_raster_tiles() -> pa.Table:
+    """One row per (dataset, statistic, depth, tile).  Datasets:
+    - elevation: float32, hole-free (oracle-checked sampling path)
+    - om/bd x mean/p5/p95 x 6 depths: float32 with planted nodata holes;
+      the (om, mean, depth 0) pair of tiles (0,0)/(1,0) gets a conflicting
+      overlap value (+1) to exercise the overlap warning (merge.py:353-378)
+    - cat: int32 catchment codes with NaN-free but sentinel nodata -9999
+    - misaligned: deliberately offset grid (no-resample error case)
+    """
+    rows = []
+
+    def add(dataset, stat, dtop, dbot, tx, ty, px, nodata, dtype, transform=None):
+        rows.append(
+            dict(
+                dataset=dataset,
+                statistic=stat,
+                depth_top_cm=dtop,
+                depth_bottom_cm=dbot,
+                tile_id=f"{tx}_{ty}",
+                band=1,
+                h=px.shape[0],
+                w=px.shape[1],
+                dtype=dtype,
+                nodata=nodata,
+                transform=transform or _tile_transform(tx, ty),
+                crs="EPSG:4326",
+                pixels=px.astype(dtype).tobytes(),
+            )
+        )
+
+    for tx in range(N_TILES):
+        for ty in range(N_TILES):
+            add("elevation", None, None, None, tx, ty,
+                _tile_pixels(tx, ty, elevation_value), float("nan"), "float32")
+            for ds in ("om", "bd"):
+                for stat in ("mean", "p5", "p95"):
+                    for dtop, dbot in STANDARD_DEPTHS:
+                        px = _tile_pixels(
+                            tx, ty, lambda c, r, ds=ds, stat=stat, dt=dtop: soil_value(c, r, ds, stat, dt)
+                        ).astype(np.float64)
+                        # planted nodata holes
+                        hole = (np.indices(px.shape).sum(axis=0) + dtop) % 89 == 0
+                        px[hole] = np.nan
+                        if ds == "om" and stat == "mean" and dtop == 0 and (tx, ty) == (1, 0):
+                            px[:, :OVERLAP_PX] += 1.0  # conflicting overlap
+                        add(ds, stat, dtop, dbot, tx, ty, px, float("nan"), "float32")
+            cat = ((tx * N_TILES + ty) * 7 + (np.indices((TILE_PX, TILE_PX)).sum(axis=0) // 32)).astype(np.int64) % 11
+            add("cat", None, None, None, tx, ty, cat + 1, -9999.0, "int32")
+    # misaligned dataset: one tile on a grid shifted by 0.3 px
+    t = _tile_transform(0, 0)
+    t[2] += RES_DEG * 0.3
+    add("misaligned", None, None, None, 0, 0,
+        _tile_pixels(0, 0, elevation_value), float("nan"), "float32", transform=t)
+
+    tbl = {k: [r[k] for r in rows] for k in rows[0]}
+    return pa.table(
+        {
+            "dataset": pa.array(tbl["dataset"], pa.string()),
+            "statistic": pa.array(tbl["statistic"], pa.string()),
+            "depth_top_cm": pa.array(tbl["depth_top_cm"], pa.int32()),
+            "depth_bottom_cm": pa.array(tbl["depth_bottom_cm"], pa.int32()),
+            "tile_id": pa.array(tbl["tile_id"], pa.string()),
+            "band": pa.array(tbl["band"], pa.int8()),
+            "h": pa.array(tbl["h"], pa.int32()),
+            "w": pa.array(tbl["w"], pa.int32()),
+            "dtype": pa.array(tbl["dtype"], pa.string()),
+            "nodata": pa.array(tbl["nodata"], pa.float64()),
+            "transform": pa.array(tbl["transform"], pa.list_(pa.float64(), 6)),
+            "crs": pa.array(tbl["crs"], pa.string()),
+            "pixels": pa.array(tbl["pixels"], pa.binary()),
+        }
+    )
+
+
+def make_catchment_vat() -> pa.Table:
+    """Sidecar VAT mapping per-tile int codes -> global 14-digit catchment
+    ids + pixel counts; includes one unmappable code (usgs/hydrography.py:229-308)."""
+    rows = []
+    for tx in range(N_TILES):
+        for ty in range(N_TILES):
+            for code in range(1, 11):  # code 11 deliberately unmapped
+                rows.append(
+                    (f"{tx}_{ty}", code, 10_000_000_000_000 + code * 17 + (tx * N_TILES + ty),
+                     int(100 + code * 3 + tx + ty))
+                )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "tile_id": pa.array(cols[0], pa.string()),
+            "value": pa.array(cols[1], pa.int32()),
+            "catchment_id": pa.array(cols[2], pa.int64()),
+            "count": pa.array(cols[3], pa.int32()),
+        }
+    )
+
+
+def make_points() -> pa.Table:
+    """Sampling probes: inside fields, on a tile boundary, outside coverage."""
+    pts = [
+        ("p_inside_a", LON0 + 0.13, LAT0 + 0.11),
+        ("p_inside_b", LON0 + 0.31, LAT0 + 0.27),
+        ("p_tile_edge", LON0 + 2 * TILE_DEG, LAT0 + 0.25),  # exactly on tile boundary
+        ("p_far_east", LON1 - 0.01, LAT1 - 0.01),
+        ("p_outside", LON1 + 1.0, LAT1 + 1.0),  # outside raster coverage
+    ]
+    return pa.table(
+        {
+            "point_id": pa.array([p[0] for p in pts], pa.string()),
+            "lon": pa.array([p[1] for p in pts], pa.float64()),
+            "lat": pa.array([p[2] for p in pts], pa.float64()),
+        }
+    )
+
+
+def make_depths() -> pa.Table:
+    return pa.table(
+        {
+            "start_cm": pa.array([d[0] for d in STANDARD_DEPTHS], pa.int32()),
+            "end_cm": pa.array([d[1] for d in STANDARD_DEPTHS], pa.int32()),
+        }
+    )
+
+
+# --------------------------------------------------------------- generate
+
+
+def generate(scale: str = "tiny", force: bool = False) -> str:
+    """Write all fixture tables for ``scale`` to the cache dir; idempotent."""
+    params = SCALES[scale]
+    out = fixture_dir(scale)
+    os.makedirs(out, exist_ok=True)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done) and not force:
+        return out
+
+    fields = make_fields(params["grid"])
+    pq.write_table(fields, os.path.join(out, "fields.parquet"))
+    comps = make_components(fields["map_unit_key"].to_pylist())
+    pq.write_table(comps, os.path.join(out, "components.parquet"))
+    horizons = make_horizons(comps["component_key"].to_pylist())
+    pq.write_table(horizons, os.path.join(out, "horizons.parquet"))
+    pq.write_table(
+        make_fragments(horizons["horizon_key"].to_pylist()),
+        os.path.join(out, "fragments.parquet"),
+    )
+    pq.write_table(make_raster_tiles(), os.path.join(out, "raster_tiles.parquet"))
+    pq.write_table(make_catchment_vat(), os.path.join(out, "catchment_vat.parquet"))
+    pq.write_table(make_points(), os.path.join(out, "points.parquet"))
+    pq.write_table(make_depths(), os.path.join(out, "depths.parquet"))
+    pq.write_table(
+        make_images(params["n_images"], params["sizes"]),
+        os.path.join(out, "images.parquet"),
+        row_group_size=4096,
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out

@@ -1,0 +1,121 @@
+"""Raster-sampling join: points x tiled raster -> pixel values.
+
+Reproduces ``Raster.value_at`` semantics (inverse-affine floor rowcol, nodata
+-> null; /root/reference/demeter/raster/__init__.py:92-108) as a vectorized
+``map_batches`` stage over a *broadcast* tile set: the raster side of this
+join is a per-dataset tile table (small per region), shipped once with
+``ray.put``; each actor decodes tiles to numpy ONCE in ``__init__`` and
+samples whole point batches with numpy gathers — the reference's per-point
+``value_at`` python loop (/root/reference/demeter/api.py:115-126) becomes one
+vectorized gather per (batch, tile).
+
+Overlapping tiles resolve in sorted-tile_id order ("first" merge semantics
+made deterministic — SURVEY.md §7.5).  Points outside every tile yield null.
+
+Scale note: per-dataset tile payloads beyond a broadcast's budget should be
+hash-partitioned by tile_id and the points repartitioned by the same key
+(cell_prefix ~ tile grid); the per-batch math is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from demeter_ray.functions import geo
+
+
+def load_tiles(raster_tiles: pa.Table, dataset: str, statistic=None, depth_top=None):
+    """Decode the tile rows for one (dataset[, statistic, depth]) into plain
+    numpy payloads: [(tile_id, pixels2d, transform, nodata, bounds), ...]
+    sorted by tile_id (canonical overlap order)."""
+    tbl = raster_tiles
+    keep = []
+    for i in range(tbl.num_rows):
+        if tbl["dataset"][i].as_py() != dataset:
+            continue
+        if statistic is not None and tbl["statistic"][i].as_py() != statistic:
+            continue
+        if depth_top is not None and tbl["depth_top_cm"][i].as_py() != depth_top:
+            continue
+        keep.append(i)
+    tiles = []
+    for i in keep:
+        h = tbl["h"][i].as_py()
+        w = tbl["w"][i].as_py()
+        dtype = tbl["dtype"][i].as_py()
+        px = np.frombuffer(tbl["pixels"][i].as_py(), dtype=dtype).reshape(h, w)
+        transform = tuple(tbl["transform"][i].as_py())
+        nodata = tbl["nodata"][i].as_py()
+        bounds = geo.raster_bounds(transform, h, w)
+        tiles.append((tbl["tile_id"][i].as_py(), px, transform, nodata, bounds))
+    tiles.sort(key=lambda t: t[0])
+    return tiles
+
+
+def sample_tiles_at(tiles, lons, lats) -> np.ndarray:
+    """Vectorized value_at over a tile list: float64 output, NaN = no data
+    (outside coverage or nodata pixel)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    out = np.full(len(lons), np.nan, dtype=np.float64)
+    unassigned = np.ones(len(lons), dtype=bool)
+    for tile_id, px, transform, nodata, (left, bottom, right, top) in tiles:
+        # half-open membership [left, right) x (bottom, top] matches floor
+        # rowcol: the top/left edges belong to the tile
+        m = unassigned & (lons >= left) & (lons < right) & (lats > bottom) & (lats <= top)
+        if not m.any():
+            continue
+        rows, cols = geo.affine_rowcol(transform, lons[m], lats[m])
+        h, w = px.shape
+        ok = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+        vals = np.full(int(m.sum()), np.nan)
+        v = px[rows[ok], cols[ok]].astype(np.float64)
+        if nodata is not None and not (isinstance(nodata, float) and np.isnan(nodata)):
+            v = np.where(v == nodata, np.nan, v)
+        vals[ok] = v
+        out_idx = np.flatnonzero(m)
+        out[out_idx] = vals
+        unassigned[m] = False
+    return out
+
+
+class SampleActor:
+    """Actor-pool stage: decode tiles once, sample per batch."""
+
+    def __init__(self, tiles_ref, out_col: str):
+        self.tiles = ray.get(tiles_ref) if not isinstance(tiles_ref, list) else tiles_ref
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = sample_tiles_at(
+            self.tiles,
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+        )
+        col = pa.array(vals, pa.float64(), from_pandas=True)  # NaN -> null
+        return batch.append_column(self.out_col, col)
+
+
+def sample_join(
+    ds: ray.data.Dataset,
+    raster_tiles: pa.Table,
+    dataset: str,
+    statistic=None,
+    depth_top=None,
+    out_col=None,
+    concurrency=4,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    out_col = out_col or dataset
+    tiles = load_tiles(raster_tiles, dataset, statistic, depth_top)
+    ref = ray.put(tiles)
+    return ds.map_batches(
+        SampleActor,
+        fn_constructor_args=(ref, out_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,100 @@
+"""Fused spatial-enrichment actor: cell assign + PIP + kNN + raster sample
+in ONE batch pass.
+
+Why fused: each of pip/knn/sample is a broadcast-lookup join with per-actor
+state; running them as separate actor pools multiplies pool count (CPU
+reservation) and Arrow serialization hops. One actor holding all three
+indexes does the whole enrichment per batch — fewer pools, zero interop cost,
+and the same composable stages remain available individually in
+stages/{pip,knn,sample}.py.
+
+State (built once per actor in __init__, read from one ray.put broadcast):
+- PolygonIndex over field WKB (cell-bucketed even-odd PIP)
+- CentroidKNN over field centroids
+- decoded tile arrays for each requested raster dataset
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from demeter_ray.functions import geo
+from demeter_ray.stages.knn import field_centroids
+from demeter_ray.stages.sample import load_tiles, sample_tiles_at
+
+
+def build_spatial_state(fields_table: pa.Table, raster_tiles=None, rasters=()):
+    """Driver-side: assemble the broadcast payload once.
+
+    rasters: list of (out_col, dataset, statistic, depth_top) sample specs.
+    """
+    ids = fields_table["map_unit_key"].to_pylist()
+    wkbs = fields_table["geom_wkb"].to_pylist()
+    cents = field_centroids(fields_table)
+    tile_sets = []
+    for out_col, dataset, stat, dtop in rasters:
+        tile_sets.append((out_col, load_tiles(raster_tiles, dataset, stat, dtop)))
+    return ray.put((ids, wkbs, cents, tile_sets))
+
+
+class SpatialEnrichActor:
+    def __init__(self, state_ref, pip_res: int = 12, fine_res: int = 12,
+                 prefix_res: int = 5, salt: int = 8):
+        ids, wkbs, cents, tile_sets = ray.get(state_ref)
+        self.index = geo.PolygonIndex(ids, wkbs, res=pip_res)
+        self.knn = geo.CentroidKNN(*cents)
+        self.tile_sets = tile_sets
+        self.fine_res = fine_res
+        self.prefix_res = prefix_res
+        self.salt = salt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lons = batch["lon"].to_numpy(zero_copy_only=False)
+        lats = batch["lat"].to_numpy(zero_copy_only=False)
+        cells = geo.cell_id(lons, lats, self.fine_res)
+        prefix = geo.cell_parent_id(cells, self.fine_res - self.prefix_res)
+        batch = batch.append_column("cell", pa.array(cells, pa.int64()))
+        batch = batch.append_column("cell_prefix", pa.array(prefix, pa.int64()))
+        if self.salt > 0:
+            batch = batch.append_column(
+                "salt", pa.array((cells * 2654435761) % self.salt, pa.int64())
+            )
+        assigned = self.index.query_min_id(lons, lats)
+        batch = batch.append_column(
+            "map_unit_key",
+            pa.array(np.where(assigned >= 0, assigned, None), pa.int64(), from_pandas=True),
+        )
+        nn_ids, d2 = self.knn.query(lons, lats)
+        batch = batch.append_column("nearest_field", pa.array(nn_ids, pa.int64()))
+        batch = batch.append_column("nearest_field_dist2", pa.array(d2, pa.float64()))
+        for out_col, tiles in self.tile_sets:
+            vals = sample_tiles_at(tiles, lons, lats)
+            batch = batch.append_column(
+                out_col, pa.array(vals, pa.float64(), from_pandas=True)
+            )
+        return batch
+
+
+def spatial_enrich(
+    ds: ray.data.Dataset,
+    fields_table: pa.Table,
+    raster_tiles=None,
+    rasters=(),
+    concurrency=(1, 4),
+    batch_size: int = 8192,
+    num_cpus: float = 1,
+    salt: int = 8,
+) -> ray.data.Dataset:
+    state = build_spatial_state(fields_table, raster_tiles, rasters)
+    return ds.map_batches(
+        SpatialEnrichActor,
+        fn_constructor_args=(state,),
+        fn_constructor_kwargs={"salt": salt},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
