@@ -37,9 +37,13 @@ def _register_by_value() -> None:
     import demeter_ray.functions.hashing
     import demeter_ray.functions.text
     import demeter_ray.pipelines.flagship
+    import demeter_ray.pipelines.oracle_spatial
+    import demeter_ray.pipelines.oracle_text
+    import demeter_ray.pipelines.relational
     import demeter_ray.sources.fixtures
     import demeter_ray.sources.tables
     import demeter_ray.stages.cells
+    import demeter_ray.stages.dedup
     import demeter_ray.stages.images
     import demeter_ray.stages.knn
     import demeter_ray.stages.pip
@@ -72,6 +76,14 @@ def entry() -> Any:
     return flagship.entry_pipeline("/root/testdata/sf0.001")
 
 
+def _registry() -> dict:
+    import demeter_ray.pipelines.oracle_spatial  # noqa: F401  (registers)
+    import demeter_ray.pipelines.oracle_text  # noqa: F401  (registers)
+    from demeter_ray.pipelines.relational import QUERIES
+
+    return QUERIES
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
@@ -79,7 +91,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    out = {name: fn for name, (fn, _sql) in _registry().items()}
+
+    def flagship_tile_assignments(sf_dir: str):
+        # rows-only: full flagship spatial pipeline on deterministic fixtures
+        from demeter_ray.pipelines import flagship
+
+        return flagship.entry_pipeline(sf_dir)
+
+    out["flagship_tile_assignments"] = flagship_tile_assignments
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -89,4 +110,4 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items() if sql is not None}

@@ -1,0 +1,487 @@
+"""Spatial oracle queries: geo columns DERIVED deterministically from the
+driver's tables (identical integer/double expressions on both sides), so the
+engine's real spatial stages — PIP actor pool, kNN actor pool, raster
+sampling, cell shuffle — run against a DuckDB oracle that reproduces the
+math in pure SQL.
+
+These complement the fixture-based pytest goldens: here the *driver* checks
+the spatial operators row-for-row at sf=0.01.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from demeter_ray.functions import geo
+from demeter_ray.sources.tables import read_table
+from demeter_ray.pipelines.relational import duck_round, register
+
+# ------------------------------------------------------------------ helpers
+
+# deterministic point derivation — keep these expressions literally identical
+# in numpy and SQL (same op order => identical IEEE doubles)
+LON_EXPR = "-102.2 + (({k} * 2654435761) % 1000003) / 1000003.0 * 0.5"
+LAT_EXPR = "36.0 + (({k} * 40503 + 7) % 999983) / 999983.0 * 0.5"
+
+
+def derive_lon(keys: np.ndarray) -> np.ndarray:
+    k = keys.astype(np.int64)
+    return -102.2 + ((k * 2654435761) % 1000003) / 1000003.0 * 0.5
+
+
+def derive_lat(keys: np.ndarray) -> np.ndarray:
+    k = keys.astype(np.int64)
+    return 36.0 + ((k * 40503 + 7) % 999983) / 999983.0 * 0.5
+
+
+# ------------------------------------------------- cell assignment (shuffle key)
+
+_CELL_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {LON_EXPR.format(k='c_custkey')} AS lon,
+         {LAT_EXPR.format(k='c_custkey')} AS lat
+  FROM customer
+)
+SELECT c_custkey, lon, lat,
+       CAST(FLOOR((lon + 180.0) / 360.0 * 1024.0) AS BIGINT) AS cx,
+       CAST(FLOOR((lat + 90.0) / 180.0 * 1024.0) AS BIGINT) AS cy,
+       CAST(FLOOR((lon + 180.0) / 360.0 * 1024.0) AS BIGINT) * 536870912
+         + CAST(FLOOR((lat + 90.0) / 180.0 * 1024.0) AS BIGINT) AS cell,
+       (CAST(FLOOR((lon + 180.0) / 360.0 * 1024.0) AS BIGINT) // 32) * 536870912
+         + (CAST(FLOOR((lat + 90.0) / 180.0 * 1024.0) AS BIGINT) // 32) AS cell_prefix
+FROM pts
+"""
+
+
+@register("cell_assign_customers", _CELL_SQL)
+def cell_assign_customers(sf_dir: str):
+    """H3/S2-analog cell index at res 10 + prefix at res 5, via the real
+    cells stage math (functions/geo.py cell_xy — integer arithmetic chosen
+    to be SQL-reproducible)."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = derive_lon(k), derive_lat(k)
+        cx, cy = geo.cell_xy(lon, lat, 10)
+        cell = geo.cell_id_from_xy(cx, cy)
+        prefix = geo.cell_id_from_xy(cx >> 5, cy >> 5)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+                "cx": pa.array(cx, pa.int64()),
+                "cy": pa.array(cy, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "cell_prefix": pa.array(prefix, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_PREFIX_AGG_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {LON_EXPR.format(k='c_custkey')} AS lon,
+         {LAT_EXPR.format(k='c_custkey')} AS lat
+  FROM customer
+)
+SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 1024.0) AS BIGINT) // 32 AS px,
+       CAST(FLOOR((lat + 90.0) / 180.0 * 1024.0) AS BIGINT) // 32 AS py,
+       COUNT(*) AS n_points,
+       ROUND(AVG(lon), 4) AS avg_lon
+FROM pts GROUP BY px, py ORDER BY px, py
+"""
+
+
+@register("cell_prefix_shuffle_agg", _PREFIX_AGG_SQL)
+def cell_prefix_shuffle_agg(sf_dir: str):
+    """The explicit spatial shuffle: per-batch partial aggregation on the
+    cell-prefix key, then a tiny groupby combine (salting pattern of
+    stages/cells.py; nothing but partials ever shuffles)."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = derive_lon(k), derive_lat(k)
+        cx, cy = geo.cell_xy(lon, lat, 10)
+        df = pd.DataFrame({"px": cx >> 5, "py": cy >> 5, "lon": lon})
+        g = df.groupby(["px", "py"], as_index=False).agg(
+            n_points=("lon", "size"), lon_sum=("lon", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["px", "py"])
+        .aggregate(
+            Sum("n_points", alias_name="n_points"), Sum("lon_sum", alias_name="lon_sum")
+        )
+        .to_pandas()
+    )
+    out["avg_lon"] = duck_round(out["lon_sum"] / out["n_points"], 4)
+    out = out.drop(columns=["lon_sum"])
+    return out.sort_values(["px", "py"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------- PIP spatial join
+
+# five convex CCW quads in the window; 4 and 5 overlap (min-id tie rule)
+ORACLE_POLYGONS = {
+    1: [(-102.15, 36.05), (-102.05, 36.06), (-102.04, 36.16), (-102.16, 36.15)],
+    2: [(-102.00, 36.10), (-101.88, 36.12), (-101.90, 36.24), (-102.02, 36.22)],
+    3: [(-101.85, 36.30), (-101.75, 36.30), (-101.75, 36.42), (-101.85, 36.42)],
+    4: [(-102.18, 36.30), (-102.02, 36.30), (-102.02, 36.46), (-102.18, 36.46)],
+    5: [(-102.10, 36.38), (-101.95, 36.38), (-101.95, 36.48), (-102.10, 36.48)],
+}
+
+
+def _pip_sql() -> str:
+    rows = []
+    for pid, verts in ORACLE_POLYGONS.items():
+        conds = []
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            conds.append(
+                f"(({x2}) - ({x1})) * (p.lat - ({y1})) - (({y2}) - ({y1})) * (p.lon - ({x1})) >= 0.0"
+            )
+        rows.append(f"SELECT {pid} AS id WHERE " + " AND ".join(conds))
+    poly_union = " UNION ALL ".join(rows)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat
+  FROM events
+)
+SELECT p.event_id, p.lon, p.lat,
+       (SELECT MIN(id) FROM ({poly_union})) AS field_id
+FROM pts p
+"""
+
+
+@register("pip_events_fields", _pip_sql())
+def pip_events_fields(sf_dir: str):
+    """Point-in-polygon spatial join through the REAL PIP actor pool
+    (stages/pip.py: broadcast WKB polygons, per-actor PolygonIndex, even-odd
+    refine, min-id under overlap).  Oracle: half-plane tests in SQL — for
+    convex polygons the two kernels agree everywhere off the boundary."""
+    from demeter_ray.stages import pip as pip_stage
+
+    fields_tbl = pa.table(
+        {
+            "map_unit_key": pa.array(list(ORACLE_POLYGONS), pa.int64()),
+            "geom_wkb": pa.array(
+                [geo.wkb_from_rings([np.array(v)]) for v in ORACLE_POLYGONS.values()],
+                pa.binary(),
+            ),
+        }
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "lon": pa.array(derive_lon(k), pa.float64()),
+                "lat": pa.array(derive_lat(k), pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(to_points, batch_format="pyarrow")
+    ds = pip_stage.pip_join(ds, fields_tbl, mode="min", res=12, concurrency=(1, 4))
+    return ds.map_batches(
+        lambda t: t.rename_columns(["event_id", "lon", "lat", "field_id"]),
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------------------- kNN nearest
+
+ORACLE_CENTROIDS = [
+    (1, -102.15, 36.08),
+    (2, -102.05, 36.18),
+    (3, -101.95, 36.12),
+    (4, -101.85, 36.35),
+    (5, -102.10, 36.42),
+    (6, -101.78, 36.05),
+    (7, -102.18, 36.28),
+    (8, -101.90, 36.47),
+]
+
+
+def _knn_sql() -> str:
+    values = ", ".join(f"({i}, {x}, {y})" for i, x, y in ORACLE_CENTROIDS)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat
+  FROM events
+)
+SELECT p.event_id,
+       (SELECT c.id FROM (VALUES {values}) AS c(id, cx, cy)
+        ORDER BY (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy) ASC,
+                 c.id ASC
+        LIMIT 1) AS nn_id
+FROM pts p
+"""
+
+
+@register("knn_events_centroids", _knn_sql())
+def knn_events_centroids(sf_dir: str):
+    """Nearest-centroid lookup through the REAL kNN actor pool
+    (stages/knn.py KNNActor: vectorized chunked argmin, min-id tiebreak)."""
+    import ray as _ray
+
+    from demeter_ray.stages.knn import KNNActor
+
+    ids = [c[0] for c in ORACLE_CENTROIDS]
+    xs = [c[1] for c in ORACLE_CENTROIDS]
+    ys = [c[2] for c in ORACLE_CENTROIDS]
+    ref = _ray.put((ids, xs, ys))
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "lon": pa.array(derive_lon(k), pa.float64()),
+                "lat": pa.array(derive_lat(k), pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(to_points, batch_format="pyarrow")
+    ds = ds.map_batches(
+        KNNActor,
+        fn_constructor_args=(ref, "nn_id"),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+    return ds.select_columns(["event_id", "nn_id"])
+
+
+# ------------------------------------------------------- raster sampling
+
+_RES = 0.0015625  # 0.1 deg / 64 px, exactly this literal on both sides
+_RASTER_W = 320  # (LON1-LON0)/RES
+_RASTER_H = 320
+
+_SAMPLE_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {LON_EXPR.format(k='c_custkey')} AS lon,
+         {LAT_EXPR.format(k='c_custkey')} AS lat
+  FROM customer
+)
+SELECT c_custkey, lon, lat,
+  CASE WHEN lon >= -102.2 AND lon < -101.7 AND lat > 36.0 AND lat <= 36.5
+       THEN ((CAST(FLOOR((lon - (-102.2)) / {_RES}) AS BIGINT) * 31
+            + CAST(FLOOR((36.5 - lat) / {_RES}) AS BIGINT) * 17) % 1000) / 10.0
+       ELSE NULL END AS elevation
+FROM pts
+"""
+
+
+@register("raster_sample_customers", _SAMPLE_SQL)
+def raster_sample_customers(sf_dir: str):
+    """value_at raster sampling (inverse affine floor rowcol, reference
+    raster/__init__.py:92-108) through the REAL SampleActor, against one
+    synthesized 320x320 float64 elevation tile whose pixels follow a pure
+    integer formula the SQL oracle recomputes."""
+    from demeter_ray.stages.sample import SampleActor
+    import ray as _ray
+
+    gcol = np.arange(_RASTER_W, dtype=np.int64)[None, :]
+    grow = np.arange(_RASTER_H, dtype=np.int64)[:, None]
+    px = (((gcol * 31 + grow * 17) % 1000) / 10.0).astype(np.float64)
+    transform = (_RES, 0.0, -102.2, 0.0, -_RES, 36.5)
+    tiles = [("t0", px, transform, float("nan"), geo.raster_bounds(transform, _RASTER_H, _RASTER_W))]
+    ref = _ray.put(tiles)
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "lon": pa.array(derive_lon(k), pa.float64()),
+                "lat": pa.array(derive_lat(k), pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(to_points, batch_format="pyarrow")
+    return ds.map_batches(
+        SampleActor,
+        fn_constructor_args=(ref, "elevation"),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+
+
+# -------------------------------------------- SSURGO-analog composite plan
+
+_SSURGO_ANALOG_SQL = """
+WITH top_orders AS (
+  SELECT o_custkey, o_orderkey FROM (
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+    FROM orders) WHERE rk = 1
+),
+layers AS (
+  SELECT t.o_custkey, l.l_extendedprice, l.l_returnflag,
+         GREATEST((l.l_linenumber - 1) * 10, 5) AS top_c,
+         LEAST(l.l_linenumber * 10, 35) AS bot_c
+  FROM top_orders t JOIN lineitem l ON l.l_orderkey = t.o_orderkey
+  WHERE l.l_linenumber * 10 > 5 AND (l.l_linenumber - 1) * 10 < 35
+),
+agg AS (
+  SELECT o_custkey, COUNT(*) AS n_layers,
+         (SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (bot_c - top_c)) * 200
+          + SUM(bot_c - top_c)) // (SUM(bot_c - top_c) * 2) AS wavg_price_e4
+  FROM layers GROUP BY o_custkey
+),
+flags AS (
+  SELECT o_custkey,
+         (SELECT STRING_AGG(f, ', ' ORDER BY f)
+          FROM (SELECT DISTINCT l2.l_returnflag AS f FROM layers l2
+                WHERE l2.o_custkey = layers.o_custkey) u) AS flags
+  FROM layers GROUP BY o_custkey
+)
+SELECT a.o_custkey, a.n_layers, a.wavg_price_e4, f.flags
+FROM agg a JOIN flags f USING (o_custkey)
+ORDER BY a.o_custkey
+"""
+
+
+@register("ssurgo_analog_plan", _SSURGO_ANALOG_SQL)
+def ssurgo_analog_plan(sf_dir: str):
+    """The full SSURGO relational plan (ssurgo.py:111-179) transposed onto
+    the driver's star schema so every semantic is oracle-checked end-to-end:
+    grouped TOP-1-WITH-TIES (component selection, J3/O2) -> interval join of
+    depth layers clipped to a requested range (J5) -> depth-weighted average
+    with end-clipped weights (A3) -> sorted-unique string concat (A5).
+
+    customers ~ map units, top orders ~ primary components (ties kept),
+    lineitems ~ horizons with layer [(ln-1)*10, ln*10) clipped to (5, 35).
+    """
+    import ray as _ray
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top_ties(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["o_totalprice"].max()
+        return g[g["o_totalprice"] == m][["o_custkey", "o_orderkey"]]
+
+    top = orders.groupby("o_custkey").map_groups(top_ties, batch_format="pandas").to_pandas()
+    # broadcast orderkey -> custkey (small: <= #customers * ties)
+    ref = _ray.put(dict(zip(top["o_orderkey"].tolist(), top["o_custkey"].tolist())))
+
+    class LayerFilter:
+        def __init__(self):
+            self.o2c = _ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["l_orderkey"].isin(self.o2c.keys())].copy()
+            if b.empty:
+                return pd.DataFrame(
+                    {"o_custkey": pd.Series(dtype="int64"),
+                     "l_extendedprice": pd.Series(dtype="float64"),
+                     "l_returnflag": pd.Series(dtype="object"),
+                     "top_c": pd.Series(dtype="int64"),
+                     "bot_c": pd.Series(dtype="int64")}
+                )
+            ln = b["l_linenumber"].astype("int64")
+            b["top_c"] = np.maximum((ln - 1) * 10, 5)
+            b["bot_c"] = np.minimum(ln * 10, 35)
+            b = b[(ln * 10 > 5) & ((ln - 1) * 10 < 35)]
+            b["o_custkey"] = b["l_orderkey"].map(self.o2c)
+            return b[["o_custkey", "l_extendedprice", "l_returnflag", "top_c", "bot_c"]]
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"]
+    )
+    layers = ds.map_batches(LayerFilter, batch_format="pandas", concurrency=(1, 4))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        # exact integer cents + integer rounded division -> both sides compute
+        # identical BIGINTs; no float rounding can diverge
+        w = (g["bot_c"] - g["top_c"]).to_numpy(dtype=np.int64)
+        pc_ = np.rint(g["l_extendedprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_custkey": [g["o_custkey"].iloc[0]],
+                "n_layers": [len(g)],
+                # integer rounded division (half away from zero): dollars*1e-4
+                "wavg_price_e4": [(int((pc_ * w).sum()) * 200 + int(w.sum())) // (int(w.sum()) * 2)],
+                "flags": [", ".join(sorted(g["l_returnflag"].unique()))],
+            }
+        )
+
+    out = layers.groupby("o_custkey").map_groups(final, batch_format="pandas").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+# --------------------------------------------------- mosaic-merge analog
+
+_MERGE_SQL = """
+SELECT l_orderkey % 16 AS tile, l_linenumber AS pixel,
+       COUNT(*) AS v_count,
+       ROUND(SUM(l_quantity), 2) AS v_sum,
+       MIN(l_quantity) AS v_min,
+       MAX(l_quantity) AS v_max,
+       ROUND(SUM(l_quantity) / COUNT(*), 4) AS v_mean
+FROM lineitem
+GROUP BY tile, pixel ORDER BY tile, pixel
+"""
+
+
+@register("mosaic_merge_reduce", _MERGE_SQL)
+def mosaic_merge_reduce(sf_dir: str):
+    """The mosaic merge reductions (min/max/sum/count/mean over overlapping
+    pixels, merge.py:50-97 + sum-and-count mean trick :165-232) on synthetic
+    (tile, pixel) keys: per-batch partial reduce then a small combine."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["tile"] = df["l_orderkey"] % 16
+        df = df.rename(columns={"l_linenumber": "pixel"})
+        g = df.groupby(["tile", "pixel"], as_index=False).agg(
+            v_count=("l_quantity", "size"),
+            v_sum=("l_quantity", "sum"),
+            v_min=("l_quantity", "min"),
+            v_max=("l_quantity", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tile", "pixel"])
+        .aggregate(
+            Sum("v_count", alias_name="v_count"),
+            Sum("v_sum", alias_name="v_sum"),
+            Min("v_min", alias_name="v_min"),
+            Max("v_max", alias_name="v_max"),
+        )
+        .to_pandas()
+    )
+    out["v_mean"] = duck_round(out["v_sum"] / out["v_count"], 4)
+    out["v_sum"] = duck_round(out["v_sum"], 2)
+    return out.sort_values(["tile", "pixel"]).reset_index(drop=True)

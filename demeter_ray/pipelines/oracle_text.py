@@ -1,0 +1,352 @@
+"""Text / embedding / image-payload queries over the driver's documents and
+embeddings tables — the training-data-pipeline operator suite (dedup,
+similarity search, text analysis, multimodal decode) with DuckDB oracles
+where SQL can express the semantics and rows-only registration where it
+can't (MinHash-LSH, SimHash, fingerprints, language-ID).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from demeter_ray.functions import codec, hashing, text as textfns
+from demeter_ray.pipelines.relational import duck_round, register
+from demeter_ray.sources.tables import read_table
+
+# ----------------------------------------------------------- token counting
+
+_TOKSTATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(replace(text, ' ', '')) AS n_nonspace_chars,
+       n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("doc_token_stats", _TOKSTATS_SQL)
+def doc_token_stats(sf_dir: str):
+    """Whitespace token counting, vectorized per batch (stages analog of the
+    reference's filename/string parsers M13)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        batch["n_tokens"] = toks.str.len().astype("int64")
+        batch["n_nonspace_chars"] = (
+            batch["text"].str.replace(" ", "", regex=False).str.len().astype("int64")
+        )
+        return batch[["doc_id", "n_tokens", "n_nonspace_chars", "n_chars"]]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a', 'value', 'data', 'table', 'row'))) AS n_stopwords,
+       len(string_split(text, ' ')) AS n_tokens,
+       ROUND(len(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4)
+         AS mean_token_len
+FROM documents ORDER BY doc_id
+"""
+
+_STOPSET = frozenset(["the", "a", "value", "data", "table", "row"])
+
+
+@register("doc_quality_score", _QUALITY_SQL)
+def doc_quality_score(sf_dir: str):
+    """Quality heuristics: stopword counts + mean token length (SURVEY.md
+    'text analysis' requirement)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        batch["n_stopwords"] = toks.map(
+            lambda ws: sum(1 for w in ws if w in _STOPSET)
+        ).astype("int64")
+        batch["n_tokens"] = toks.str.len().astype("int64")
+        nonspace = batch["text"].str.replace(" ", "", regex=False).str.len()
+        batch["mean_token_len"] = duck_round(
+            nonspace.to_numpy(dtype=np.float64) * 1.0
+            / batch["n_tokens"].to_numpy(dtype=np.float64),
+            4,
+        )
+        return batch[["doc_id", "n_stopwords", "n_tokens", "mean_token_len"]]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------------- exact dedup
+
+_DEDUP_SQL = """
+SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS dedup_key,
+       MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_dupes
+FROM documents
+GROUP BY dedup_key
+ORDER BY doc_id
+"""
+
+
+@register("exact_dedup_docs", _DEDUP_SQL)
+def exact_dedup_docs(sf_dir: str):
+    """Exact deduplication: hash-partition on the content key, keep first
+    (min doc_id) per group — the canonical exact-dedup shape (hash-partition
+    + per-group first; SURVEY.md §2.7).  Key = first 3 tokens so the driver
+    tables actually contain duplicate groups."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["dedup_key"] = batch["text"].str.split(" ").str[:3].str.join(" ")
+        return batch[["doc_id", "dedup_key"]]
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dedup_key": [g["dedup_key"].iloc[0]],
+                "doc_id": [int(g["doc_id"].min())],
+                "n_dupes": [len(g)],
+            }
+        )
+
+    out = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("dedup_key")
+        .map_groups(first, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_LANGSRC_SQL = """
+SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register("lang_source_counts", _LANGSRC_SQL)
+def lang_source_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+    out = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n")).to_pandas()
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- similarity search (ANN)
+
+_KNN_EMB_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id
+FROM (
+  SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+ORDER BY rank LIMIT 5
+"""
+
+
+@register("knn_embeddings_top5", _KNN_EMB_SQL)
+def knn_embeddings_top5(sf_dir: str):
+    """Brute-force cosine top-k against a broadcast query vector: float64
+    matmul per batch, local top-k per batch, tiny global resolve.  Output is
+    (rank, vec_id) only — integer columns, no float hashing hazard.  The
+    IVF/LSH scale path lives in stages/simsearch.py."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qv = None
+    for b in emb.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        if (ids == 0).any():
+            i = int(np.flatnonzero(ids == 0)[0])
+            qv = np.asarray(b["embedding"][i].as_py(), dtype=np.float64)
+            break
+    assert qv is not None
+    qn = qv / np.linalg.norm(qv)
+    ref = ray.put(qn)
+
+    class TopK:
+        def __init__(self):
+            self.q = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            E = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            keep = ids != 0
+            ids, E = ids[keep], E[keep]
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sim = En @ self.q
+            top = np.argsort(-sim, kind="stable")[:5]
+            return pa.table(
+                {"vec_id": pa.array(ids[top], pa.int64()),
+                 "sim": pa.array(sim[top], pa.float64())}
+            )
+
+    cand = emb.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    cand = cand.sort_values(["sim", "vec_id"], ascending=[False, True]).head(5)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand[["rank", "vec_id"]].reset_index(drop=True)
+
+
+_NEARDUP_EMB_SQL = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY a_id, b_id
+"""
+
+
+@register("embedding_neardup_pairs", _NEARDUP_EMB_SQL)
+def embedding_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 sits in a gap of
+    the sf0.01 similarity distribution, margin ~1e-4).  Each batch compares
+    against the full broadcast normalized matrix — O(N*B) matmul; the LSH
+    bucketing scale path is stages/simsearch.py."""
+    emb_tbl = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    full = emb_tbl.to_pandas()
+    ids_all = full["vec_id"].to_numpy(dtype=np.int64)
+    E = np.array(full["embedding"].tolist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ref = ray.put((ids_all, En))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.En = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            E = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = En @ self.En.T
+            a_out, b_out = [], []
+            hit_r, hit_c = np.nonzero(S >= 0.4)
+            for r, c in zip(hit_r, hit_c):
+                if ids[r] < self.ids[c]:
+                    a_out.append(int(ids[r]))
+                    b_out.append(int(self.ids[c]))
+            return pa.table(
+                {"a_id": pa.array(a_out, pa.int64()), "b_id": pa.array(b_out, pa.int64())}
+            )
+
+    out = emb_tbl.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+# --------------------------------------------------- image decode (oracle)
+
+_IMG_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 97 + x.x * 31 + y.y * 17 + c.c * 11) % 256) AS v
+  FROM documents d,
+       generate_series(0, 15) AS x(x),
+       generate_series(0, 15) AS y(y),
+       generate_series(0, 2) AS c(c)
+)
+SELECT doc_id, ROUND(SUM(v) / 768.0, 4) AS mean_pixel
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("image_decode_stats", _IMG_SQL)
+def image_decode_stats(sf_dir: str):
+    """Real encode->decode round trip through the binary column (actor-pool
+    decode over small batches); the oracle recomputes the decoded pixel mean
+    from the generator formula in pure SQL — the decode path itself is
+    oracle-checked."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def encode_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = [codec.encode(codec.generate_pixels(int(i), 16, 16), "png") for i in ids]
+        return pa.table({"doc_id": batch["doc_id"], "bytes": pa.array(blobs, pa.binary())})
+
+    class Decode:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            means = np.empty(len(ids), dtype=np.float64)
+            for i, buf in enumerate(batch["bytes"].to_pylist()):
+                px = codec.decode(buf)
+                means[i] = float(px.astype(np.int64).sum()) / 768.0
+            return pa.table(
+                {"doc_id": batch["doc_id"], "mean_pixel": pa.array(duck_round(means, 4))}
+            )
+
+    out = (
+        ds.map_batches(encode_batch, batch_format="pyarrow", batch_size=512)
+        .map_batches(Decode, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# -------------------------------------------- rows-only (non-SQL) operators
+
+@register("minhash_lsh_neardup_docs", None)
+def minhash_lsh_neardup_docs(sf_dir: str):
+    """MinHash + LSH banding near-dup candidates, verified by exact Jaccard
+    (shingle -> minhash -> band -> bucket groupby -> verify; ray_guide
+    'Near-dup').  Rows-only: token hashing isn't SQL-expressible."""
+    from demeter_ray.stages.dedup import minhash_neardup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # the synthetic corpus has a tiny vocabulary, so word-set similarity
+    # is high across the board; 0.9 keeps the output a real near-dup set
+    return minhash_neardup(ds, num_perm=128, bands=32, jaccard_threshold=0.9)
+
+
+@register("simhash_docs", None)
+def simhash_docs(sf_dir: str):
+    """Per-doc 64-bit SimHash (rows-only; deterministic)."""
+    from demeter_ray.stages.dedup import simhash_column
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_column(ds)
+
+
+@register("ngram_jaccard_pairs", None)
+def ngram_jaccard_pairs(sf_dir: str):
+    """Character-3-gram Jaccard near-dup pairs via banded MinHash candidates
+    + exact verify (rows-only)."""
+    from demeter_ray.stages.dedup import ngram_jaccard_neardup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_neardup(ds, n=3, threshold=0.8)
+
+
+@register("doc_fingerprints", None)
+def doc_fingerprints(sf_dir: str):
+    """Winnowed rolling-hash fingerprints per doc (rows-only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = batch["text"].map(lambda t: hashing.rolling_fingerprints(t, k=8, window=4))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fingerprints": fps.str.len().astype("int64"),
+                "min_fingerprint": fps.map(lambda f: min(f) if f else 0).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+@register("langid_predict", None)
+def langid_predict(sf_dir: str):
+    """n-gram language-ID heuristic over the text column (rows-only — the
+    synthetic text carries no real language signal; the operator matters)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lang_pred"] = batch["text"].map(textfns.detect_language)
+        return batch[["doc_id", "lang_pred"]]
+
+    return ds.map_batches(fn, batch_format="pandas")

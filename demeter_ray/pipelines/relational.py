@@ -1,0 +1,611 @@
+"""Oracle-checked relational queries over the driver's TPC-H-ish tables.
+
+Every entry here re-expresses one operator family from SURVEY.md §2 as an
+idiomatic Ray Data pipeline AND carries an ANSI/DuckDB SQL string computing
+the identical result (same column names, same rounding) — the driver runs
+both at sf=0.01 and compares row-count + schema + order-insensitive
+value-hash (CORRECTNESS_r{N}.json).
+
+Conventions for exact parity:
+- every aggregate/computed column is explicitly aliased, identically in both;
+- float aggregates are rounded (ROUND(x, k) / numpy round) on both sides;
+- deterministic tie-breaks everywhere a top-k / dedup picks a row;
+- arithmetic on derived columns uses the same literal expression order so
+  IEEE doubles agree bit-for-bit.
+
+Registry: ``QUERIES[name] -> (callable(sf_dir) -> result, sql | None)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from demeter_ray.sources.tables import read_table
+
+QUERIES: dict = {}
+
+
+def duck_round(x, k: int):
+    """Emulate DuckDB's ROUND on DOUBLE (half away from zero) so rounded
+    aggregates hash-match the oracle even on exact .5 ties — numpy/pandas
+    round is half-to-even and diverges there."""
+    p = 10.0 ** k
+    arr = np.asarray(x, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * p + 0.5) / p
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# A. Grouped aggregation with partial pre-aggregation (SURVEY.md A3-A6, M11)
+# --------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: the canonical wide aggregation.  Partial per-batch
+    aggregation inside map_batches (one row per key per batch) shrinks the
+    shuffle to kilobytes before the groupby (ray_guide 'Aggregation at
+    scale'; reference analog: per-horizon aggregation ssurgo.py:231-257)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_disc=("l_discount", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("n", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = duck_round(out["sum_qty"] / out["count_order"], 4)
+    out["avg_disc"] = duck_round(out["sum_disc"] / out["count_order"], 4)
+    out["sum_qty"] = duck_round(out["sum_qty"], 2)
+    out["sum_base_price"] = duck_round(out["sum_base_price"], 2)
+    out["sum_disc_price"] = duck_round(out["sum_disc_price"], 2)
+    out = out.drop(columns=["sum_disc"])
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+_HIST_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("event_type_histogram", _HIST_SQL)
+def event_type_histogram(sf_dir: str):
+    """Histogram aggregate (reference analog: pixel-count histogram per
+    catchment, usgs/hydrography.py:211-259)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["total_value"] = duck_round(out["total_value"], 2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_WAVG_SQL = """
+SELECT
+  l_returnflag,
+  ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("weighted_avg_price", _WAVG_SQL)
+def weighted_avg_price(sf_dir: str):
+    """Weighted average — the scalar core of the depth-weighted soil
+    aggregation (ssurgo.py:270-301, demeter/utils.py:84-86)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["pq"] = df["l_extendedprice"] * df["l_quantity"]
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            pq=("pq", "sum"), q=("l_quantity", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("pq", alias_name="pq"), Sum("q", alias_name="q"))
+        .to_pandas()
+    )
+    out["wavg_price"] = duck_round(out["pq"] / out["q"], 4)
+    return out[["l_returnflag", "wavg_price"]].sort_values("l_returnflag").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# B. Joins (SURVEY.md J2-J7)
+# --------------------------------------------------------------------------
+
+_JOIN_CNR_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+"""
+
+
+@register("join_customer_nation_region", _JOIN_CNR_SQL)
+def join_customer_nation_region(sf_dir: str):
+    """Broadcast hash join chain: small dims shipped once via ray.put, lookup
+    per batch (reference analog: mapunit attr join J2, ssurgo.py:33-41)."""
+    import ray as _ray
+
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    ref = _ray.put(dim.set_index("n_nationkey")[["n_name", "r_name"]])
+
+    class Lookup:
+        def __init__(self):
+            self.dim = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            j = batch.merge(
+                self.dim, left_on="c_nationkey", right_index=True, how="inner"
+            )
+            return j[["c_custkey", "c_name", "n_name", "r_name"]]
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    return ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
+
+
+_TOPK_TIES_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+  FROM orders
+) WHERE rk = 1
+"""
+
+
+@register("grouped_top1_with_ties", _TOPK_TIES_SQL)
+def grouped_top1_with_ties(sf_dir: str):
+    """TOP 1 WITH TIES per group — the primary-component selection semantics
+    (ssurgo.py:42-58; SURVEY.md §7.5 'hard parts': keep ALL rows tying on
+    the max)."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top_ties(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["o_totalprice"].max()
+        return g[g["o_totalprice"] == m]
+
+    return ds.groupby("o_custkey").map_groups(top_ties, batch_format="pandas")
+
+
+_TOPK_SQL = """
+SELECT n_name, c_custkey, c_acctbal
+FROM (
+  SELECT n.n_name, c.c_custkey, c.c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+) WHERE rn <= 2
+"""
+
+
+@register("grouped_top2_per_nation", _TOPK_SQL)
+def grouped_top2_per_nation(sf_dir: str):
+    """Grouped top-k (k>1) with a deterministic tiebreak (acctbal DESC,
+    custkey ASC)."""
+    import ray as _ray
+
+    nation = read_table(sf_dir, "nation").to_pandas()
+    ref = _ray.put(nation.set_index("n_nationkey")["n_name"])
+
+    class AddNation:
+        def __init__(self):
+            self.names = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["n_name"] = batch["c_nationkey"].map(self.names)
+            return batch[["n_name", "c_custkey", "c_acctbal"]]
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_nationkey"])
+    ds = ds.map_batches(AddNation, batch_format="pandas", concurrency=(1, 2))
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(2)
+
+    return ds.groupby("n_name").map_groups(top2, batch_format="pandas")
+
+
+_INTERVAL_SQL = """
+SELECT b.band_lo, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS sum_price
+FROM orders o
+JOIN (VALUES (0.0, 100000.0), (50000.0, 200000.0), (150000.0, 400000.0), (300000.0, 600000.0))
+  AS b(band_lo, band_hi)
+  ON o.o_totalprice >= b.band_lo AND o.o_totalprice < b.band_hi
+GROUP BY b.band_lo
+ORDER BY b.band_lo
+"""
+
+_BANDS = [(0.0, 100000.0), (50000.0, 200000.0), (150000.0, 400000.0), (300000.0, 600000.0)]
+
+
+@register("interval_join_price_bands", _INTERVAL_SQL)
+def interval_join_price_bands(sf_dir: str):
+    """Overlapping-interval join (NOT bucketing — bands overlap, a row can
+    land in two).  The horizons depth-range predicate (ssurgo.py:70-96,
+    'hzdepb_r > top AND hzdept_r < bottom') over a broadcast band table."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        lows, ns, sums = [], [], []
+        for lo, hi in _BANDS:
+            m = (price >= lo) & (price < hi)
+            lows.append(lo)
+            ns.append(int(m.sum()))
+            sums.append(float(price[m].sum()))
+        return pa.table(
+            {
+                "band_lo": pa.array(lows, pa.float64()),
+                "n_orders": pa.array(ns, pa.int64()),
+                "sum_price": pa.array(sums, pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("band_lo")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("sum_price", alias_name="sum_price"))
+        .to_pandas()
+    )
+    out = out[out["n_orders"] > 0]
+    out["sum_price"] = duck_round(out["sum_price"], 2)
+    return out.sort_values("band_lo").reset_index(drop=True)
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@register("semi_join_customers_with_f_orders", _SEMI_SQL)
+def semi_join_customers(sf_dir: str):
+    """Semi-join via broadcast key set (ray_guide 'Semi / anti join')."""
+    import ray as _ray
+
+    keys = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+        .map_batches(
+            lambda t: pa.table(
+                {"o_custkey": pc.unique(t.filter(pc.equal(t["o_orderstatus"], "F"))["o_custkey"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_custkey"]
+    )
+    ref = _ray.put(frozenset(keys.tolist()))
+
+    class Filter:
+        def __init__(self):
+            self.keys = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["c_custkey"].isin(self.keys)]
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    return ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 2))
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("anti_join_customers_without_orders", _ANTI_SQL)
+def anti_join_customers(sf_dir: str):
+    import ray as _ray
+
+    keys = (
+        read_table(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(
+            lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_custkey"]
+    )
+    ref = _ray.put(frozenset(keys.tolist()))
+
+    class Filter:
+        def __init__(self):
+            self.keys = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch["c_custkey"].isin(self.keys)]
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 2)).to_pandas()
+    if out.empty:  # preserve schema even when the anti-join is empty
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype="object")})
+    return out
+
+
+_Q3_SQL = """
+SELECT l.l_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q3_top10_building_revenue", _Q3_SQL)
+def q3_top10(sf_dir: str):
+    """Multi-join + aggregate + top-k: both join sides reduced via broadcast
+    key sets before the shuffle."""
+    import ray as _ray
+
+    cust = (
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["c_custkey"]
+    )
+    cref = _ray.put(frozenset(cust.tolist()))
+
+    class OrderFilter:
+        def __init__(self):
+            self.keys = _ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["o_custkey"].isin(self.keys)][["o_orderkey"]]
+
+    okeys = (
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        .map_batches(OrderFilter, batch_format="pandas", concurrency=(1, 2))
+        .to_pandas()["o_orderkey"]
+    )
+    oref = _ray.put(frozenset(okeys.tolist()))
+
+    class RevPartial:
+        def __init__(self):
+            self.keys = _ray.get(oref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["l_orderkey"].isin(self.keys)].copy()
+            b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+            return b.groupby("l_orderkey", as_index=False)["revenue"].sum()
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    out = (
+        ds.map_batches(RevPartial, batch_format="pandas", concurrency=(1, 4))
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = duck_round(out["revenue"], 2)
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# C. Sorts / limits / distinct / string agg (SURVEY.md O1-O5, A5, §2.7)
+# --------------------------------------------------------------------------
+
+_SORTLIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
+
+
+@register("sort_limit_top100_lineitems", _SORTLIMIT_SQL)
+def sort_limit_top100(sf_dir: str):
+    """Distributed top-k: per-batch local top-100 (cheap) then a global
+    resolve — no full sort of the table."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True],
+        ).head(100)
+
+    out = ds.map_batches(local_top, batch_format="pandas").to_pandas()
+    out = out.sort_values(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], ascending=[False, True, True]
+    ).head(100)
+    return out.reset_index(drop=True)
+
+
+_DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+@register("distinct_mktsegments", _DISTINCT_SQL)
+def distinct_mktsegments(sf_dir: str):
+    """Exact distinct via per-batch unique + small dedup (§2.7)."""
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    out = (
+        ds.map_batches(
+            lambda t: pa.table({"c_mktsegment": pc.unique(t["c_mktsegment"])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["c_mktsegment"]
+        .drop_duplicates()
+        .sort_values()
+    )
+    return pd.DataFrame({"c_mktsegment": out.to_numpy()})
+
+
+_STRAGG_SQL = """
+SELECT n.n_name,
+       (SELECT STRING_AGG(seg, ', ' ORDER BY seg)
+        FROM (SELECT DISTINCT c2.c_mktsegment AS seg
+              FROM customer c2 WHERE c2.c_nationkey = n.n_nationkey) t
+       ) AS segments
+FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+ORDER BY n.n_name
+"""
+
+
+@register("sorted_unique_segments_per_nation", _STRAGG_SQL)
+def sorted_unique_segments(sf_dir: str):
+    """Sorted-unique string concat per group — fragment-kinds aggregation
+    semantics (', '.join(sorted(unique)), ssurgo.py:261-267,304-305)."""
+    import ray as _ray
+
+    nation = read_table(sf_dir, "nation").to_pandas()
+    ref = _ray.put(nation.set_index("n_nationkey")["n_name"])
+
+    class AddNation:
+        def __init__(self):
+            self.names = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["n_name"] = batch["c_nationkey"].map(self.names)
+            return batch[["n_name", "c_mktsegment"]]
+
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+    ds = ds.map_batches(AddNation, batch_format="pandas", concurrency=(1, 2))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        segs = ", ".join(sorted(g["c_mktsegment"].unique()))
+        return pd.DataFrame({"n_name": [g["n_name"].iloc[0]], "segments": [segs]})
+
+    out = ds.groupby("n_name").map_groups(agg, batch_format="pandas").to_pandas()
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# D. Windows / sessions over the events stream (SURVEY.md §2.9 mapping)
+# --------------------------------------------------------------------------
+
+_WINDOW_SQL = """
+SELECT user_id,
+       epoch_us(ts) // 3600000000 AS hour_bucket,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY user_id, hour_bucket
+ORDER BY user_id, hour_bucket
+"""
+
+
+@register("tumbling_window_events", _WINDOW_SQL)
+def tumbling_window_events(sf_dir: str):
+    """Tumbling 1h windows as groupby (key, floor(ts/size)) — the batch
+    expression of a streaming window (ray_guide 'Streaming-shaped')."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        hours = pc.floor(pc.divide(us, 3600000000)).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "hour_bucket": hours,
+                "value": batch["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = duck_round(out["sum_value"], 2)
+    return out.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+
+
+_SESSION_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, 1 + SUM(new_session) AS n_sessions
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("sessionize_events", _SESSION_SQL)
+def sessionize_events(sf_dir: str):
+    """Session windows (gap > 30 min) per user: sort within group, diff —
+    the ordered-stream semantics the reference enforces via sorted iteration
+    (ndvi.py:188-198) made structural with groupby."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        gaps = np.diff(us) > 1_800_000_000
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [1 + int(gaps.sum())],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
