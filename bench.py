@@ -1,0 +1,162 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline flagship spatial pipeline + a representative query set over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+prints ONE JSON line:
+
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the same workload twice in fresh processes at 8 and 32
+CPUs (the sandbox stand-in for N- vs 4N-node clusters) and prints both
+throughputs plus the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _consume(result) -> int:
+    """Fully execute a query result; return row count."""
+    import pandas as pd
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if hasattr(result, "count"):
+        return int(result.count())
+    return len(result)
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import demeter_ray.pipelines.oracle_spatial  # noqa: F401
+    import demeter_ray.pipelines.oracle_text  # noqa: F401
+    from demeter_ray.pipelines import flagship
+    from demeter_ray.pipelines.relational import QUERIES
+
+    # warm the page cache with one untimed read (measure compute, not cold IO)
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "events", "customer", "documents", "embeddings"):
+        pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # headline: flagship spatial pipeline (encode -> decode-verify -> fused
+    # cell/PIP/kNN/raster enrichment), streamed end-to-end over the events
+    # table (1 image per event)
+    t0 = time.perf_counter()
+    ds = flagship.entry_pipeline(SF_DIR, concurrency=NUM_CPUS, source="events", key="event_id")
+    n = _consume(ds)
+    timings["flagship_spatial"] = round(time.perf_counter() - t0, 3)
+    rows["flagship_spatial"] = n
+
+    bench_queries = [
+        "q1_pricing_summary",
+        "join_customer_nation_region",
+        "grouped_top1_with_ties",
+        "interval_join_price_bands",
+        "q3_top10_building_revenue",
+        "tumbling_window_events",
+        "sessionize_events",
+        "cell_prefix_shuffle_agg",
+        "pip_events_fields",
+        "knn_events_centroids",
+        "raster_sample_customers",
+        "ssurgo_analog_plan",
+        "mosaic_merge_reduce",
+        "exact_dedup_docs",
+        "minhash_lsh_neardup_docs",
+        "knn_embeddings_top5",
+        "embedding_neardup_pairs",
+        "image_decode_stats",
+    ]
+    for name in bench_queries:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        rows[name] = _consume(fn(SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "spatial-join + tiling suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": _sf_from_dir(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "flagship_rows_per_sec": round(rows["flagship_spatial"] / timings["flagship_spatial"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same workload, fresh processes at 8 and 32 CPUs; efficiency =
+    (t8/t32)/(32/8)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8->32 cpus",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "rows_per_sec_8": lo["flagship_rows_per_sec"],
+        "rows_per_sec_32": hi["flagship_rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

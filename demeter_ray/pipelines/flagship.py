@@ -54,12 +54,14 @@ def run(
     return ds
 
 
-def entry_pipeline(sf_dir: str, concurrency: int = 4) -> ray.data.Dataset:
-    """Driver smoke entry: stream the driver's documents table into the
-    image schema (deterministic encode per doc_id — BASELINE.json input_hint
+def entry_pipeline(sf_dir: str, concurrency: int = 4, source: str = "documents",
+                   key: str = "doc_id") -> ray.data.Dataset:
+    """Driver smoke entry / bench headline: stream a driver table into the
+    image schema (deterministic encode per key — BASELINE.json input_hint
     shape), then decode-verify + spatially enrich against the tiny fixture
     fields/rasters.  read -> map_batches -> actor pools -> enriched rows,
-    fully streaming."""
+    fully streaming.  ``source="events", key="event_id"`` scales the row
+    count with sf for benchmarking."""
     import numpy as np
     import pyarrow as pa
 
@@ -72,7 +74,7 @@ def entry_pipeline(sf_dir: str, concurrency: int = 4) -> ray.data.Dataset:
     tiles_tbl = pq.read_table(f"{fd}/raster_tiles.parquet")
 
     def to_images(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
         blobs, phashes = [], []
         for i in ids:
             px = codec.generate_pixels(int(i), 32, 32)
@@ -93,7 +95,7 @@ def entry_pipeline(sf_dir: str, concurrency: int = 4) -> ray.data.Dataset:
             }
         )
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = read_table(sf_dir, source, columns=[key])
     ds = ds.map_batches(to_images, batch_format="pyarrow", batch_size=1024)
     ds = images.decode_verify(ds, concurrency=(1, concurrency), batch_size=512)
     ds = ds.drop_columns(["bytes"])

@@ -41,6 +41,7 @@ SCALES = {
 }
 
 FIXTURE_ROOT = "/tmp/demeter_ray_fixtures"
+FIXTURE_VERSION = "5"
 
 
 def fixture_dir(scale: str) -> str:
@@ -192,7 +193,7 @@ def make_components(mukeys) -> pa.Table:
             rows.append((base + 1, mk, 45, "Yes", f"Comp{base+1}", kinds[mk % 3], drains[mk % 3]))
             rows.append((base + 2, mk, 45, "Yes", f"Comp{base+2}", kinds[(mk + 1) % 3], drains[(mk + 1) % 3]))
             rows.append((base + 3, mk, 10, "No", f"Comp{base+3}", None, None))
-        elif mk % 7 == 3:
+        elif mk % 7 == 3 or mk % 10 == 3:  # %10 guarantees a case at tiny scale
             rows.append((base + 1, mk, 60, "No", f"Comp{base+1}", kinds[mk % 3], None))
             rows.append((base + 2, mk, 40, "No", f"Comp{base+2}", None, drains[mk % 3]))
         else:
@@ -231,11 +232,12 @@ def make_horizons(cokeys) -> pa.Table:
             om = None if chkey % 4 == 1 else round(0.5 + (chkey % 37) * 0.1, 2)
             clay = None if ck % 9 == 0 else round(10.0 + (chkey % 23), 2)
             sand = round(20.0 + (chkey % 41), 2)
+            silt = None if chkey % 11 == 2 else round(15.0 + (chkey % 31), 2)
             bd = round(1.1 + (chkey % 7) * 0.08, 3)
             fraggt10 = float(chkey % 5)
             frag3to10 = float(chkey % 7)
             sieveno10 = round(80.0 + (chkey % 20), 1)
-            rows.append((chkey, ck, top, bot, fraggt10, frag3to10, sieveno10, sand, clay, om, bd))
+            rows.append((chkey, ck, top, bot, fraggt10, frag3to10, sieveno10, sand, silt, clay, om, bd))
     cols = list(zip(*rows))
     return pa.table(
         {
@@ -247,9 +249,10 @@ def make_horizons(cokeys) -> pa.Table:
             "frag3to10_r": pa.array(cols[5], pa.float64()),
             "sieveno10_r": pa.array(cols[6], pa.float64()),
             "sandtotal_r": pa.array(cols[7], pa.float64()),
-            "claytotal_r": pa.array(cols[8], pa.float64()),
-            "om_r": pa.array(cols[9], pa.float64()),
-            "dbovendry_r": pa.array(cols[10], pa.float64()),
+            "silttotal_r": pa.array(cols[8], pa.float64()),
+            "claytotal_r": pa.array(cols[9], pa.float64()),
+            "om_r": pa.array(cols[10], pa.float64()),
+            "dbovendry_r": pa.array(cols[11], pa.float64()),
         }
     )
 
@@ -292,10 +295,11 @@ def elevation_value(gcol: np.ndarray, grow: np.ndarray) -> np.ndarray:
 
 
 def soil_value(gcol, grow, dataset: str, stat: str, depth_top: int) -> np.ndarray:
-    """Smooth deterministic soil property per (dataset, statistic, depth)."""
+    """Smooth deterministic soil property per (dataset, statistic, depth).
+    p5/p95 are the mean +/- 0.5 (consistent percentile semantics; their
+    spread drives the stddev-from-percentiles path)."""
     dshift = {"om": 0, "bd": 1000}[dataset]
-    sshift = {"mean": 0, "p5": 111, "p95": 222}[stat]
-    base = ((gcol * 13 + grow * 7 + dshift + sshift + depth_top * 29) % 500) / 100.0
+    base = ((gcol * 13 + grow * 7 + dshift + depth_top * 29) % 500) / 100.0
     return base + (0.5 if stat == "p5" else 0.0) - (0.5 if stat == "p95" else 0.0)
 
 
@@ -353,12 +357,13 @@ def make_raster_tiles() -> pa.Table:
             for ds in ("om", "bd"):
                 for stat in ("mean", "p5", "p95"):
                     for dtop, dbot in STANDARD_DEPTHS:
-                        px = _tile_pixels(
-                            tx, ty, lambda c, r, ds=ds, stat=stat, dt=dtop: soil_value(c, r, ds, stat, dt)
-                        ).astype(np.float64)
-                        # planted nodata holes
-                        hole = (np.indices(px.shape).sum(axis=0) + dtop) % 89 == 0
-                        px[hole] = np.nan
+                        # nodata holes planted in GLOBAL pixel coordinates so
+                        # overlap strips stay value-identical across tiles
+                        def gen(c, r, ds=ds, stat=stat, dt=dtop):
+                            v = soil_value(c, r, ds, stat, dt)
+                            return np.where((c + r + dt) % 89 == 0, np.nan, v)
+
+                        px = _tile_pixels(tx, ty, gen).astype(np.float64)
                         if ds == "om" and stat == "mean" and dtop == 0 and (tx, ty) == (1, 0):
                             px[:, :OVERLAP_PX] += 1.0  # conflicting overlap
                         add(ds, stat, dtop, dbot, tx, ty, px, float("nan"), "float32")
@@ -449,7 +454,9 @@ def generate(scale: str = "tiny", force: bool = False) -> str:
     os.makedirs(out, exist_ok=True)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done) and not force:
-        return out
+        with open(done) as f:
+            if f.read().strip() == FIXTURE_VERSION:
+                return out
 
     fields = make_fields(params["grid"])
     pq.write_table(fields, os.path.join(out, "fields.parquet"))
@@ -471,5 +478,5 @@ def generate(scale: str = "tiny", force: bool = False) -> str:
         row_group_size=4096,
     )
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(FIXTURE_VERSION)
     return out
