@@ -30,37 +30,13 @@ if _REPO not in sys.path:
 
 
 def _register_by_value() -> None:
-    import demeter_ray  # noqa: F401
-    import demeter_ray.functions.codec
-    import demeter_ray.functions.depth
-    import demeter_ray.functions.geo
-    import demeter_ray.functions.hashing
-    import demeter_ray.functions.text
-    import demeter_ray.pipelines.flagship
-    import demeter_ray.pipelines.oracle_spatial
-    import demeter_ray.pipelines.oracle_text
-    import demeter_ray.pipelines.relational
-    import demeter_ray.sources.fixtures
-    import demeter_ray.sources.tables
-    import demeter_ray.stages.cells
-    import demeter_ray.stages.dedup
-    import demeter_ray.stages.images
-    import demeter_ray.stages.knn
-    import demeter_ray.stages.pip
-    import demeter_ray.stages.sample
-    import demeter_ray.stages.spatial
+    import demeter_ray
 
-    try:
-        from ray import cloudpickle
-
-        for name, mod in list(sys.modules.items()):
-            if name.startswith("demeter_ray"):
-                cloudpickle.register_pickle_by_value(mod)
-    except Exception:
-        pass  # same-cwd sessions still work via normal imports
+    demeter_ray.ship_code_to_workers()
 
 
 _register_by_value()
+
 
 
 def entry() -> Any:

@@ -27,3 +27,36 @@ Nothing in this package calls ``ray.init`` — sessions are owned by callers
 """
 
 __version__ = "0.1.0"
+
+
+def ship_code_to_workers() -> None:
+    """Register every demeter_ray module for cloudpickle pickle-by-value so
+    Ray workers never need the package on their own sys.path.  Call this
+    when the package is importable only via a driver-side sys.path entry
+    (the driver contract in __ray_entry__.py does this automatically)."""
+    import importlib
+    import sys
+
+    for name in (
+        "demeter_ray.functions.codec", "demeter_ray.functions.depth",
+        "demeter_ray.functions.geo", "demeter_ray.functions.hashing",
+        "demeter_ray.functions.text", "demeter_ray.sources.fixtures",
+        "demeter_ray.sources.tables", "demeter_ray.stages.cells",
+        "demeter_ray.stages.dedup", "demeter_ray.stages.depthagg",
+        "demeter_ray.stages.images", "demeter_ray.stages.knn",
+        "demeter_ray.stages.merge", "demeter_ray.stages.ndvi",
+        "demeter_ray.stages.pip", "demeter_ray.stages.sample",
+        "demeter_ray.stages.spatial", "demeter_ray.state.lineage",
+        "demeter_ray.pipelines.flagship", "demeter_ray.pipelines.relational",
+        "demeter_ray.pipelines.oracle_spatial", "demeter_ray.pipelines.oracle_text",
+        "demeter_ray.pipelines.soiljoin",
+    ):
+        importlib.import_module(name)
+    try:
+        from ray import cloudpickle
+
+        for mod_name, mod in list(sys.modules.items()):
+            if mod_name.startswith("demeter_ray"):
+                cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass

@@ -65,6 +65,72 @@ def decode(buf: bytes) -> np.ndarray:
     raise ValueError("bad magic")
 
 
+def generate_pixels_batch(indices: np.ndarray, w: int, h: int, channels: int = 3) -> np.ndarray:
+    """Vectorized ``generate_pixels`` for N same-sized images -> (N,h,w,C).
+
+    uint8 addition wraps mod 256, so summing the per-term residues in uint8
+    equals the int64 ``(i*97 + x*31 + y*17 + c*11) % 256`` — no 8-byte
+    temporaries, ~100x faster on big batches."""
+    i = ((np.asarray(indices, dtype=np.int64) * 97) % 256).astype(np.uint8)
+    x = ((np.arange(w, dtype=np.int64) * 31) % 256).astype(np.uint8)
+    y = ((np.arange(h, dtype=np.int64) * 17) % 256).astype(np.uint8)
+    c = ((np.arange(channels, dtype=np.int64) * 11) % 256).astype(np.uint8)
+    out = i[:, None, None, None] + y[None, :, None, None]
+    out = out + x[None, None, :, None]
+    return out + c[None, None, None, :]
+
+
+def encode_batch(pixels4d: np.ndarray, fmt: str, q: int = 4) -> list[bytes]:
+    """Vectorized encode of (N,h,w,C) uint8 -> list of blobs (one header+body
+    concat per row; the quantization runs as one array op)."""
+    n, h, w, channels = pixels4d.shape
+    if fmt == "png":
+        hdr = struct.pack(_HDR_FMT, MAGIC_RAW, w, h, channels, 0)
+        body = pixels4d
+    elif fmt == "jpeg":
+        hdr = struct.pack(_HDR_FMT, MAGIC_LOSSY, w, h, channels, q)
+        body = (pixels4d.astype(np.int64) // q).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    flat = body.reshape(n, -1)
+    return [hdr + flat[k].tobytes() for k in range(n)]
+
+
+def decode_batch(blobs, w: int, h: int, channels: int = 3) -> np.ndarray:
+    """Vectorized decode of N same-shaped blobs -> (N,h,w,C) uint8.
+    All blobs must share (w,h,channels) and codec; q may vary per row."""
+    n = len(blobs)
+    out = np.empty((n, h, w, channels), dtype=np.uint8)
+    for k, buf in enumerate(blobs):
+        magic, bw, bh, bc, q = struct.unpack_from(_HDR_FMT, buf, 0)
+        body = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE).reshape(bh, bw, bc)
+        if magic == MAGIC_LOSSY:
+            out[k] = np.clip(body.astype(np.int64) * q + q // 2, 0, 255).astype(np.uint8)
+        else:
+            out[k] = body
+    return out
+
+
+def phash64_batch(pixels4d: np.ndarray) -> np.ndarray:
+    """Vectorized perceptual hash over (N,h,w,C) -> int64 array.  Identical
+    bit layout to ``phash64``."""
+    gray = pixels4d.astype(np.float64).mean(axis=3)
+    n, h, w = gray.shape
+    bh, bw = h // 8, w // 8
+    blocks = gray[:, : bh * 8, : bw * 8].reshape(n, 8, bh, 8, bw).mean(axis=(2, 4))
+    bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
+    packed = np.packbits(bits.reshape(n, 64), axis=1)
+    return np.frombuffer(packed.tobytes(), dtype=">i8").astype(np.int64)
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-row PSNR over (N,h,w,C) pairs; inf where identical."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = (diff * diff).mean(axis=(1, 2, 3))
+    with np.errstate(divide="ignore"):
+        return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 arrays."""
     diff = a.astype(np.float64) - b.astype(np.float64)
@@ -82,10 +148,5 @@ def phash64(pixels: np.ndarray) -> int:
     bh, bw = h // 8, w // 8
     blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     bits = (blocks > blocks.mean()).ravel()
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
-    # wrap into signed int64 (phash column is int64)
-    if val >= 1 << 63:
-        val -= 1 << 64
-    return val
+    packed = np.packbits(bits)  # big-endian bit order == the former shift loop
+    return int(np.frombuffer(packed.tobytes(), dtype=">i8")[0])

@@ -39,9 +39,7 @@ def run(
 
     ds = read_images(f"{fixture_dir}/images.parquet")
     if verify:
-        ds = images.decode_verify(
-            ds, dup_rule=True, concurrency=(1, concurrency), batch_size=512
-        )
+        ds = images.decode_verify(ds, dup_rule=True, batch_size=512)
     ds = ds.drop_columns(["bytes"])
     rasters = [("elevation", "elevation", None, None)] if with_elevation else []
     tiles_tbl = (
@@ -49,13 +47,13 @@ def run(
     )
     ds = spatial.spatial_enrich(
         ds, fields_tbl, tiles_tbl, rasters,
-        concurrency=(1, concurrency), salt=salt,
+        concurrency=max(2, concurrency - 2), salt=salt,
     )
     return ds
 
 
 def entry_pipeline(sf_dir: str, concurrency: int = 4, source: str = "documents",
-                   key: str = "doc_id") -> ray.data.Dataset:
+                   key: str = "doc_id", replicate: int = 1) -> ray.data.Dataset:
     """Driver smoke entry / bench headline: stream a driver table into the
     image schema (deterministic encode per key — BASELINE.json input_hint
     shape), then decode-verify + spatially enrich against the tiny fixture
@@ -75,11 +73,11 @@ def entry_pipeline(sf_dir: str, concurrency: int = 4, source: str = "documents",
 
     def to_images(batch: pa.Table) -> pa.Table:
         ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, phashes = [], []
-        for i in ids:
-            px = codec.generate_pixels(int(i), 32, 32)
-            blobs.append(codec.encode(px, "png"))
-            phashes.append(codec.phash64(px))
+        if replicate > 1:
+            ids = (ids[:, None] * replicate + np.arange(replicate)[None, :]).ravel()
+        px4 = codec.generate_pixels_batch(ids, 32, 32)
+        blobs = codec.encode_batch(px4, "png")
+        phashes = codec.phash64_batch(px4)
         lon, lat = fx.image_lonlat(ids)
         return pa.table(
             {
@@ -97,11 +95,16 @@ def entry_pipeline(sf_dir: str, concurrency: int = 4, source: str = "documents",
 
     ds = read_table(sf_dir, source, columns=[key])
     ds = ds.map_batches(to_images, batch_format="pyarrow", batch_size=1024)
-    ds = images.decode_verify(ds, concurrency=(1, concurrency), batch_size=512)
+    ds = images.decode_verify(ds, batch_size=512)
     ds = ds.drop_columns(["bytes"])
+    # ONE actor pool in the whole pipeline; everything upstream fuses into
+    # it, so its size IS the pipeline parallelism.  A fixed-size pool starts
+    # all actors immediately — the (1, N) autoscaler was observed stuck at
+    # 2-3 actors, capping the job at ~2 cores regardless of num_cpus.
+    pool = max(2, concurrency - 2)
     ds = spatial.spatial_enrich(
         ds, fields_tbl, tiles_tbl, [("elevation", "elevation", None, None)],
-        concurrency=(1, concurrency),
+        concurrency=pool,
     )
     return ds
 
@@ -117,3 +120,47 @@ def tile_assignments(fixture_dir: str, **kw) -> ray.data.Dataset:
     if kw.get("with_elevation", True):
         keep.append("elevation")
     return ds.select_columns(keep)
+
+
+def spatial_throughput_pipeline(sf_dir: str, concurrency: int = 8,
+                                replicate: int = 40) -> ray.data.Dataset:
+    """The scaling-criterion workload: pure spatial-join + tiling throughput
+    (BASELINE.json metric) — cell index + PIP + kNN + elevation sampling over
+    derived geo-points, no image payloads.  Arithmetic-dense per byte, so
+    throughput tracks CPU count (the image decode path is measured in the
+    headline suite; its 3KB/row memcpy load is bandwidth-bound on this
+    sandbox's virtualized memory)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from demeter_ray.sources import fixtures as fx
+    from demeter_ray.sources.tables import read_table
+
+    fd = fx.generate("tiny")
+    fields_tbl = pq.read_table(f"{fd}/fields.parquet")
+    tiles_tbl = pq.read_table(f"{fd}/raster_tiles.parquet")
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = (ids[:, None] * replicate + np.arange(replicate)[None, :]).ravel()
+        lon, lat = fx.image_lonlat(ids)
+        return pa.table(
+            {
+                "point_id": pa.array(ids, pa.int64()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    # num_cpus=0.9 breaks operator fusion with the actor pool: to_points then
+    # materializes POINT blocks, so the spatial stage bundles on point rows
+    # (not event rows) and its batch_size can be large without collapsing the
+    # task count
+    ds = ds.map_batches(to_points, batch_format="pyarrow", batch_size=512,
+                        num_cpus=0.9)
+    ds = spatial.spatial_enrich(
+        ds, fields_tbl, tiles_tbl, [("elevation", "elevation", None, None)],
+        concurrency=max(2, concurrency - 2), batch_size=4096,
+    )
+    return ds

@@ -18,7 +18,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from demeter_ray.functions import geo
 from demeter_ray.sources.tables import read_table
-from demeter_ray.pipelines.relational import duck_round, register
+from demeter_ray.pipelines.relational import duck_round, partial_combine, register
 
 # ------------------------------------------------------------------ helpers
 
@@ -119,12 +119,9 @@ def cell_prefix_shuffle_agg(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["px", "py"])
-        .aggregate(
-            Sum("n_points", alias_name="n_points"), Sum("lon_sum", alias_name="lon_sum")
-        )
-        .to_pandas()
+        partial_combine(ds, partial, batch_format="pyarrow")
+        .groupby(["px", "py"], as_index=False)
+        .sum()
     )
     out["avg_lon"] = duck_round(out["lon_sum"] / out["n_points"], 4)
     out = out.drop(columns=["lon_sum"])
@@ -383,58 +380,85 @@ def ssurgo_analog_plan(sf_dir: str):
     """
     import ray as _ray
 
+    from ray.data.aggregate import Max as _Max
+
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def top_ties(g: pd.DataFrame) -> pd.DataFrame:
-        m = g["o_totalprice"].max()
-        return g[g["o_totalprice"] == m][["o_custkey", "o_orderkey"]]
+    # top-1-with-ties via broadcast group-max (partial max per batch -> tiny
+    # groupby -> filter), not per-group map_groups
+    def partial_max(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", as_index=False)["o_totalprice"].max()
 
-    top = orders.groupby("o_custkey").map_groups(top_ties, batch_format="pandas").to_pandas()
+    maxes = (
+        orders.map_batches(partial_max, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(_Max("o_totalprice", alias_name="max_price"))
+        .to_pandas()
+    )
+    from demeter_ray.pipelines.relational import bcast
+
+    mref = _ray.put(dict(zip(maxes["o_custkey"].tolist(), maxes["max_price"].tolist())))
+
+    def keep_ties(b: pd.DataFrame, maxmap) -> pd.DataFrame:
+        return b[b["o_totalprice"] == b["o_custkey"].map(maxmap)][["o_custkey", "o_orderkey"]]
+
+    top = orders.map_batches(bcast(mref, keep_ties), batch_format="pandas").to_pandas()
     # broadcast orderkey -> custkey (small: <= #customers * ties)
     ref = _ray.put(dict(zip(top["o_orderkey"].tolist(), top["o_custkey"].tolist())))
 
-    class LayerFilter:
-        def __init__(self):
-            self.o2c = _ray.get(ref)
+    from demeter_ray.pipelines.relational import bcast as _bcast
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b[b["l_orderkey"].isin(self.o2c.keys())].copy()
-            if b.empty:
-                return pd.DataFrame(
-                    {"o_custkey": pd.Series(dtype="int64"),
-                     "l_extendedprice": pd.Series(dtype="float64"),
-                     "l_returnflag": pd.Series(dtype="object"),
-                     "top_c": pd.Series(dtype="int64"),
-                     "bot_c": pd.Series(dtype="int64")}
-                )
-            ln = b["l_linenumber"].astype("int64")
-            b["top_c"] = np.maximum((ln - 1) * 10, 5)
-            b["bot_c"] = np.minimum(ln * 10, 35)
-            b = b[(ln * 10 > 5) & ((ln - 1) * 10 < 35)]
-            b["o_custkey"] = b["l_orderkey"].map(self.o2c)
-            return b[["o_custkey", "l_extendedprice", "l_returnflag", "top_c", "bot_c"]]
+    def layer_filter(b: pd.DataFrame, o2c) -> pd.DataFrame:
+        b = b[b["l_orderkey"].isin(o2c.keys())].copy()
+        if b.empty:
+            return pd.DataFrame(
+                {"o_custkey": pd.Series(dtype="int64"),
+                 "l_extendedprice": pd.Series(dtype="float64"),
+                 "l_returnflag": pd.Series(dtype="object"),
+                 "top_c": pd.Series(dtype="int64"),
+                 "bot_c": pd.Series(dtype="int64")}
+            )
+        ln = b["l_linenumber"].astype("int64")
+        b["top_c"] = np.maximum((ln - 1) * 10, 5)
+        b["bot_c"] = np.minimum(ln * 10, 35)
+        b = b[(ln * 10 > 5) & ((ln - 1) * 10 < 35)]
+        b["o_custkey"] = b["l_orderkey"].map(o2c)
+        return b[["o_custkey", "l_extendedprice", "l_returnflag", "top_c", "bot_c"]]
 
     ds = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"]
     )
-    layers = ds.map_batches(LayerFilter, batch_format="pandas", concurrency=(1, 4))
+    layers = ds.map_batches(_bcast(ref, layer_filter), batch_format="pandas")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        # exact integer cents + integer rounded division -> both sides compute
-        # identical BIGINTs; no float rounding can diverge
-        w = (g["bot_c"] - g["top_c"]).to_numpy(dtype=np.int64)
-        pc_ = np.rint(g["l_extendedprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "o_custkey": [g["o_custkey"].iloc[0]],
-                "n_layers": [len(g)],
-                # integer rounded division (half away from zero): dollars*1e-4
-                "wavg_price_e4": [(int((pc_ * w).sum()) * 200 + int(w.sum())) // (int(w.sum()) * 2)],
-                "flags": [", ".join(sorted(g["l_returnflag"].unique()))],
-            }
+    # per-batch partial sums (exact integer cents), then a small groupby
+    # combine; flags via distinct-pair partials.  No per-group pandas calls —
+    # map_groups over 13k groups costs ~20x more than this two-stage plan.
+    # ONE pass over the filtered layers computes both the weighted-sum
+    # partials and the distinct flag partials (re-executing the lazy lineitem
+    # scan per aggregate doubles the wall time)
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = (b["bot_c"] - b["top_c"]).astype("int64")
+        pc_ = np.rint(b["l_extendedprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        b = b.assign(pcw=pc_ * w.to_numpy(), w=w)
+        return b.groupby("o_custkey", as_index=False).agg(
+            pcw=("pcw", "sum"),
+            w=("w", "sum"),
+            n_layers=("w", "size"),
+            flagset=("l_returnflag", lambda v: "|".join(sorted(set(v)))),
         )
 
-    out = layers.groupby("o_custkey").map_groups(final, batch_format="pandas").to_pandas()
+    parts = partial_combine(layers, partial)
+    sums = parts.groupby("o_custkey", as_index=False).agg(
+        pcw=("pcw", "sum"),
+        w=("w", "sum"),
+        n_layers=("n_layers", "sum"),
+        flagset=("flagset", lambda v: ", ".join(sorted(set(f for j in v for f in j.split("|"))))),
+    )
+    # integer rounded division (half away from zero): dollars * 1e-4 units
+    sums["wavg_price_e4"] = (sums["pcw"] * 200 + sums["w"]) // (sums["w"] * 2)
+    out = sums.rename(columns={"flagset": "flags"})[
+        ["o_custkey", "n_layers", "wavg_price_e4", "flags"]
+    ]
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
@@ -472,15 +496,14 @@ def mosaic_merge_reduce(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["tile", "pixel"])
-        .aggregate(
-            Sum("v_count", alias_name="v_count"),
-            Sum("v_sum", alias_name="v_sum"),
-            Min("v_min", alias_name="v_min"),
-            Max("v_max", alias_name="v_max"),
+        partial_combine(ds, partial, batch_format="pyarrow")
+        .groupby(["tile", "pixel"], as_index=False)
+        .agg(
+            v_count=("v_count", "sum"),
+            v_sum=("v_sum", "sum"),
+            v_min=("v_min", "min"),
+            v_max=("v_max", "max"),
         )
-        .to_pandas()
     )
     out["v_mean"] = duck_round(out["v_sum"] / out["v_count"], 4)
     out["v_sum"] = duck_round(out["v_sum"], 2)

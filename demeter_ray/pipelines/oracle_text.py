@@ -15,7 +15,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from demeter_ray.functions import codec, hashing, text as textfns
-from demeter_ray.pipelines.relational import duck_round, register
+from demeter_ray.pipelines.relational import duck_round, partial_combine, register
 from demeter_ray.sources.tables import read_table
 
 # ----------------------------------------------------------- token counting
@@ -106,20 +106,16 @@ def exact_dedup_docs(sf_dir: str):
         batch["dedup_key"] = batch["text"].str.split(" ").str[:3].str.join(" ")
         return batch[["doc_id", "dedup_key"]]
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "dedup_key": [g["dedup_key"].iloc[0]],
-                "doc_id": [int(g["doc_id"].min())],
-                "n_dupes": [len(g)],
-            }
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = keyed(b)
+        return b.groupby("dedup_key", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dupes=("doc_id", "size")
         )
 
     out = (
-        ds.map_batches(keyed, batch_format="pandas")
-        .groupby("dedup_key")
-        .map_groups(first, batch_format="pandas")
-        .to_pandas()
+        partial_combine(ds, partial)
+        .groupby("dedup_key", as_index=False)
+        .agg(doc_id=("doc_id", "min"), n_dupes=("n_dupes", "sum"))
     )
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -133,7 +129,11 @@ ORDER BY lang, source
 @register("lang_source_counts", _LANGSRC_SQL)
 def lang_source_counts(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["lang", "source"])
-    out = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n")).to_pandas()
+
+    def partial(b):
+        return b.groupby(["lang", "source"], as_index=False).agg(n=("lang", "size"))
+
+    out = partial_combine(ds, partial).groupby(["lang", "source"], as_index=False).sum()
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
 
 

@@ -39,6 +39,31 @@ def duck_round(x, k: int):
     return np.sign(arr) * np.floor(np.abs(arr) * p + 0.5) / p
 
 
+def bcast(ref, fn):
+    """Broadcast-lookup as a PLAIN task function: the payload is ray.put once
+    and ray.get per task (zero-copy plasma read).  Stateless tasks start
+    instantly — an autoscaling actor pool adds seconds of ramp-up per stage,
+    which dominates small sequential phases."""
+    import ray as _ray
+
+    def wrapper(batch):
+        return fn(batch, _ray.get(ref))
+
+    return wrapper
+
+
+def partial_combine(ds, partial_fn, batch_format="pandas"):
+    """Two-level aggregation with a DRIVER-side combine: per-batch partials
+    (one row per key per batch) collect to the driver, where pandas finishes
+    the reduction.  For small-cardinality keys this replaces Ray's hash
+    shuffle — measured at a 6-20s fixed cost per groupby on this build —
+    with one streaming execution + a millisecond combine.  High-cardinality
+    groupings (sessionize, exact dedup on content keys) keep the real
+    ``groupby`` shuffle.
+    """
+    return ds.map_batches(partial_fn, batch_format=batch_format).to_pandas()
+
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = (fn, sql)
@@ -91,17 +116,11 @@ def q1_pricing_summary(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
     out = (
-        partials.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("sum_disc", alias_name="sum_disc"),
-            Sum("n", alias_name="count_order"),
-        )
-        .to_pandas()
+        partial_combine(ds, partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .sum()
+        .rename(columns={"n": "count_order"})
     )
     out["avg_qty"] = duck_round(out["sum_qty"] / out["count_order"], 4)
     out["avg_disc"] = duck_round(out["sum_disc"] / out["count_order"], 4)
@@ -123,10 +142,16 @@ def event_type_histogram(sf_dir: str):
     """Histogram aggregate (reference analog: pixel-count histogram per
     catchment, usgs/hydrography.py:211-259)."""
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum")
+        )
+
     out = (
-        ds.groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
-        .to_pandas()
+        partial_combine(ds, partial)
+        .groupby("event_type", as_index=False)
+        .sum()
     )
     out["total_value"] = duck_round(out["total_value"], 2)
     return out.sort_values("event_type").reset_index(drop=True)
@@ -155,10 +180,9 @@ def weighted_avg_price(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_returnflag")
-        .aggregate(Sum("pq", alias_name="pq"), Sum("q", alias_name="q"))
-        .to_pandas()
+        partial_combine(ds, partial, batch_format="pyarrow")
+        .groupby("l_returnflag", as_index=False)
+        .sum()
     )
     out["wavg_price"] = duck_round(out["pq"] / out["q"], 4)
     return out[["l_returnflag", "wavg_price"]].sort_values("l_returnflag").reset_index(drop=True)
@@ -187,18 +211,12 @@ def join_customer_nation_region(sf_dir: str):
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     ref = _ray.put(dim.set_index("n_nationkey")[["n_name", "r_name"]])
 
-    class Lookup:
-        def __init__(self):
-            self.dim = _ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            j = batch.merge(
-                self.dim, left_on="c_nationkey", right_index=True, how="inner"
-            )
-            return j[["c_custkey", "c_name", "n_name", "r_name"]]
+    def lookup(batch: pd.DataFrame, dim_tbl) -> pd.DataFrame:
+        j = batch.merge(dim_tbl, left_on="c_nationkey", right_index=True, how="inner")
+        return j[["c_custkey", "c_name", "n_name", "r_name"]]
 
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
-    return ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(bcast(ref, lookup), batch_format="pandas")
 
 
 _TOPK_TIES_SQL = """
@@ -215,14 +233,32 @@ FROM (
 def grouped_top1_with_ties(sf_dir: str):
     """TOP 1 WITH TIES per group — the primary-component selection semantics
     (ssurgo.py:42-58; SURVEY.md §7.5 'hard parts': keep ALL rows tying on
-    the max)."""
+    the max).
+
+    Plan: per-batch partial max -> tiny groupby Max -> broadcast the
+    (group -> max) map -> filter rows equal to their group max.  Shuffles
+    one row per (group, batch) instead of the whole table, and avoids
+    per-group pandas calls (map_groups over 15k groups is ~20x slower)."""
+    import ray as _ray
+
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def top_ties(g: pd.DataFrame) -> pd.DataFrame:
-        m = g["o_totalprice"].max()
-        return g[g["o_totalprice"] == m]
+    def partial_max(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False)["o_totalprice"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    return ds.groupby("o_custkey").map_groups(top_ties, batch_format="pandas")
+    maxes = (
+        partial_combine(ds, partial_max, batch_format="pyarrow")
+        .groupby("o_custkey", as_index=False)["o_totalprice"]
+        .max()
+    )
+    ref = _ray.put(dict(zip(maxes["o_custkey"].tolist(), maxes["o_totalprice"].tolist())))
+
+    def keep_ties(batch: pd.DataFrame, maxmap) -> pd.DataFrame:
+        return batch[batch["o_totalprice"] == batch["o_custkey"].map(maxmap)]
+
+    return ds.map_batches(bcast(ref, keep_ties), batch_format="pandas")
 
 
 _TOPK_SQL = """
@@ -244,16 +280,12 @@ def grouped_top2_per_nation(sf_dir: str):
     nation = read_table(sf_dir, "nation").to_pandas()
     ref = _ray.put(nation.set_index("n_nationkey")["n_name"])
 
-    class AddNation:
-        def __init__(self):
-            self.names = _ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["n_name"] = batch["c_nationkey"].map(self.names)
-            return batch[["n_name", "c_custkey", "c_acctbal"]]
+    def add_nation(batch: pd.DataFrame, names) -> pd.DataFrame:
+        batch["n_name"] = batch["c_nationkey"].map(names)
+        return batch[["n_name", "c_custkey", "c_acctbal"]]
 
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_nationkey"])
-    ds = ds.map_batches(AddNation, batch_format="pandas", concurrency=(1, 2))
+    ds = ds.map_batches(bcast(ref, add_nation), batch_format="pandas")
 
     def top2(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(
@@ -300,10 +332,9 @@ def interval_join_price_bands(sf_dir: str):
         )
 
     out = (
-        ds.map_batches(expand, batch_format="pyarrow")
-        .groupby("band_lo")
-        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("sum_price", alias_name="sum_price"))
-        .to_pandas()
+        partial_combine(ds, expand, batch_format="pyarrow")
+        .groupby("band_lo", as_index=False)
+        .sum()
     )
     out = out[out["n_orders"] > 0]
     out["sum_price"] = duck_round(out["sum_price"], 2)
@@ -334,15 +365,11 @@ def semi_join_customers(sf_dir: str):
     )
     ref = _ray.put(frozenset(keys.tolist()))
 
-    class Filter:
-        def __init__(self):
-            self.keys = _ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["c_custkey"].isin(self.keys)]
+    def keep(batch: pd.DataFrame, keyset) -> pd.DataFrame:
+        return batch[batch["c_custkey"].isin(keyset)]
 
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
-    return ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 2))
+    return ds.map_batches(bcast(ref, keep), batch_format="pandas")
 
 
 _ANTI_SQL = """
@@ -366,15 +393,11 @@ def anti_join_customers(sf_dir: str):
     )
     ref = _ray.put(frozenset(keys.tolist()))
 
-    class Filter:
-        def __init__(self):
-            self.keys = _ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[~batch["c_custkey"].isin(self.keys)]
+    def drop(batch: pd.DataFrame, keyset) -> pd.DataFrame:
+        return batch[~batch["c_custkey"].isin(keyset)]
 
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    out = ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 2)).to_pandas()
+    out = ds.map_batches(bcast(ref, drop), batch_format="pandas").to_pandas()
     if out.empty:  # preserve schema even when the anti-join is empty
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                             "c_name": pd.Series(dtype="object")})
@@ -409,35 +432,26 @@ def q3_top10(sf_dir: str):
     )
     cref = _ray.put(frozenset(cust.tolist()))
 
-    class OrderFilter:
-        def __init__(self):
-            self.keys = _ray.get(cref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["o_custkey"].isin(self.keys)][["o_orderkey"]]
+    def order_filter(batch: pd.DataFrame, keyset) -> pd.DataFrame:
+        return batch[batch["o_custkey"].isin(keyset)][["o_orderkey"]]
 
     okeys = (
         read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-        .map_batches(OrderFilter, batch_format="pandas", concurrency=(1, 2))
+        .map_batches(bcast(cref, order_filter), batch_format="pandas")
         .to_pandas()["o_orderkey"]
     )
     oref = _ray.put(frozenset(okeys.tolist()))
 
-    class RevPartial:
-        def __init__(self):
-            self.keys = _ray.get(oref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch[batch["l_orderkey"].isin(self.keys)].copy()
-            b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
-            return b.groupby("l_orderkey", as_index=False)["revenue"].sum()
+    def rev_partial(batch: pd.DataFrame, keyset) -> pd.DataFrame:
+        b = batch[batch["l_orderkey"].isin(keyset)].copy()
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b.groupby("l_orderkey", as_index=False)["revenue"].sum()
 
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     out = (
-        ds.map_batches(RevPartial, batch_format="pandas", concurrency=(1, 4))
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
+        partial_combine(ds, bcast(oref, rev_partial))
+        .groupby("l_orderkey", as_index=False)
+        .sum()
     )
     out["revenue"] = duck_round(out["revenue"], 2)
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
@@ -515,16 +529,12 @@ def sorted_unique_segments(sf_dir: str):
     nation = read_table(sf_dir, "nation").to_pandas()
     ref = _ray.put(nation.set_index("n_nationkey")["n_name"])
 
-    class AddNation:
-        def __init__(self):
-            self.names = _ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["n_name"] = batch["c_nationkey"].map(self.names)
-            return batch[["n_name", "c_mktsegment"]]
+    def add_nation(batch: pd.DataFrame, names) -> pd.DataFrame:
+        batch["n_name"] = batch["c_nationkey"].map(names)
+        return batch[["n_name", "c_mktsegment"]]
 
     ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
-    ds = ds.map_batches(AddNation, batch_format="pandas", concurrency=(1, 2))
+    ds = ds.map_batches(bcast(ref, add_nation), batch_format="pandas")
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         segs = ", ".join(sorted(g["c_mktsegment"].unique()))
@@ -566,11 +576,17 @@ def tumbling_window_events(sf_dir: str):
             }
         )
 
+    def partial(b: pa.Table) -> pa.Table:
+        df = bucket(b).to_pandas()
+        g = df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["user_id", "hour_bucket"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
+        partial_combine(ds, partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"], as_index=False)
+        .sum()
     )
     out["sum_value"] = duck_round(out["sum_value"], 2)
     return out.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)

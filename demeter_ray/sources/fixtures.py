@@ -41,7 +41,7 @@ SCALES = {
 }
 
 FIXTURE_ROOT = "/tmp/demeter_ray_fixtures"
-FIXTURE_VERSION = "5"
+FIXTURE_VERSION = "6"
 
 
 def fixture_dir(scale: str) -> str:
@@ -435,6 +435,123 @@ def make_points() -> pa.Table:
     )
 
 
+SCENE_PX = 64  # 10m-band tile size; SCL is 20m -> 32x32
+CLOUD_VALUES = (3, 8, 9, 10)  # sentinel2/constants.py:42-58
+
+
+def make_scenes() -> pa.Table:
+    """Sentinel-2-style catalog (FIXTURES.md §8): 2 utm zones x 2 tiles x 3
+    datatakes."""
+    rows = []
+    for zi, zone in enumerate(("13N", "14N")):
+        for ti in range(2):
+            for di in range(3):
+                rows.append(
+                    (
+                        f"S2A_MSIL2A_2024050{di+1}T17{zi}{ti}_T{zone}{ti}",
+                        f"T{zone}{ti}",
+                        zone,
+                        f"EPSG:326{13+zi}",
+                        f"2024050{di+1}T170000",
+                        100 + zi * 10 + ti,
+                    )
+                )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "scene_id": pa.array(cols[0], pa.string()),
+            "tile_id": pa.array(cols[1], pa.string()),
+            "utm_zone": pa.array(cols[2], pa.string()),
+            "crs": pa.array(cols[3], pa.string()),
+            "datatake_ts": pa.array(cols[4], pa.string()),
+            "relative_orbit": pa.array(cols[5], pa.int32()),
+        }
+    )
+
+
+def scene_band_value(zone_i: int, tile_i: int, datatake_i: int, band: str,
+                     col: np.ndarray, row: np.ndarray) -> np.ndarray:
+    """Deterministic reflectance DN per band: 1..10000 range, 0 = nodata.
+    SCL carries class codes with a planted cloud block per datatake."""
+    if band == "scl":
+        v = np.full(np.broadcast(col, row).shape, 4, dtype=np.int64)  # vegetation
+        v = np.asarray(v)
+        # planted cloud block moves with the datatake index
+        r0 = 4 + datatake_i * 6
+        block = (row >= r0) & (row < r0 + 4) & (col >= 8) & (col < 16)
+        v[np.broadcast_to(block, v.shape)] = CLOUD_VALUES[datatake_i % 4]
+        return v
+    shift = {"red": 0, "nir": 4000}[band]
+    base = 1000 + shift + ((col * 17 + row * 29 + datatake_i * 97 + tile_i * 13 + zone_i * 7) % 3000)
+    # planted nodata dropout stripe
+    v = np.asarray(base, dtype=np.int64).copy()
+    drop = (col + row * 3 + datatake_i) % 151 == 0
+    v[np.broadcast_to(drop, v.shape)] = 0
+    return v
+
+
+def _scene_transform(zone_i: int, tile_i: int, res_m: float) -> list[float]:
+    # UTM-ish meters: each tile 640m x 640m at 10m res (toy scale)
+    x0 = 500000.0 + tile_i * (SCENE_PX * 10.0)
+    y1 = 4000000.0
+    return [res_m, 0.0, x0, 0.0, -res_m, y1]
+
+
+def make_scene_tiles() -> pa.Table:
+    """Raster payload per scene: red/nir at 10m (64x64), scl at 20m (32x32),
+    detfoo footprint mask at 10m (uint8 1=valid, 0=masked edge)."""
+    scenes = make_scenes().to_pylist()
+    rows = []
+    for s in scenes:
+        zone_i = 0 if s["utm_zone"] == "13N" else 1
+        tile_i = int(s["tile_id"][-1])
+        datatake_i = int(s["datatake_ts"][7]) - 1
+        for band, px_size, res_m in (
+            ("red", SCENE_PX, 10.0), ("nir", SCENE_PX, 10.0), ("scl", SCENE_PX // 2, 20.0)
+        ):
+            col = np.arange(px_size, dtype=np.int64)[None, :]
+            row = np.arange(px_size, dtype=np.int64)[:, None]
+            v = scene_band_value(zone_i, tile_i, datatake_i, band,
+                                 np.broadcast_to(col, (px_size, px_size)),
+                                 np.broadcast_to(row, (px_size, px_size)))
+            rows.append(
+                dict(scene_id=s["scene_id"], band=band,
+                     utm_zone=s["utm_zone"], tile_id=s["tile_id"],
+                     datatake_ts=s["datatake_ts"], crs=s["crs"],
+                     h=px_size, w=px_size, dtype="int32",
+                     nodata=0.0, transform=_scene_transform(zone_i, tile_i, res_m),
+                     pixels=v.astype("int32").tobytes())
+            )
+        # detector footprint: mask the left 2 columns
+        foot = np.ones((SCENE_PX, SCENE_PX), dtype=np.int32)
+        foot[:, :2] = 0
+        rows.append(
+            dict(scene_id=s["scene_id"], band="detfoo",
+                 utm_zone=s["utm_zone"], tile_id=s["tile_id"],
+                 datatake_ts=s["datatake_ts"], crs=s["crs"],
+                 h=SCENE_PX, w=SCENE_PX, dtype="int32",
+                 nodata=0.0, transform=_scene_transform(zone_i, tile_i, 10.0),
+                 pixels=foot.tobytes())
+        )
+    tbl = {k: [r[k] for r in rows] for k in rows[0]}
+    return pa.table(
+        {
+            "scene_id": pa.array(tbl["scene_id"], pa.string()),
+            "band": pa.array(tbl["band"], pa.string()),
+            "utm_zone": pa.array(tbl["utm_zone"], pa.string()),
+            "tile_id": pa.array(tbl["tile_id"], pa.string()),
+            "datatake_ts": pa.array(tbl["datatake_ts"], pa.string()),
+            "crs": pa.array(tbl["crs"], pa.string()),
+            "h": pa.array(tbl["h"], pa.int32()),
+            "w": pa.array(tbl["w"], pa.int32()),
+            "dtype": pa.array(tbl["dtype"], pa.string()),
+            "nodata": pa.array(tbl["nodata"], pa.float64()),
+            "transform": pa.array(tbl["transform"], pa.list_(pa.float64(), 6)),
+            "pixels": pa.array(tbl["pixels"], pa.binary()),
+        }
+    )
+
+
 def make_depths() -> pa.Table:
     return pa.table(
         {
@@ -472,6 +589,8 @@ def generate(scale: str = "tiny", force: bool = False) -> str:
     pq.write_table(make_catchment_vat(), os.path.join(out, "catchment_vat.parquet"))
     pq.write_table(make_points(), os.path.join(out, "points.parquet"))
     pq.write_table(make_depths(), os.path.join(out, "depths.parquet"))
+    pq.write_table(make_scenes(), os.path.join(out, "scenes.parquet"))
+    pq.write_table(make_scene_tiles(), os.path.join(out, "scene_tiles.parquet"))
     pq.write_table(
         make_images(params["n_images"], params["sizes"]),
         os.path.join(out, "images.parquet"),

@@ -4,16 +4,19 @@ The large-scale shapes (ray_guide 'Aggregation at scale' / 'Near-dup'):
 
 - exact dedup: content key -> ``groupby(key).map_groups(first)`` —
   hash-partition + per-group first (used by exact_dedup_docs).
-- near-dup: per-batch vectorized signatures in an ACTOR POOL (token-hash
-  cache built once per actor) -> explode to (band_id, band_key, doc_id) rows
-  -> ``groupby`` on the band bucket -> candidate pairs -> exact-Jaccard
-  verify.  Only signatures and candidate pairs ever shuffle; documents don't.
+- near-dup: per-batch vectorized MinHash signatures in an ACTOR POOL
+  (token-hash cache built once per actor) -> LSH band buckets -> candidate
+  pairs (bucket size CAPPED — a degenerate all-similar corpus otherwise
+  yields O(n^2) candidates) -> vectorized signature-estimate prefilter ->
+  exact-Jaccard verify on the survivors only.  Only signatures and candidate
+  pairs ever move; documents don't.
 
-Scale note: the verify step here broadcasts the doc->token-set map because
-the driver tables are small; at 100 TB the verify joins candidate pairs back
-to the documents by hash-partitioned doc_id (two-sided shuffle join on a key
-that is already the partition key), and connected components run as a few
-rounds of min-label propagation (groupby) instead of driver-side union-find.
+Scale note: signatures are the distributed stage; the candidate funnel here
+runs driver-side because the post-cap candidate set is small.  At 100 TB the
+band rows go through ``groupby(band_key)`` (shuffle on the bucket key), the
+estimate prefilter runs inside the bucket task with the bucket's own
+signatures, and verification joins pairs back to hash-partitioned documents;
+connected components = a few rounds of min-label propagation via groupby.
 """
 
 from __future__ import annotations
@@ -27,74 +30,100 @@ import ray.data
 from demeter_ray.functions import hashing
 from demeter_ray.functions.text import char_ngrams
 
-
-def _token_sets_wordlevel(texts):
-    return [set(t.split()) for t in texts]
+BUCKET_CAP = 256  # max docs per LSH bucket before pair emission degrades to a chain
 
 
-def _token_sets_ngram(texts, n: int):
+def _token_sets(texts, mode: str, n: int):
+    if mode == "word":
+        return [set(t.split()) for t in texts]
     return [char_ngrams(t, n) for t in texts]
 
 
 class SignatureActor:
-    """doc -> LSH band rows.  TokenHasher cache lives per actor."""
+    """doc -> (doc_id, minhash signature, sorted token hashes).  The
+    TokenHasher cache lives per actor; output is one row per doc with
+    fixed-width signature + variable token-hash list."""
 
-    def __init__(self, num_perm: int, bands: int, mode: str = "word", n: int = 3):
+    def __init__(self, num_perm: int, mode: str = "word", n: int = 3):
         self.hasher = hashing.TokenHasher()
         self.num_perm = num_perm
-        self.bands = bands
         self.mode = mode
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        sets = (
-            _token_sets_wordlevel(texts)
-            if self.mode == "word"
-            else _token_sets_ngram(texts, self.n)
-        )
-        out_doc, out_band, out_key = [], [], []
-        for did, tokset in zip(ids, sets):
-            th = self.hasher.hash_tokens(sorted(tokset))
-            sig = hashing.minhash_signature(th, self.num_perm)
-            for band_id, key in enumerate(hashing.minhash_bands(sig, self.bands)):
-                out_doc.append(int(did))
-                out_band.append(band_id)
-                out_key.append(key)
+        sets = _token_sets(texts, self.mode, self.n)
+        sigs = np.empty((len(ids), self.num_perm), dtype=np.int64)
+        tokens = []
+        for i, tokset in enumerate(sets):
+            th = np.sort(self.hasher.hash_tokens(sorted(tokset)))
+            tokens.append(th.astype(np.int64))
+            sigs[i] = hashing.minhash_signature(th.astype(np.uint64), self.num_perm).astype(
+                np.int64
+            )
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band_id": pa.array(out_band, pa.int64()),
-                "band_key": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(list(sigs), pa.list_(pa.int64(), self.num_perm)),
+                "tokens": pa.array([t.tolist() for t in tokens], pa.list_(pa.int64())),
             }
         )
 
 
-def _candidate_pairs(ds_docs: ray.data.Dataset, num_perm: int, bands: int,
-                     mode: str, n: int) -> pd.DataFrame:
-    band_rows = ds_docs.map_batches(
+def compute_signatures(
+    ds_docs: ray.data.Dataset, num_perm: int, mode: str, n: int
+):
+    """Distributed signature stage -> (ids, sig matrix, token arrays)."""
+    out = ds_docs.map_batches(
         SignatureActor,
-        fn_constructor_args=(num_perm, bands, mode, n),
+        fn_constructor_args=(num_perm, mode, n),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(1, 4),
-    )
+        concurrency=(1, 8),
+    ).to_pandas()
+    ids = out["doc_id"].to_numpy(dtype=np.int64)
+    sigs = np.stack(out["sig"].to_numpy())
+    tokens = [np.asarray(t, dtype=np.int64) for t in out["tokens"]]
+    return ids, sigs, tokens
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
-                                 "b_id": pd.Series(dtype="int64")})
-        a, b = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a_id": ids[a], "b_id": ids[b]})
 
-    pairs = (
-        band_rows.groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    return pairs.drop_duplicates(ignore_index=True)
+def _band_buckets(ids: np.ndarray, sigs: np.ndarray, bands: int):
+    """LSH banding over the signature matrix -> {(band, key): doc indices}."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for b in range(bands):
+        chunk = np.ascontiguousarray(sigs[:, b * rows : (b + 1) * rows])
+        view = chunk.view([("", chunk.dtype)] * rows).ravel()
+        _, inverse = np.unique(view, return_inverse=True)
+        order = np.argsort(inverse, kind="stable")
+        sorted_inv = inverse[order]
+        starts = np.flatnonzero(np.r_[True, sorted_inv[1:] != sorted_inv[:-1]])
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                buckets[(b, int(sorted_inv[s]))] = order[s:e]
+    return buckets
+
+
+def _candidate_pairs_capped(buckets, n_docs: int):
+    """All pairs per bucket up to BUCKET_CAP; oversized buckets emit a
+    sorted chain (keeps transitive connectivity) and are counted so the
+    truncation is visible, never silent."""
+    seen = set()
+    capped = 0
+    for (_b, _k), idx in buckets.items():
+        idx = np.sort(idx)
+        if len(idx) > BUCKET_CAP:
+            capped += 1
+            for a, b in zip(idx[:-1], idx[1:]):
+                seen.add((int(a), int(b)))
+            continue
+        a, b = np.triu_indices(len(idx), 1)
+        for x, y in zip(idx[a], idx[b]):
+            seen.add((int(x), int(y)))
+    return seen, capped
 
 
 def minhash_neardup(
@@ -105,27 +134,40 @@ def minhash_neardup(
     mode: str = "word",
     n: int = 3,
 ) -> pd.DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard.
-    Returns (a_id, b_id, jaccard rounded to 4) sorted."""
-    docs = ds_docs.to_pandas()
-    pairs = _candidate_pairs(ds_docs, num_perm, bands, mode, n)
-    if pairs.empty:
-        return pd.DataFrame(
-            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
+    """MinHash-LSH candidates -> signature-estimate prefilter -> exact
+    Jaccard verify.  Returns (a_id, b_id, jaccard rounded to 4) sorted."""
+    ids, sigs, tokens = compute_signatures(ds_docs, num_perm, mode, n)
+    buckets = _band_buckets(ids, sigs, bands)
+    pairs, capped = _candidate_pairs_capped(buckets, len(ids))
+    if capped:
+        print(
+            f"[minhash_neardup] {capped} LSH buckets exceeded cap {BUCKET_CAP}; "
+            "pair emission degraded to chains there (degenerate-similarity corpus)"
         )
-    texts = dict(zip(docs["doc_id"].tolist(), docs["text"].tolist()))
-    sets = {
-        did: (set(t.split()) if mode == "word" else char_ngrams(t, n))
-        for did, t in texts.items()
-    }
-    jac = np.empty(len(pairs), dtype=np.float64)
-    for i, (a, b) in enumerate(zip(pairs["a_id"], pairs["b_id"])):
-        sa, sb = sets[int(a)], sets[int(b)]
-        inter = len(sa & sb)
-        jac[i] = inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
-    pairs = pairs.assign(jaccard=np.round(jac, 4))
-    out = pairs[pairs["jaccard"] >= jaccard_threshold]
+    empty = pd.DataFrame(
+        {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
+    )
+    if not pairs:
+        return empty
+    pair_arr = np.array(sorted(pairs), dtype=np.int64)
+    # vectorized estimate over ALL candidates at once
+    est = (sigs[pair_arr[:, 0]] == sigs[pair_arr[:, 1]]).mean(axis=1)
+    keep = est >= max(0.0, jaccard_threshold - 0.15)
+    pair_arr = pair_arr[keep]
+    # exact verify the survivors (sorted-array intersection per pair)
+    rows = []
+    for x, y in pair_arr:
+        ta, tb = tokens[x], tokens[y]
+        inter = len(np.intersect1d(ta, tb, assume_unique=True))
+        union = len(ta) + len(tb) - inter
+        jac = inter / union if union else 1.0
+        if round(jac, 4) >= jaccard_threshold:
+            a, b = ids[x], ids[y]
+            rows.append((min(a, b), max(a, b), round(jac, 4)))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"])
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
@@ -159,30 +201,37 @@ def simhash_column(ds_docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def simhash_neardup(ds_docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
-    """SimHash near-dup: bucket by the 4 16-bit chunks (a pair within
-    Hamming<=6 shares at least one exact chunk when distance <= 3*chunks-?);
-    classic Charikar chunking prefilter, exact Hamming verify."""
+    """SimHash near-dup: bucket by the 4 16-bit chunks (Charikar chunking —
+    any pair within Hamming<=3 shares an exact chunk; wider radii get best-
+    effort recall), exact Hamming verify, capped buckets."""
     hashed = simhash_column(ds_docs).to_pandas()
     ids = hashed["doc_id"].to_numpy(dtype=np.int64)
     sh = hashed["simhash"].to_numpy(dtype=np.int64)
-    # bucket on each of 4 16-bit chunks
     cand = set()
+    capped = 0
     for chunk in range(4):
         keys = (sh.astype(np.uint64) >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
         df = pd.DataFrame({"k": keys, "i": np.arange(len(ids))})
         for _, g in df.groupby("k"):
-            idx = g["i"].to_numpy()
+            idx = np.sort(g["i"].to_numpy())
             if len(idx) < 2:
+                continue
+            if len(idx) > BUCKET_CAP:
+                capped += 1
+                for x, y in zip(idx[:-1], idx[1:]):
+                    cand.add((int(x), int(y)))
                 continue
             a, b = np.triu_indices(len(idx), 1)
             for x, y in zip(idx[a], idx[b]):
-                cand.add((int(min(ids[x], ids[y])), int(max(ids[x], ids[y])),
-                          int(x), int(y)))
+                cand.add((int(x), int(y)))
+    if capped:
+        print(f"[simhash_neardup] {capped} buckets exceeded cap {BUCKET_CAP}")
     rows = []
-    for a_id, b_id, x, y in sorted(cand):
+    for x, y in sorted(cand):
         d = int(hashing.hamming64(np.array([sh[x]]), int(sh[y]))[0])
         if d <= max_hamming:
-            rows.append((a_id, b_id, d))
+            a, b = ids[x], ids[y]
+            rows.append((min(a, b), max(a, b), d))
     if not rows:
         return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
                              "b_id": pd.Series(dtype="int64"),

@@ -20,6 +20,7 @@ import pandas as pd
 import ray.data
 
 from demeter_ray.functions import depth as depthfns
+from demeter_ray.functions import geo
 from demeter_ray.stages.merge import merge_tiles
 from demeter_ray.stages.sample import load_tiles
 
@@ -97,8 +98,6 @@ def depth_group_merge_pipeline(
         for _, r in g.iterrows():
             px = np.frombuffer(r["pixels"], dtype=r["dtype"]).reshape(r["h"], r["w"])
             transform = tuple(r["transform"])
-            from demeter_ray.functions import geo
-
             payload.append(
                 (r["tile_id"], px, transform, r["nodata"],
                  geo.raster_bounds(transform, r["h"], r["w"]))
