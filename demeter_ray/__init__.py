@@ -43,12 +43,15 @@ def ship_code_to_workers() -> None:
         "demeter_ray.functions.text", "demeter_ray.sources.fixtures",
         "demeter_ray.sources.tables", "demeter_ray.stages.cells",
         "demeter_ray.stages.dedup", "demeter_ray.stages.depthagg",
-        "demeter_ray.stages.images", "demeter_ray.stages.knn",
+        "demeter_ray.stages.hydro", "demeter_ray.stages.images",
+        "demeter_ray.stages.knn", "demeter_ray.stages.mask",
         "demeter_ray.stages.merge", "demeter_ray.stages.ndvi",
         "demeter_ray.stages.pip", "demeter_ray.stages.sample",
-        "demeter_ray.stages.spatial", "demeter_ray.state.lineage",
+        "demeter_ray.stages.simsearch", "demeter_ray.stages.spatial",
+        "demeter_ray.state.lineage",
         "demeter_ray.pipelines.flagship", "demeter_ray.pipelines.relational",
-        "demeter_ray.pipelines.oracle_spatial", "demeter_ray.pipelines.oracle_text",
+        "demeter_ray.pipelines.oracle_extra", "demeter_ray.pipelines.oracle_spatial",
+        "demeter_ray.pipelines.oracle_text", "demeter_ray.pipelines.point_data",
         "demeter_ray.pipelines.soiljoin",
     ):
         importlib.import_module(name)

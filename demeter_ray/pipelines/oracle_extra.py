@@ -1,0 +1,124 @@
+"""Additional driver-visible queries: the fixture-based geospatial pipelines
+(rows-only — their inputs are the deterministic fixture tables, not the
+driver's SQL views; their correctness gates live in the pytest goldens) plus
+an IVF-ANN query verified against the brute-force oracle shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from demeter_ray.pipelines.relational import register
+from demeter_ray.sources.tables import read_table
+
+
+@register("fetch_point_data", None)
+def fetch_point_data_q(sf_dir: str):
+    """The reference's flagship multi-source point enrichment
+    (api.py:13-102) over the deterministic fixtures (rows-only; golden
+    conformance in tests/test_point_data.py)."""
+    from demeter_ray.pipelines import point_data
+    from demeter_ray.sources import fixtures as fx
+
+    return point_data.fetch_point_data(fx.generate("tiny"))
+
+
+@register("primary_soil_components", None)
+def primary_soil_components_q(sf_dir: str):
+    """Full SSURGO plan over fixture dims (ssurgo.py:111-179 semantics;
+    golden conformance in tests/test_soiljoin.py)."""
+    from demeter_ray.pipelines.soiljoin import primary_soil_components
+    from demeter_ray.sources import fixtures as fx
+
+    return primary_soil_components(fx.generate("tiny"), 0, 100)
+
+
+@register("ndvi_zone_statistics", None)
+def ndvi_zone_statistics_q(sf_dir: str):
+    """Sentinel-2-style NDVI statistics per zone (ndvi.py:126-313 semantics;
+    golden conformance in tests/test_ndvi.py).  Drops raster payload bytes
+    for the driver's row check."""
+    import ray.data
+
+    from demeter_ray.sources import fixtures as fx
+    from demeter_ray.stages.ndvi import ndvi_statistics
+
+    fd = fx.generate("tiny")
+    out = ndvi_statistics(ray.data.read_parquet(f"{fd}/scene_tiles.parquet"))
+    return out.drop(columns=["pixels"])
+
+
+@register("catchment_histogram", None)
+def catchment_histogram_q(sf_dir: str):
+    """Hydrography pixel-count histogram per global catchment id
+    (usgs/hydrography.py:211-323 semantics)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from demeter_ray.sources import fixtures as fx
+    from demeter_ray.stages.hydro import catchment_histogram_from_pixels
+
+    fd = fx.generate("tiny")
+    tiles = ray.data.read_parquet(f"{fd}/raster_tiles.parquet")
+    vat = pq.read_table(f"{fd}/catchment_vat.parquet")
+    return catchment_histogram_from_pixels(tiles, vat)
+
+
+@register("carbon_stock_summary", None)
+def carbon_stock_summary_q(sf_dir: str):
+    """POLARIS-style depth-weighted carbon stock over the fixture raster
+    table: per-depth-range summary rows (polaris.py:160-324 semantics)."""
+    import pyarrow.parquet as pq
+
+    from demeter_ray.sources import fixtures as fx
+    from demeter_ray.stages.depthagg import estimate_carbon_stock
+
+    tiles = pq.read_table(f"{fx.generate('tiny')}/raster_tiles.parquet")
+    rows = []
+    for start, end in ((0, 30), (0, 100), (30, 100)):
+        mean, std, _ = estimate_carbon_stock(tiles, start, end)
+        rows.append(
+            {
+                "top_cm": start,
+                "bottom_cm": end,
+                "valid_px": int((~np.ma.getmaskarray(mean)).sum()),
+                "stock_mean": round(float(np.ma.mean(mean)), 6),
+                "stock_stddev_mean": round(float(np.ma.mean(std)), 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@register("simhash_neardup_docs", None)
+def simhash_neardup_docs_q(sf_dir: str):
+    """SimHash chunk-bucketed near-dup pairs with exact Hamming verify."""
+    from demeter_ray.stages.dedup import simhash_neardup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_neardup(ds, max_hamming=6)
+
+
+@register("ivf_ann_topk", None)
+def ivf_ann_topk_q(sf_dir: str):
+    """IVF-bucketed approximate nearest neighbors for 4 query vectors with
+    recall annotated against the exact brute force (the scale path of
+    knn_embeddings_top5)."""
+    import ray.data
+
+    from demeter_ray.stages.simsearch import brute_force_topk, build_ivf_index, ivf_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = ds.limit(4).to_pandas()
+    queries = np.array(head["embedding"].tolist(), dtype=np.float64)
+    indexed = build_ivf_index(ds, n_lists=8)
+    approx = ivf_topk(indexed, indexed.ivf_centroids, queries, k=5, nprobe=4)
+    exact = brute_force_topk(ds, queries, k=5)
+    recall = []
+    for qi in range(len(queries)):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        recall.append(len(e & a) / max(1, len(e)))
+    out = approx.copy()
+    out["recall_at_5"] = out["query_idx"].map(dict(enumerate(np.round(recall, 3))))
+    return out.drop(columns=["sim"])

@@ -1,0 +1,101 @@
+"""fetch_point_data — the reference's flagship multi-source point enrichment
+(/root/reference/demeter/api.py:13-102) rebuilt Ray-first.
+
+For each probe point, append columns from every requested source:
+
+- carbon_stock: POLARIS-style depth-weighted carbon stock mean/stddev
+  sampled at the point (api.py:105-126);
+- elevation: topo raster sample (api.py:209-219);
+- catchment: hydrography cat raster remapped to global ids, sampled,
+  nullable Int64 (api.py:183-206 — Int64 cast semantics);
+- ssurgo: PIP against field polygons -> primary-component soil attributes
+  prefixed ``ssurgo_`` (api.py:222-236) — column-append join on point_id,
+  NOT the reference's positional concat (SURVEY.md §3.1).
+
+Each source is a vectorized sample/lookup over broadcast state; points
+stream through one actor when used at scale (stages/spatial.py pattern);
+at probe-table scale this materializes a pandas frame like the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from demeter_ray.stages.depthagg import estimate_carbon_stock
+from demeter_ray.stages.hydro import build_vat_lookup, remap_tile
+from demeter_ray.stages.sample import load_tiles, sample_tiles_at
+from demeter_ray.functions import geo
+
+ALL_SOURCES = ("carbon_stock", "elevation", "catchment", "ssurgo")
+
+
+def _sample_masked(raster, transform, lons, lats) -> np.ndarray:
+    h, w = raster.shape
+    bounds = geo.raster_bounds(transform, h, w)
+    tile = [("t", raster.filled(np.nan), transform, float("nan"), bounds)]
+    return sample_tiles_at(tile, lons, lats)
+
+
+def fetch_point_data(
+    fixture_dir: str,
+    sources=ALL_SOURCES,
+    top_depth_cm: int = 0,
+    bottom_depth_cm: int = 100,
+) -> pd.DataFrame:
+    points = pq.read_table(f"{fixture_dir}/points.parquet").to_pandas()
+    lons = points["lon"].to_numpy()
+    lats = points["lat"].to_numpy()
+    out = points.copy()
+
+    tiles_tbl = None
+    if {"carbon_stock", "elevation", "catchment"} & set(sources):
+        tiles_tbl = pq.read_table(f"{fixture_dir}/raster_tiles.parquet")
+
+    if "carbon_stock" in sources:
+        mean, std, transform = estimate_carbon_stock(tiles_tbl, top_depth_cm, bottom_depth_cm)
+        out["carbon_stock_mean"] = _sample_masked(mean, transform, lons, lats)
+        out["carbon_stock_stddev"] = _sample_masked(std, transform, lons, lats)
+
+    if "elevation" in sources:
+        tiles = load_tiles(tiles_tbl, "elevation")
+        out["elevation"] = sample_tiles_at(tiles, lons, lats)
+
+    if "catchment" in sources:
+        vat = build_vat_lookup(pq.read_table(f"{fixture_dir}/catchment_vat.parquet"))
+        cat_tiles = load_tiles(tiles_tbl, "cat")
+        remapped = []
+        for tid, px, transform, nodata, bounds in cat_tiles:
+            codes, ids = vat[tid]
+            remapped.append((tid, remap_tile(px, codes, ids, nodata), transform,
+                             float("nan"), bounds))
+        vals = sample_tiles_at(remapped, lons, lats)
+        # Int64 nullable cast (api.py:200)
+        out["catchment_id"] = pd.array(
+            [None if np.isnan(v) else int(v) for v in vals], dtype="Int64"
+        )
+
+    if "ssurgo" in sources:
+        from demeter_ray.pipelines.soiljoin import primary_soil_components
+
+        fields = pq.read_table(f"{fixture_dir}/fields.parquet")
+        index = geo.PolygonIndex(
+            fields["map_unit_key"].to_pylist(), fields["geom_wkb"].to_pylist()
+        )
+        assigned = index.query_min_id(lons, lats)
+        soil = primary_soil_components(fixture_dir, top_depth_cm, bottom_depth_cm)
+        # one row per map unit for the point join: first (min component_key)
+        soil_first = soil.sort_values(["map_unit_key", "component_key"]).groupby(
+            "map_unit_key", as_index=False
+        ).first()
+        soil_first = soil_first.drop(columns=["map_unit_symbol", "map_unit_name"])
+        soil_first = soil_first.add_prefix("ssurgo_").rename(
+            columns={"ssurgo_map_unit_key": "map_unit_key"}
+        )
+        out["map_unit_key"] = pd.array(
+            [None if a < 0 else int(a) for a in assigned], dtype="Int64"
+        )
+        out = out.merge(soil_first, how="left", on="map_unit_key")
+
+    return out

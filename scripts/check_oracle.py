@@ -65,6 +65,7 @@ def main():
 
     DataContext.get_current().enable_progress_bars = False
 
+    import demeter_ray.pipelines.oracle_extra  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_text  # noqa: F401  (registers)
     from demeter_ray.pipelines.relational import QUERIES
