@@ -463,3 +463,89 @@ class CentroidKNN:
             out_id[s:e] = self.ids[amin]
             out_d2[s:e] = d2[np.arange(e - s), amin]
         return out_id, out_d2
+
+
+# --------------------------------------------------------------------------
+# CRS reprojection: WGS84 lon/lat <-> UTM (transverse Mercator, Krüger
+# series, order-4 — standard public formulas).  Replaces the reference's
+# pyproj `to_crs` calls (SURVEY.md M2; api.py:108,132,184,210) for the
+# vector side; vectorized over coordinate arrays.
+# --------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+
+
+def _tm_constants():
+    n = _WGS84_F / (2 - _WGS84_F)
+    A = _WGS84_A / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    alpha = (
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16,
+        13 * n**2 / 48 - 3 * n**3 / 5,
+        61 * n**3 / 240,
+    )
+    beta = (
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96,
+        n**2 / 48 + n**3 / 15,
+        17 * n**3 / 480,
+    )
+    return n, A, alpha, beta
+
+
+def utm_zone_for(lons) -> np.ndarray:
+    """UTM zone number per longitude (J9: floor(lon/6) rule)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    return (np.floor((lons + 180.0) / 6.0).astype(np.int64) % 60) + 1
+
+
+def utm_forward(lons, lats, zone: int):
+    """lon/lat degrees -> UTM (easting, northing) meters, northern
+    hemisphere."""
+    lons = np.radians(np.asarray(lons, dtype=np.float64))
+    lats = np.radians(np.asarray(lats, dtype=np.float64))
+    lon0 = np.radians(zone * 6.0 - 183.0)
+    n, A, alpha, _ = _tm_constants()
+    t = np.sinh(
+        np.arctanh(np.sin(lats))
+        - (2 * np.sqrt(n) / (1 + n)) * np.arctanh((2 * np.sqrt(n) / (1 + n)) * np.sin(lats))
+    )
+    xi = np.arctan2(t, np.cos(lons - lon0))
+    eta = np.arctanh(np.sin(lons - lon0) / np.sqrt(1 + t * t))
+    e_ = eta.copy()
+    x_ = xi.copy()
+    for j, a in enumerate(alpha, start=1):
+        x_ = x_ + a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        e_ = e_ + a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    easting = _UTM_FE + _UTM_K0 * A * e_
+    northing = _UTM_K0 * A * x_
+    return easting, northing
+
+
+def utm_inverse(eastings, northings, zone: int):
+    """UTM meters -> lon/lat degrees (northern hemisphere)."""
+    eastings = np.asarray(eastings, dtype=np.float64)
+    northings = np.asarray(northings, dtype=np.float64)
+    n, A, _, beta = _tm_constants()
+    xi = northings / (_UTM_K0 * A)
+    eta = (eastings - _UTM_FE) / (_UTM_K0 * A)
+    x_ = xi.copy()
+    e_ = eta.copy()
+    for j, b in enumerate(beta, start=1):
+        x_ = x_ - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        e_ = e_ - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(x_) / np.cosh(e_))  # conformal latitude
+    # geodetic latitude: Newton-solve artanh(sin lat) - e*artanh(e sin lat)
+    # = artanh(sin chi)
+    e = np.sqrt(_WGS84_F * (2 - _WGS84_F))
+    clip = lambda v: np.clip(v, -0.999999999, 0.999999999)
+    target = np.arctanh(clip(np.sin(chi)))
+    lat = chi.copy()
+    for _ in range(8):
+        g = np.arctanh(clip(np.sin(lat))) - e * np.arctanh(clip(e * np.sin(lat))) - target
+        dg = 1 / np.cos(lat) - e * e * np.cos(lat) / (1 - (e * np.sin(lat)) ** 2)
+        lat = lat - g / dg
+    lon0 = np.radians(zone * 6.0 - 183.0)
+    lon = lon0 + np.arctan2(np.sinh(e_), np.cos(x_))
+    return np.degrees(lon), np.degrees(lat)

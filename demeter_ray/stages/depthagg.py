@@ -68,12 +68,19 @@ def depth_weighted_stddev(raster_tiles, dataset: str, start: int, end: int):
     return np.ma.sqrt(weighted), transform
 
 
-def estimate_carbon_stock(raster_tiles, start: int, end: int):
+def estimate_carbon_stock(raster_tiles, start: int, end: int,
+                          om_is_log10: bool = False):
     """Carbon stock mean + stddev from om and bd rasters
-    (polaris.py:110-157): om -> SOC (x0.58), stock = soc*bd,
-    Var(XY) combination for stddev."""
+    (polaris.py:110-157): optional log10 om -> percent conversion
+    (10**pixels, polaris.py:245-249 / M8), om -> SOC (x0.58),
+    stock = soc*bd, Var(XY) combination for stddev."""
     om_mean, transform = depth_weighted_mean(raster_tiles, "om", start, end)
     om_std, _ = depth_weighted_stddev(raster_tiles, "om", start, end)
+    if om_is_log10:
+        # POLARIS distributes om as log10 percent (M8); convert the mean
+        # raster; the stddev converts through the same exponent scale
+        om_mean = 10 ** om_mean
+        om_std = 10 ** om_std
     bd_mean, _ = depth_weighted_mean(raster_tiles, "bd", start, end)
     bd_std, _ = depth_weighted_stddev(raster_tiles, "bd", start, end)
     # negative bulk density scrub (polaris.py:251-255)

@@ -1,6 +1,7 @@
 """Unit tests for the pure numpy kernels (no Ray needed)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from demeter_ray.functions import codec, depth, geo, hashing, text
@@ -250,3 +251,69 @@ def test_text_kernels():
     assert text.detect_language("the thing and the other thing") == "en"
     assert text.jaccard(set("abc"), set("abd")) == pytest.approx(2 / 4)
     assert text.jaccard(set(), set()) == 1.0
+
+
+# ---------------------------------------------------- scenes / crs / cover
+def test_scene_filename_parsers():
+    from demeter_ray.functions import scenes
+
+    m = scenes.SafeMetadata.from_filename(
+        "S2B_MSIL2A_20240901T172859_N0511_R055_T14TMM_20240901T215725.SAFE"
+    )
+    assert m.tile_id == "14TMM" and m.datatake_timestamp == "20240901T172859"
+    assert m.utm_zone == "14" and m.crs == "EPSG:32614"
+    r = scenes.RasterMetadata.from_filename("T14TMM_20240901T172859_B02_10m.jp2")
+    assert r.band == "B02" and r.resolution == "10m"
+    with pytest.raises(ValueError):
+        scenes.SafeMetadata.from_filename("garbage.txt")
+
+
+def test_min_tile_cover_exact():
+    from demeter_ray.functions.scenes import min_tile_cover
+
+    tiles = {
+        "a": (0.0, 0.0, 2.0, 2.0),
+        "b": (1.0, 0.0, 3.0, 2.0),  # redundant with a+c
+        "c": (2.0, 0.0, 4.0, 2.0),
+        "d": (0.0, 0.0, 4.0, 1.0),
+    }
+    # target covered by a+c (2 tiles); b alone insufficient; d too short
+    assert min_tile_cover(tiles, (0.2, 0.2, 3.8, 1.8)) == ["a", "c"]
+    # single-tile cover wins over pairs
+    assert min_tile_cover(tiles, (1.2, 0.2, 2.8, 1.8)) == ["b"]
+    with pytest.raises(ValueError):
+        min_tile_cover(tiles, (0.0, 0.0, 10.0, 10.0))
+
+
+def test_flow_direction_decode():
+    from demeter_ray.functions.scenes import decode_flow_direction
+
+    cat = decode_flow_direction([0, 1, 64, 128, 7])
+    assert list(cat[:4]) == ["SINK", "E", "N", "NE"]
+    assert pd.isna(cat[4])  # unknown code
+    assert list(cat.categories) == ["SINK", "E", "SE", "S", "SW", "W", "NW", "N", "NE"]
+
+
+def test_utm_roundtrip_and_zone():
+    lon = np.array([-102.1, -101.8, -97.3])
+    lat = np.array([36.1, 36.4, 40.0])
+    e, n = geo.utm_forward(lon, lat, 14)
+    # zone-14 central meridian at -99: west points have easting < 500km
+    assert (e[:2] < 500000).all() and e[2] > 500000
+    lon2, lat2 = geo.utm_inverse(e, n, 14)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    assert geo.utm_zone_for([-102.0, 0.5]).tolist() == [14, 31]
+
+
+def test_om_log10_conversion(tiny_fixtures):
+    import pyarrow.parquet as pq
+
+    from demeter_ray.stages.depthagg import estimate_carbon_stock
+
+    tiles = pq.read_table(f"{tiny_fixtures}/raster_tiles.parquet")
+    lin, _, _ = estimate_carbon_stock(tiles, 0, 30, om_is_log10=False)
+    log, _, _ = estimate_carbon_stock(tiles, 0, 30, om_is_log10=True)
+    # conversion is 10**om applied before the SOC scale -> strictly different
+    i, j = np.argwhere(~np.ma.getmaskarray(lin))[0]
+    assert log[i, j] != lin[i, j]
