@@ -164,3 +164,31 @@ def spatial_throughput_pipeline(sf_dir: str, concurrency: int = 8,
         concurrency=max(2, concurrency - 2), batch_size=4096,
     )
     return ds
+
+
+def run_to_sink(fixture_dir: str, out_dir: str, concurrency: int = 4,
+                prefix_res: int = 8, salt: int = 4):
+    """Flagship output -> salted, lineage-tracked partitioned sink.
+
+    Partition key = (cell prefix at ``prefix_res``) * salt_buckets + salt, so
+    the fixture's planted hot prefix (50% of rows) fans out across multiple
+    partitions instead of pinning one writer (the north rule's skew
+    handling + resumable idempotent tile writes in one path)."""
+    import pyarrow as pa
+
+    from demeter_ray.functions import geo
+    from demeter_ray.state import lineage
+
+    ds = run(fixture_dir, concurrency=concurrency, salt=salt)
+    keep = ["image_id", "lon", "lat", "cell", "map_unit_key", "nearest_field", "elevation"]
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        cells_arr = batch["cell"].to_numpy(zero_copy_only=False)
+        # fine res is 12 in run(); re-derive the coarser prefix + salt
+        prefix = geo.cell_parent_id(cells_arr, 12 - prefix_res)
+        s = (cells_arr * 2654435761) % salt
+        part = prefix * salt + s
+        return batch.select(keep).append_column("part_key", pa.array(part, pa.int64()))
+
+    ds = ds.map_batches(keyed, batch_format="pyarrow")
+    return lineage.write_partitioned(ds, out_dir, "part_key", sort_cols=["image_id"])

@@ -99,3 +99,20 @@ def test_decode_verify_strict_passes(ray_session, tiny_fixtures):
     df = ds.to_pandas()
     assert df["decode_verified"].all()
     assert (df.loc[df["fmt"] == "jpeg", "psnr"] >= 40.0).all()
+
+
+def test_run_to_sink_salted_resumable(ray_session, tiny_fixtures, tmp_path):
+    """Flagship -> salted partitioned sink: hot prefix fans out, rerun skips
+    everything, output row count matches the input."""
+    from demeter_ray.pipelines import flagship as fl
+    from demeter_ray.state import lineage
+
+    out = str(tmp_path / "sink")
+    manifest = fl.run_to_sink(tiny_fixtures, out, concurrency=2)
+    assert not manifest["skipped"].any()
+    assert manifest["rows"].sum() == 60
+    assert len(manifest) >= 2  # salting split the window's partitions
+    got = lineage.read_partitioned(out)
+    assert got.num_rows == 60
+    manifest2 = fl.run_to_sink(tiny_fixtures, out, concurrency=2)
+    assert manifest2["skipped"].all()
