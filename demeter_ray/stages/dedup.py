@@ -33,6 +33,13 @@ from demeter_ray.functions.text import char_ngrams
 BUCKET_CAP = 256  # max docs per LSH bucket before pair emission degrades to a chain
 
 
+def _popcount(x: np.ndarray) -> np.ndarray:
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 def _token_sets(texts, mode: str, n: int):
     if mode == "word":
         return [set(t.split()) for t in texts]
@@ -110,20 +117,22 @@ def _band_buckets(ids: np.ndarray, sigs: np.ndarray, bands: int):
 def _candidate_pairs_capped(buckets, n_docs: int):
     """All pairs per bucket up to BUCKET_CAP; oversized buckets emit a
     sorted chain (keeps transitive connectivity) and are counted so the
-    truncation is visible, never silent."""
-    seen = set()
+    truncation is visible, never silent.  Pairs dedup via packed int64 keys
+    + np.unique (python tuple sets measured ~10x slower at 1M pairs)."""
+    chunks = []
     capped = 0
     for (_b, _k), idx in buckets.items():
         idx = np.sort(idx)
         if len(idx) > BUCKET_CAP:
             capped += 1
-            for a, b in zip(idx[:-1], idx[1:]):
-                seen.add((int(a), int(b)))
+            chunks.append(idx[:-1].astype(np.int64) * n_docs + idx[1:])
             continue
         a, b = np.triu_indices(len(idx), 1)
-        for x, y in zip(idx[a], idx[b]):
-            seen.add((int(x), int(y)))
-    return seen, capped
+        chunks.append(idx[a].astype(np.int64) * n_docs + idx[b])
+    if not chunks:
+        return np.empty((0, 2), dtype=np.int64), capped
+    packed = np.unique(np.concatenate(chunks))
+    return np.stack([packed // n_docs, packed % n_docs], axis=1), capped
 
 
 def minhash_neardup(
@@ -138,7 +147,7 @@ def minhash_neardup(
     Jaccard verify.  Returns (a_id, b_id, jaccard rounded to 4) sorted."""
     ids, sigs, tokens = compute_signatures(ds_docs, num_perm, mode, n)
     buckets = _band_buckets(ids, sigs, bands)
-    pairs, capped = _candidate_pairs_capped(buckets, len(ids))
+    pair_arr, capped = _candidate_pairs_capped(buckets, len(ids))
     if capped:
         print(
             f"[minhash_neardup] {capped} LSH buckets exceeded cap {BUCKET_CAP}; "
@@ -148,26 +157,49 @@ def minhash_neardup(
         {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
          "jaccard": pd.Series(dtype="float64")}
     )
-    if not pairs:
+    if len(pair_arr) == 0:
         return empty
-    pair_arr = np.array(sorted(pairs), dtype=np.int64)
-    # vectorized estimate over ALL candidates at once
-    est = (sigs[pair_arr[:, 0]] == sigs[pair_arr[:, 1]]).mean(axis=1)
-    keep = est >= max(0.0, jaccard_threshold - 0.15)
-    pair_arr = pair_arr[keep]
-    # exact verify the survivors (sorted-array intersection per pair)
-    rows = []
-    for x, y in pair_arr:
-        ta, tb = tokens[x], tokens[y]
-        inter = len(np.intersect1d(ta, tb, assume_unique=True))
-        union = len(ta) + len(tb) - inter
-        jac = inter / union if union else 1.0
-        if round(jac, 4) >= jaccard_threshold:
-            a, b = ids[x], ids[y]
-            rows.append((min(a, b), max(a, b), round(jac, 4)))
-    if not rows:
+    # vectorized estimate, chunked to bound the (chunk, num_perm) gather
+    thr = max(0.0, jaccard_threshold - 0.15)
+    kept = []
+    for s0 in range(0, len(pair_arr), 200_000):
+        chunk = pair_arr[s0 : s0 + 200_000]
+        est = (sigs[chunk[:, 0]] == sigs[chunk[:, 1]]).mean(axis=1)
+        kept.append(chunk[est >= thr])
+    pair_arr = np.concatenate(kept)
+    if len(pair_arr) == 0:
         return empty
-    out = pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"])
+    # exact verify, fully vectorized when the corpus vocabulary is small:
+    # docs become fixed-width bitsets over the global token vocabulary and
+    # Jaccard = popcount(AND)/popcount(OR) in one array op per word
+    vocab = np.unique(np.concatenate(tokens)) if tokens else np.array([], np.int64)
+    if 0 < len(vocab) <= 4096:
+        nwords = (len(vocab) + 63) // 64
+        bits = np.zeros((len(tokens), nwords), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            pos = np.searchsorted(vocab, t)
+            # duplicate word indices need ufunc.at — fancy-index |= applies
+            # only one bit per repeated index
+            np.bitwise_or.at(
+                bits[i], pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+            )
+        A, B = bits[pair_arr[:, 0]], bits[pair_arr[:, 1]]
+        inter = _popcount(A & B).sum(axis=1)
+        union = _popcount(A | B).sum(axis=1)
+        jac = np.round(np.where(union > 0, inter / np.maximum(union, 1), 1.0), 4)
+    else:  # open vocabulary: per-pair sorted intersection on the survivors
+        jac = np.empty(len(pair_arr), dtype=np.float64)
+        for k, (x, y) in enumerate(pair_arr):
+            ta, tb = tokens[x], tokens[y]
+            inter = len(np.intersect1d(ta, tb, assume_unique=True))
+            union = len(ta) + len(tb) - inter
+            jac[k] = round(inter / union if union else 1.0, 4)
+    good = jac >= jaccard_threshold
+    if not good.any():
+        return empty
+    a = np.minimum(ids[pair_arr[good, 0]], ids[pair_arr[good, 1]])
+    b = np.maximum(ids[pair_arr[good, 0]], ids[pair_arr[good, 1]])
+    out = pd.DataFrame({"a_id": a, "b_id": b, "jaccard": jac[good]})
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
