@@ -122,3 +122,70 @@ def ivf_ann_topk_q(sf_dir: str):
     out = approx.copy()
     out["recall_at_5"] = out["query_idx"].map(dict(enumerate(np.round(recall, 3))))
     return out.drop(columns=["sim"])
+
+
+@register("image_transform_features", None)
+def image_transform_features_q(sf_dir: str):
+    """Decode -> bilinear resize -> center-crop -> feature-extraction actor
+    pool over derived images (payload-axis preprocessing; rows-only —
+    goldens in tests/test_image_stages.py)."""
+    import pyarrow as pa
+
+    from demeter_ray.functions import codec
+    from demeter_ray.stages.images import transform_images
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px4 = codec.generate_pixels_batch(ids, 32, 32)
+        return pa.table(
+            {
+                "image_id": pa.array([f"img{int(i):012d}" for i in ids]),
+                "bytes": pa.array(codec.encode_batch(px4, "png"), pa.binary()),
+            }
+        )
+
+    ds = ds.map_batches(to_images, batch_format="pyarrow", batch_size=512)
+    out = transform_images(ds, concurrency=(1, 4)).to_pandas()
+    feats = np.array(out["features"].tolist())
+    out["feat_mean"] = np.round(feats.mean(axis=1), 6)
+    return out[["image_id", "feat_mean"]]
+
+
+@register("image_embedding_neardup", None)
+def image_embedding_neardup_q(sf_dir: str):
+    """Image-feature near-dup: transform stage -> feature vectors -> cosine
+    pairs ~ 1.0.  The planted i%100==99 duplicates land at exactly 1.0;
+    the synthetic generator's gradients are cyclic shifts, so histogram
+    features also collide across distinct images — the extra pairs are a
+    property of the deterministic corpus, not the operator."""
+    import pyarrow as pa
+
+    from demeter_ray.functions import codec
+    from demeter_ray.stages.images import transform_images
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.where(ids % 100 == 99, ids - 1, ids)  # planted exact dups
+        px4 = codec.generate_pixels_batch(src, 32, 32)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "bytes": pa.array(codec.encode_batch(px4, "png"), pa.binary()),
+            }
+        )
+
+    ds = ds.map_batches(to_images, batch_format="pyarrow", batch_size=512)
+    feats_df = transform_images(ds, concurrency=(1, 4)).to_pandas()
+    ids = feats_df["vec_id"].to_numpy(dtype=np.int64)
+    E = np.array(feats_df["features"].tolist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    iu = np.triu_indices(len(ids), 1)
+    hit = S[iu] >= 0.999999
+    a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+    out = pd.DataFrame({"a_id": np.minimum(a, b), "b_id": np.maximum(a, b)})
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)

@@ -124,3 +124,109 @@ def decode_verify(
         return verifier(batch)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Image transform / feature stages (payload axis: decode -> resize/crop ->
+# features / frame sampling).  The resize/crop/feature math is real numpy;
+# only the codec is the deterministic stand-in (no PIL/libjpeg in the
+# sandbox — driver contract).  All stages: binary column in, Arrow out,
+# small batches for wide rows.
+# ---------------------------------------------------------------------------
+
+
+def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize of HxWxC uint8 (align_corners=False
+    convention, the common ML default)."""
+    h, w, c = px.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def center_crop(px: np.ndarray, ch: int, cw: int) -> np.ndarray:
+    h, w, _ = px.shape
+    r0 = max(0, (h - ch) // 2)
+    c0 = max(0, (w - cw) // 2)
+    return px[r0 : r0 + ch, c0 : c0 + cw]
+
+
+def image_features(px: np.ndarray, bins: int = 8) -> np.ndarray:
+    """Compact deterministic feature vector: per-channel histograms +
+    mean/std (the embedding stand-in for image-similarity pipelines)."""
+    feats = []
+    for ch in range(px.shape[2]):
+        hist, _ = np.histogram(px[:, :, ch], bins=bins, range=(0, 256))
+        feats.append(hist / hist.sum())
+    feats.append([px.mean() / 255.0, px.std() / 255.0])
+    return np.concatenate([np.asarray(f, dtype=np.float64) for f in feats])
+
+
+class TransformActor:
+    """Decode -> resize -> center-crop -> feature-extract, one pass per
+    batch.  Emits a fixed-size feature vector column + the re-encoded
+    thumbnail (binary) — the shape of a preprocessing stage feeding
+    embedding/ANN pipelines."""
+
+    def __init__(self, out_size: int = 16, crop: int = 12, bins: int = 8):
+        self.out_size = out_size
+        self.crop = crop
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        thumbs, feats = [], []
+        for buf in blobs:
+            px = codec.decode(buf)
+            small = resize_bilinear(px, self.out_size, self.out_size)
+            cropped = center_crop(small, self.crop, self.crop)
+            thumbs.append(codec.encode(np.ascontiguousarray(cropped), "png"))
+            feats.append(image_features(cropped, self.bins))
+        dim = len(feats[0]) if feats else 3 * self.bins + 2
+        batch = batch.drop_columns(["bytes"])
+        batch = batch.append_column("thumb", pa.array(thumbs, pa.binary()))
+        return batch.append_column(
+            "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float64(), dim))
+        )
+
+
+def sample_frames(video_bytes: bytes, every: int = 2) -> list[np.ndarray]:
+    """Frame sampling over a synthetic multi-frame container: the blob is a
+    concatenation of DRAW/DJPG frames; take every ``every``-th frame.  (The
+    container format is the deterministic stand-in; the sampling plumbing —
+    offsets, stride, per-frame decode — is the real pattern.)"""
+    frames = []
+    off = 0
+    idx = 0
+    n = len(video_bytes)
+    while off < n:
+        import struct as _struct
+
+        magic, w, h, c, q = _struct.unpack_from(codec._HDR_FMT, video_bytes, off)
+        size = codec._HDR_SIZE + w * h * c
+        if idx % every == 0:
+            frames.append(codec.decode(video_bytes[off : off + size]))
+        off += size
+        idx += 1
+    return frames
+
+
+def transform_images(ds: ray.data.Dataset, out_size: int = 16, crop: int = 12,
+                     concurrency=4, batch_size: int = 256) -> ray.data.Dataset:
+    return ds.map_batches(
+        TransformActor,
+        fn_constructor_args=(out_size, crop),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
