@@ -625,3 +625,114 @@ def sessionize_events(sf_dir: str):
 
     out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# E. Remaining star-schema tables + window/JSON operators
+# --------------------------------------------------------------------------
+
+_PART_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       ROUND(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) * 1.0
+             / COUNT(*) / 100, 4) AS avg_price,
+       MAX(p_size) AS max_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+@register("part_brand_stats", _PART_SQL)
+def part_brand_stats(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # exact integer cents: 2-decimal prices can sum to binary-exact
+        # ROUND half-ties where float association flips the rounding
+        b = b.assign(cents=np.rint(b["p_retailprice"].to_numpy() * 100).astype(np.int64))
+        return b.groupby("p_brand", as_index=False).agg(
+            n_parts=("p_size", "size"), cents=("cents", "sum"),
+            max_size=("p_size", "max"),
+        )
+
+    out = partial_combine(ds, partial).groupby("p_brand", as_index=False).agg(
+        n_parts=("n_parts", "sum"), cents=("cents", "sum"),
+        max_size=("max_size", "max"),
+    )
+    out["avg_price"] = duck_round(out["cents"] * 1.0 / out["n_parts"] / 100, 4)
+    out = out.drop(columns=["cents"])
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+_SUPPLIER_SQL = """
+SELECT s.s_suppkey, s.s_name, n.n_name, ROUND(s.s_acctbal, 2) AS acctbal
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY s.s_suppkey
+"""
+
+
+@register("supplier_nation_join", _SUPPLIER_SQL)
+def supplier_nation_join(sf_dir: str):
+    import ray as _ray
+
+    nation = read_table(sf_dir, "nation").to_pandas()
+    ref = _ray.put(nation.set_index("n_nationkey")["n_name"])
+
+    def lookup(b: pd.DataFrame, names) -> pd.DataFrame:
+        b["n_name"] = b["s_nationkey"].map(names)
+        b["acctbal"] = duck_round(b["s_acctbal"], 2)
+        return b[["s_suppkey", "s_name", "n_name", "acctbal"]]
+
+    ds = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    out = ds.map_batches(bcast(ref, lookup), batch_format="pandas").to_pandas()
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+_RUNNING_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+"""
+
+
+@register("running_sum_per_user", _RUNNING_SQL)
+def running_sum_per_user(sf_dir: str):
+    """Cumulative window function: per-user ordered running sum — groupby
+    shuffle on the partition key, sorted cumsum within the group (the
+    ordered-stream semantics, ray_guide 'Streaming-shaped')."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["running_value"] = duck_round(g["value"].cumsum(), 2)
+        return g[["event_id", "user_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+
+
+_JSON_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY k_bucket ORDER BY k_bucket
+"""
+
+
+@register("props_json_histogram", _JSON_SQL)
+def props_json_histogram(sf_dir: str):
+    """Semi-structured parse: extract props.k per event (vectorized pandas
+    str extract — the M13 parser pattern), bucket, aggregate."""
+    ds = read_table(sf_dir, "events", columns=["props", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r"(\d+)")[0].astype("int64")
+        b = b.assign(k_bucket=k // 10)
+        return b.groupby("k_bucket", as_index=False).agg(
+            n=("value", "size"), value_sum=("value", "sum")
+        )
+
+    out = partial_combine(ds, partial).groupby("k_bucket", as_index=False).agg(
+        n=("n", "sum"), value_sum=("value_sum", "sum")
+    )
+    out["avg_value"] = duck_round(out["value_sum"] / out["n"], 4)
+    out = out.drop(columns=["value_sum"])
+    return out.sort_values("k_bucket").reset_index(drop=True)
