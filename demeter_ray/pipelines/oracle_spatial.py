@@ -380,24 +380,22 @@ def ssurgo_analog_plan(sf_dir: str):
     """
     import ray as _ray
 
-    from ray.data.aggregate import Max as _Max
+    from demeter_ray.pipelines.relational import bcast
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
-    # top-1-with-ties via broadcast group-max (partial max per batch -> tiny
-    # groupby -> filter), not per-group map_groups
+    # top-1-with-ties via broadcast group-max: per-batch partial max +
+    # DRIVER combine (a 15k-key Ray groupby shuffle costs 15-20s on this
+    # build — see BASELINE.md ledger)
     def partial_max(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("o_custkey", as_index=False)["o_totalprice"].max()
 
     maxes = (
-        orders.map_batches(partial_max, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(_Max("o_totalprice", alias_name="max_price"))
-        .to_pandas()
+        partial_combine(orders, partial_max)
+        .groupby("o_custkey", as_index=False)["o_totalprice"]
+        .max()
     )
-    from demeter_ray.pipelines.relational import bcast
-
-    mref = _ray.put(dict(zip(maxes["o_custkey"].tolist(), maxes["max_price"].tolist())))
+    mref = _ray.put(dict(zip(maxes["o_custkey"].tolist(), maxes["o_totalprice"].tolist())))
 
     def keep_ties(b: pd.DataFrame, maxmap) -> pd.DataFrame:
         return b[b["o_totalprice"] == b["o_custkey"].map(maxmap)][["o_custkey", "o_orderkey"]]
