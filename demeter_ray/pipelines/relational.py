@@ -736,3 +736,39 @@ def props_json_histogram(sf_dir: str):
     out["avg_value"] = duck_round(out["value_sum"] / out["n"], 4)
     out = out.drop(columns=["value_sum"])
     return out.sort_values("k_bucket").reset_index(drop=True)
+
+
+_HASHJOIN_SQL = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderstatus = 'O'
+"""
+
+
+@register("hash_join_orders_customers", _HASHJOIN_SQL)
+def hash_join_orders_customers(sf_dir: str):
+    """Two-sided hash-partitioned join via the REAL ``Dataset.join`` (both
+    sides shuffle on the key) — the non-broadcast join operator for when
+    neither side fits a broadcast (ray_guide 'Both sides large').  The
+    broadcast variants stay the right choice for dim tables; this one
+    demonstrates the partitioned path."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'O'").drop_columns(["o_orderstatus"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    return joined.select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
+
+
+_SORT_SQL = """
+SELECT n_name, n_regionkey FROM nation ORDER BY n_regionkey DESC, n_name ASC
+"""
+
+
+@register("sorted_nations", _SORT_SQL)
+def sorted_nations(sf_dir: str):
+    """The real distributed ``Dataset.sort`` operator (O3 output-order
+    requirement; big inputs use the same range-partitioned sort)."""
+    ds = read_table(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+    return ds.sort(["n_regionkey", "n_name"], descending=[True, False])
