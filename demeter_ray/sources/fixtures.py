@@ -41,7 +41,7 @@ SCALES = {
 }
 
 FIXTURE_ROOT = "/tmp/demeter_ray_fixtures"
-FIXTURE_VERSION = "6"
+FIXTURE_VERSION = "8"
 
 
 def fixture_dir(scale: str) -> str:
@@ -374,6 +374,32 @@ def make_raster_tiles() -> pa.Table:
     t[2] += RES_DEG * 0.3
     add("misaligned", None, None, None, 0, 0,
         _tile_pixels(0, 0, elevation_value), float("nan"), "float32", transform=t)
+    # UTM-projected elevation (EPSG:32613): one tile covering the window in
+    # meters — the reprojection test target (FIXTURES.md §6 note).  value =
+    # ((col*31 + row*17) % 1000) / 10 on the UTM pixel grid.
+    from demeter_ray.functions import geo as _geo
+
+    # project ALL four window corners: meridian convergence bends the
+    # window in UTM, so min/max over corners (+ margin) defines the tile
+    ce, cn = _geo.utm_forward(
+        np.array([LON0, LON1, LON0, LON1]), np.array([LAT0, LAT0, LAT1, LAT1]), 13
+    )
+    res_m = 100.0
+    e0 = np.array([ce.min() - 2 * res_m])
+    n1 = np.array([cn.max() + 2 * res_m])
+    uw = int(np.ceil((ce.max() + 2 * res_m - e0[0]) / res_m)) + 1
+    uh = int(np.ceil((n1[0] - (cn.min() - 2 * res_m)) / res_m)) + 1
+    ucol = np.arange(uw, dtype=np.int64)[None, :]
+    urow = np.arange(uh, dtype=np.int64)[:, None]
+    upx = (((ucol * 31 + urow * 17) % 1000) / 10.0) + 0 * urow
+    utm_t = [res_m, 0.0, float(e0[0]), 0.0, -res_m, float(n1[0])]
+    rows.append(
+        dict(dataset="elevation_utm", statistic=None, depth_top_cm=None,
+             depth_bottom_cm=None, tile_id="u0_0", band=1, h=uh, w=uw,
+             dtype="float32", nodata=float("nan"), transform=utm_t,
+             crs="EPSG:32613",
+             pixels=np.broadcast_to(upx, (uh, uw)).astype("float32").tobytes())
+    )
 
     tbl = {k: [r[k] for r in rows] for k in rows[0]}
     return pa.table(

@@ -27,10 +27,12 @@ import ray.data
 from demeter_ray.functions import geo
 
 
-def load_tiles(raster_tiles: pa.Table, dataset: str, statistic=None, depth_top=None):
+def load_tiles(raster_tiles: pa.Table, dataset: str, statistic=None, depth_top=None,
+               with_crs: bool = False):
     """Decode the tile rows for one (dataset[, statistic, depth]) into plain
     numpy payloads: [(tile_id, pixels2d, transform, nodata, bounds), ...]
-    sorted by tile_id (canonical overlap order)."""
+    sorted by tile_id (canonical overlap order).  ``with_crs`` appends the
+    crs string per tile for reprojecting samplers."""
     tbl = raster_tiles
     keep = []
     for i in range(tbl.num_rows):
@@ -50,7 +52,10 @@ def load_tiles(raster_tiles: pa.Table, dataset: str, statistic=None, depth_top=N
         transform = tuple(tbl["transform"][i].as_py())
         nodata = tbl["nodata"][i].as_py()
         bounds = geo.raster_bounds(transform, h, w)
-        tiles.append((tbl["tile_id"][i].as_py(), px, transform, nodata, bounds))
+        row = (tbl["tile_id"][i].as_py(), px, transform, nodata, bounds)
+        if with_crs:
+            row = row + (tbl["crs"][i].as_py(),)
+        tiles.append(row)
     tiles.sort(key=lambda t: t[0])
     return tiles
 
@@ -119,3 +124,31 @@ def sample_join(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def sample_tiles_at_crs(tiles_with_crs, lons, lats) -> np.ndarray:
+    """Reprojecting sampler: points arrive as WGS84 lon/lat; each tile's crs
+    decides the coordinate space for the inverse-affine lookup — the
+    reference's ``points.to_crs(raster_crs)`` before value_at
+    (api.py:108,132,184,210 / SURVEY.md M2).  EPSG:4326 samples directly;
+    EPSG:326xx tiles transform the points to that UTM zone first."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    out = np.full(len(lons), np.nan, dtype=np.float64)
+    unassigned = np.ones(len(lons), dtype=bool)
+    by_crs: dict[str, list] = {}
+    for row in tiles_with_crs:
+        by_crs.setdefault(row[5], []).append(row[:5])
+    for crs, tiles in sorted(by_crs.items()):
+        if crs.startswith("EPSG:326"):
+            zone = int(crs[-2:])
+            xs, ys = geo.utm_forward(lons, lats, zone)
+        elif crs == "EPSG:4326":
+            xs, ys = lons, lats
+        else:
+            raise ValueError(f"unsupported crs {crs}")
+        vals = sample_tiles_at(tiles, xs, ys)
+        hit = unassigned & ~np.isnan(vals)
+        out[hit] = vals[hit]
+        unassigned &= ~hit
+    return out

@@ -68,3 +68,30 @@ def test_tile_edge_point_has_value(result):
     # exactly on an interior tile boundary: floor rule assigns the east tile
     row = result[result["point_id"] == "p_tile_edge"].iloc[0]
     assert np.isfinite(row["elevation"])
+
+def test_reprojecting_sampler_utm(ray_session, tiny_fixtures):
+    """M2: points in WGS84 sampled from an EPSG:32613 raster — the sampler
+    transforms coordinates per tile CRS; expected value recomputed through
+    an independent forward transform + floor."""
+    import pyarrow.parquet as pq
+
+    from demeter_ray.functions import geo
+    from demeter_ray.stages.sample import load_tiles, sample_tiles_at_crs
+
+    tbl = pq.read_table(f"{tiny_fixtures}/raster_tiles.parquet")
+    tiles = load_tiles(tbl, "elevation_utm", with_crs=True)
+    assert tiles and tiles[0][5] == "EPSG:32613"
+    pts = pq.read_table(f"{tiny_fixtures}/points.parquet").to_pandas()
+    inside = pts[pts["point_id"] != "p_outside"]
+    got = sample_tiles_at_crs(tiles, inside["lon"].to_numpy(), inside["lat"].to_numpy())
+    assert np.isfinite(got).all()
+    # independent recompute: utm transform -> pixel indices -> value formula
+    tid, px, transform, nodata, bounds, crs = tiles[0]
+    xs, ys = geo.utm_forward(inside["lon"].to_numpy(), inside["lat"].to_numpy(), 13)
+    col = np.floor((xs - transform[2]) / transform[0]).astype(np.int64)
+    row = np.floor((ys - transform[5]) / transform[4]).astype(np.int64)
+    expected = (((col * 31 + row * 17) % 1000) / 10.0).astype(np.float32)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    # point outside raster coverage -> NaN
+    far = sample_tiles_at_crs(tiles, np.array([0.0]), np.array([0.0]))
+    assert np.isnan(far[0])
