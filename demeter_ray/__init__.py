@@ -40,14 +40,16 @@ def ship_code_to_workers() -> None:
     for name in (
         "demeter_ray.functions.codec", "demeter_ray.functions.depth",
         "demeter_ray.functions.geo", "demeter_ray.functions.hashing",
-        "demeter_ray.functions.text", "demeter_ray.sources.fixtures",
+        "demeter_ray.functions.scenes", "demeter_ray.functions.text",
+        "demeter_ray.sources.fixtures",
         "demeter_ray.sources.tables", "demeter_ray.stages.cells",
         "demeter_ray.stages.dedup", "demeter_ray.stages.depthagg",
         "demeter_ray.stages.hydro", "demeter_ray.stages.images",
         "demeter_ray.stages.knn", "demeter_ray.stages.mask",
         "demeter_ray.stages.merge", "demeter_ray.stages.ndvi",
         "demeter_ray.stages.pip", "demeter_ray.stages.sample",
-        "demeter_ray.stages.simsearch", "demeter_ray.stages.spatial",
+        "demeter_ray.stages.simsearch", "demeter_ray.stages.sketches",
+        "demeter_ray.stages.spatial",
         "demeter_ray.state.lineage",
         "demeter_ray.pipelines.flagship", "demeter_ray.pipelines.relational",
         "demeter_ray.pipelines.oracle_extra", "demeter_ray.pipelines.oracle_spatial",

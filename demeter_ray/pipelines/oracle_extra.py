@@ -189,3 +189,26 @@ def image_embedding_neardup_q(sf_dir: str):
     a, b = ids[iu[0][hit]], ids[iu[1][hit]]
     out = pd.DataFrame({"a_id": np.minimum(a, b), "b_id": np.maximum(a, b)})
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+@register("approx_distinct_users", None)
+def approx_distinct_users_q(sf_dir: str):
+    """HyperLogLog approximate distinct count (mergeable-sketch aggregation:
+    one tiny sketch row per batch shuffles, never the values) beside the
+    exact count and the relative error — rows-only; the error bound is
+    pytest-pinned in tests/test_sketches.py."""
+    from demeter_ray.stages.sketches import approx_distinct, approx_distinct_tokens
+
+    users = read_table(sf_dir, "events", columns=["user_id"])
+    exact = users.to_pandas()["user_id"].nunique()
+    est = approx_distinct(users, "user_id", p=12)
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    vocab_est = approx_distinct_tokens(docs, p=12)
+    return pd.DataFrame(
+        {
+            "metric": ["distinct_users", "distinct_tokens"],
+            "estimate": [round(est, 1), round(vocab_est, 1)],
+            "exact": [exact, -1],
+            "rel_error": [round(abs(est - exact) / exact, 4), -1.0],
+        }
+    )

@@ -1,0 +1,114 @@
+"""Mergeable sketches: HyperLogLog distinct counting (the 'emit one
+serialized sketch per batch and merge them in a tiny second stage' pattern
+from the Ray Data aggregation-at-scale playbook — sketches shuffle, rows
+don't).
+
+Pure-numpy HLL (Flajolet et al. 2007 with the standard small-range
+correction): register array of size 2^p; per-batch partial sketches merge by
+elementwise max.  Exactness is NOT the point — the test pins the estimate
+within the theoretical error bound (~1.04/sqrt(2^p)) against the exact
+distinct count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from demeter_ray.functions.hashing import TokenHasher
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_add(registers: np.ndarray, hashes: np.ndarray, p: int) -> None:
+    """Fold uint64 hashes into the register array in place (vectorized)."""
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)
+    # rank = leading zeros of the remaining bits + 1 (cap at 64 - p + 1)
+    lz = np.full(len(hashes), 64 - p, dtype=np.int64)
+    cur = rest.copy()
+    found = np.zeros(len(hashes), dtype=bool)
+    for bit in range(64 - p):
+        top = (cur >> np.uint64(63)) & np.uint64(1)
+        newly = (~found) & (top == 1)
+        lz[newly] = bit
+        found |= newly
+        cur = cur << np.uint64(1)
+    rank = (lz + 1).astype(np.int64)
+    np.maximum.at(registers, idx, rank)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    m = len(registers)
+    est = _alpha(m) * m * m / np.sum(2.0 ** (-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros > 0:  # small-range correction
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+class HLLSketchActor:
+    """Per-batch partial sketch over a column's values (token hashing cached
+    per actor).  Emits ONE row per batch: the serialized register array."""
+
+    def __init__(self, column: str, p: int = 12):
+        self.column = column
+        self.p = p
+        self.hasher = TokenHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [str(v) for v in batch[self.column].to_pylist()]
+        regs = np.zeros(1 << self.p, dtype=np.int64)
+        hashes = self.hasher.hash_tokens(vals).astype(np.uint64) << np.uint64(1)
+        hll_add(regs, hashes, self.p)
+        return pa.table({"registers": pa.array([regs.tolist()],
+                                               pa.list_(pa.int64(), 1 << self.p))})
+
+
+def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
+    """Distributed approximate distinct count: per-batch sketches (one tiny
+    row each) -> elementwise-max merge on the driver -> estimate."""
+    parts = ds.map_batches(
+        HLLSketchActor, fn_constructor_args=(column, p),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+    ).to_pandas()
+    merged = np.zeros(1 << p, dtype=np.int64)
+    for regs in parts["registers"]:
+        merged = np.maximum(merged, np.asarray(regs, dtype=np.int64))
+    return hll_estimate(merged)
+
+
+def approx_distinct_tokens(ds_docs: ray.data.Dataset, p: int = 12) -> float:
+    """Distinct-token estimate over a text corpus (vocabulary size)."""
+
+    class TokenSketch:
+        def __init__(self):
+            self.hasher = TokenHasher()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            regs = np.zeros(1 << p, dtype=np.int64)
+            for text in batch["text"].to_pylist():
+                toks = list(set(text.split()))
+                if toks:
+                    hashes = self.hasher.hash_tokens(toks).astype(np.uint64) << np.uint64(1)
+                    hll_add(regs, hashes, p)
+            return pa.table({"registers": pa.array([regs.tolist()],
+                                                   pa.list_(pa.int64(), 1 << p))})
+
+    parts = ds_docs.map_batches(
+        TokenSketch, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    ).to_pandas()
+    merged = np.zeros(1 << p, dtype=np.int64)
+    for regs in parts["registers"]:
+        merged = np.maximum(merged, np.asarray(regs, dtype=np.int64))
+    return hll_estimate(merged)
