@@ -772,3 +772,47 @@ def sorted_nations(sf_dir: str):
     requirement; big inputs use the same range-partitioned sort)."""
     ds = read_table(sf_dir, "nation", columns=["n_name", "n_regionkey"])
     return ds.sort(["n_regionkey", "n_name"], descending=[True, False])
+
+
+_SLIDING_SQL = """
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) - off.o AS window_start_hour,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events, (VALUES (0), (1)) AS off(o)
+GROUP BY user_id, window_start_hour
+ORDER BY user_id, window_start_hour
+"""
+
+
+@register("sliding_window_events", _SLIDING_SQL)
+def sliding_window_events(sf_dir: str):
+    """Sliding 2h windows stepping 1h: each event contributes to the two
+    windows covering it — per-batch explode to (window_start, event) rows,
+    partial aggregation, driver combine (the sliding-window batch shape;
+    tumbling is the off=0 slice)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        hours = (df["ts"].astype("int64") // 3600000000).astype("int64")
+        frames = []
+        for off in (0, 1):
+            frames.append(pd.DataFrame({
+                "user_id": df["user_id"],
+                "window_start_hour": hours - off,
+                "value": df["value"],
+            }))
+        both = pd.concat(frames, ignore_index=True)
+        g = both.groupby(["user_id", "window_start_hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        partial_combine(ds, partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_start_hour"], as_index=False)
+        .sum()
+    )
+    out["sum_value"] = duck_round(out["sum_value"], 2)
+    return out.sort_values(["user_id", "window_start_hour"]).reset_index(drop=True)
