@@ -350,8 +350,8 @@ layers AS (
 ),
 agg AS (
   SELECT o_custkey, COUNT(*) AS n_layers,
-         (SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (bot_c - top_c)) * 200
-          + SUM(bot_c - top_c)) // (SUM(bot_c - top_c) * 2) AS wavg_price_e4
+         CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (bot_c - top_c)) * 200
+          + SUM(bot_c - top_c)) // (SUM(bot_c - top_c) * 2) AS BIGINT) AS wavg_price_e4
   FROM layers GROUP BY o_custkey
 ),
 flags AS (

@@ -599,7 +599,7 @@ WITH gaps AS (
                    > 1800000000 THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, COUNT(*) AS n_events, 1 + SUM(new_session) AS n_sessions
+SELECT user_id, COUNT(*) AS n_events, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions
 FROM gaps GROUP BY user_id ORDER BY user_id
 """
 
