@@ -65,6 +65,12 @@ def decode(buf: bytes) -> np.ndarray:
     raise ValueError("bad magic")
 
 
+def header_dims(buf: bytes) -> tuple[int, int]:
+    """(w, h) from a DRAW/DJPG header without decoding the body."""
+    _magic, w, h, _channels, _q = struct.unpack_from(_HDR_FMT, buf, 0)
+    return w, h
+
+
 def generate_pixels_batch(indices: np.ndarray, w: int, h: int, channels: int = 3) -> np.ndarray:
     """Vectorized ``generate_pixels`` for N same-sized images -> (N,h,w,C).
 

@@ -549,3 +549,108 @@ def utm_inverse(eastings, northings, zone: int):
     lon0 = np.radians(zone * 6.0 - 183.0)
     lon = lon0 + np.arctan2(np.sinh(e_), np.cos(x_))
     return np.degrees(lon), np.degrees(lat)
+
+
+# --------------------------------------------------------------------------
+# Albers equal-area conic (EPSG:5070, NAD83 / CONUS) — Snyder, "Map
+# Projections: A Working Manual" (USGS PP 1395), eqs. 14-1..14-21.  The
+# reference reprojects hydrography points to EPSG:5070 (api.py:184) and topo
+# to EPSG:4269 (api.py:210); NAD83 vs WGS84 datum shift (<~1 m) is ignored,
+# matching the engine's meter-scale sampling tolerance.
+# --------------------------------------------------------------------------
+
+_GRS80_A = 6378137.0
+_GRS80_F = 1 / 298.257222101
+_ALBERS_LAT0, _ALBERS_LON0 = 23.0, -96.0
+_ALBERS_LAT1, _ALBERS_LAT2 = 29.5, 45.5
+
+
+def _albers_constants():
+    e2 = _GRS80_F * (2 - _GRS80_F)
+    e = math.sqrt(e2)
+
+    def q(lat):
+        s = math.sin(lat)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+
+    def m(lat):
+        return math.cos(lat) / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+
+    lat0, lat1, lat2 = map(math.radians, (_ALBERS_LAT0, _ALBERS_LAT1, _ALBERS_LAT2))
+    m1, m2 = m(lat1), m(lat2)
+    q0, q1, q2 = q(lat0), q(lat1), q(lat2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = _GRS80_A * math.sqrt(C - n * q0) / n
+    return e, e2, n, C, rho0
+
+
+def _q_arr(lats_rad: np.ndarray, e: float, e2: float) -> np.ndarray:
+    s = np.sin(lats_rad)
+    return (1 - e2) * (
+        s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def albers_forward(lons, lats):
+    """lon/lat degrees -> EPSG:5070 (x, y) meters."""
+    lons = np.radians(np.asarray(lons, dtype=np.float64))
+    lats = np.radians(np.asarray(lats, dtype=np.float64))
+    e, e2, n, C, rho0 = _albers_constants()
+    qv = _q_arr(lats, e, e2)
+    rho = _GRS80_A * np.sqrt(C - n * qv) / n
+    theta = n * (lons - math.radians(_ALBERS_LON0))
+    return rho * np.sin(theta), rho0 - rho * np.cos(theta)
+
+
+def albers_inverse(xs, ys):
+    """EPSG:5070 (x, y) meters -> lon/lat degrees (Snyder iteration 3-16)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    e, e2, n, C, rho0 = _albers_constants()
+    rho = np.sqrt(xs * xs + (rho0 - ys) ** 2)
+    theta = np.arctan2(xs, rho0 - ys)
+    qv = (C - (rho * n / _GRS80_A) ** 2) / n
+    lat = np.arcsin(np.clip(qv / 2, -1, 1))  # spherical first guess
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = lat + (1 - e2 * s * s) ** 2 / (2 * np.cos(lat)) * (
+            qv / (1 - e2)
+            - s / (1 - e2 * s * s)
+            + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    lon = math.radians(_ALBERS_LON0) + theta / n
+    return np.degrees(lon), np.degrees(lat)
+
+
+# --------------------------------------------------------------------------
+# CRS dispatch: the engine's supported projected systems.  "EPSG:4326" and
+# "EPSG:4269" are geographic (identity to lon/lat); "EPSG:326xx" is UTM
+# north (Krüger series above); "EPSG:5070" is CONUS Albers.
+# --------------------------------------------------------------------------
+
+
+def crs_forward(crs: str, lons, lats):
+    """lon/lat degrees -> projected (x, y) in ``crs`` units."""
+    code = crs.upper().replace("EPSG:", "")
+    if code in ("4326", "4269"):
+        return np.asarray(lons, np.float64), np.asarray(lats, np.float64)
+    if code == "5070":
+        return albers_forward(lons, lats)
+    if code.startswith("326") and len(code) == 5:
+        return utm_forward(lons, lats, int(code[3:]))
+    raise ValueError(f"unsupported CRS {crs!r}")
+
+
+def crs_inverse(crs: str, xs, ys):
+    """projected (x, y) in ``crs`` units -> lon/lat degrees."""
+    code = crs.upper().replace("EPSG:", "")
+    if code in ("4326", "4269"):
+        return np.asarray(xs, np.float64), np.asarray(ys, np.float64)
+    if code == "5070":
+        return albers_inverse(xs, ys)
+    if code.startswith("326") and len(code) == 5:
+        return utm_inverse(xs, ys, int(code[3:]))
+    raise ValueError(f"unsupported CRS {crs!r}")

@@ -101,6 +101,15 @@ def hamming64(a: np.ndarray, b: int) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
+def hamming64_pairwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise Hamming distance between two int64 arrays."""
+    x = (np.asarray(a, np.int64) ^ np.asarray(b, np.int64)).astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 def rolling_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Winnowing document fingerprints: Karp-Rabin rolling hash over k-grams,
     minimum per sliding window (Schleimer et al., SIGMOD'03).  Deterministic;

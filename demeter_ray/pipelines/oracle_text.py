@@ -17,6 +17,7 @@ from ray.data.aggregate import Count, Sum
 from demeter_ray.functions import codec, hashing, text as textfns
 from demeter_ray.pipelines.relational import duck_round, partial_combine, register
 from demeter_ray.sources.tables import read_table
+from demeter_ray.stages.simsearch import _emb_matrix
 
 # ----------------------------------------------------------- token counting
 
@@ -169,27 +170,26 @@ def knn_embeddings_top5(sf_dir: str):
     qn = qv / np.linalg.norm(qv)
     ref = ray.put(qn)
 
-    class TopK:
-        def __init__(self):
-            self.q = ray.get(ref)
+    def topk_fn(batch: pa.Table) -> pa.Table:
+        # plain task (no actor pool): the broadcast query vector is a
+        # worker-cached ray.get, and stateless tasks can't starve pools
+        q = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        E = _emb_matrix(batch)
+        keep = ids != 0
+        ids, E = ids[keep], E[keep]
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sim = En @ q
+        top = np.argsort(-sim, kind="stable")[:5]
+        return pa.table(
+            {"vec_id": pa.array(ids[top], pa.int64()),
+             "sim": pa.array(sim[top], pa.float64())}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            E = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-            keep = ids != 0
-            ids, E = ids[keep], E[keep]
-            if len(ids) == 0:
-                return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            sim = En @ self.q
-            top = np.argsort(-sim, kind="stable")[:5]
-            return pa.table(
-                {"vec_id": pa.array(ids[top], pa.int64()),
-                 "sim": pa.array(sim[top], pa.float64())}
-            )
-
-    cand = emb.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    cand = emb.map_batches(topk_fn, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["sim", "vec_id"], ascending=[False, True]).head(5)
     cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     return cand[["rank", "vec_id"]].reset_index(drop=True)
@@ -216,26 +216,20 @@ def embedding_neardup_pairs(sf_dir: str):
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
     ref = ray.put((ids_all, En))
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.En = ray.get(ref)
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        ids_full, En_full = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        E = _emb_matrix(batch)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = En @ En_full.T
+        hit_r, hit_c = np.nonzero(S >= 0.4)
+        lt = ids[hit_r] < ids_full[hit_c]
+        return pa.table(
+            {"a_id": pa.array(ids[hit_r[lt]], pa.int64()),
+             "b_id": pa.array(ids_full[hit_c[lt]], pa.int64())}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            E = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            S = En @ self.En.T
-            a_out, b_out = [], []
-            hit_r, hit_c = np.nonzero(S >= 0.4)
-            for r, c in zip(hit_r, hit_c):
-                if ids[r] < self.ids[c]:
-                    a_out.append(int(ids[r]))
-                    b_out.append(int(self.ids[c]))
-            return pa.table(
-                {"a_id": pa.array(a_out, pa.int64()), "b_id": pa.array(b_out, pa.int64())}
-            )
-
-    out = emb_tbl.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    out = emb_tbl.map_batches(pairs_fn, batch_format="pyarrow").to_pandas()
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
@@ -265,23 +259,20 @@ def image_decode_stats(sf_dir: str):
 
     def encode_batch(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        blobs = [codec.encode(codec.generate_pixels(int(i), 16, 16), "png") for i in ids]
+        blobs = codec.encode_batch(codec.generate_pixels_batch(ids, 16, 16), "png")
         return pa.table({"doc_id": batch["doc_id"], "bytes": pa.array(blobs, pa.binary())})
 
-    class Decode:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            means = np.empty(len(ids), dtype=np.float64)
-            for i, buf in enumerate(batch["bytes"].to_pylist()):
-                px = codec.decode(buf)
-                means[i] = float(px.astype(np.int64).sum()) / 768.0
-            return pa.table(
-                {"doc_id": batch["doc_id"], "mean_pixel": pa.array(duck_round(means, 4))}
-            )
+    def decode_fn(batch: pa.Table) -> pa.Table:
+        # batched decode (uniform 16x16 blobs), stateless task pool
+        px = codec.decode_batch(batch["bytes"].to_pylist(), 16, 16)
+        means = px.astype(np.int64).sum(axis=(1, 2, 3)) / 768.0
+        return pa.table(
+            {"doc_id": batch["doc_id"], "mean_pixel": pa.array(duck_round(means, 4))}
+        )
 
     out = (
         ds.map_batches(encode_batch, batch_format="pyarrow", batch_size=512)
-        .map_batches(Decode, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+        .map_batches(decode_fn, batch_format="pyarrow", batch_size=256)
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from demeter_ray.stages.depthagg import estimate_carbon_stock
 from demeter_ray.stages.hydro import build_vat_lookup, remap_tile
-from demeter_ray.stages.sample import load_tiles, sample_tiles_at
+from demeter_ray.stages.sample import load_tiles, sample_tiles_at, sample_tiles_at_crs
 from demeter_ray.functions import geo
 
 ALL_SOURCES = ("carbon_stock", "elevation", "catchment", "ssurgo")
@@ -43,6 +43,8 @@ def fetch_point_data(
     sources=ALL_SOURCES,
     top_depth_cm: int = 0,
     bottom_depth_cm: int = 100,
+    elevation_dataset: str = "elevation",
+    catchment_dataset: str = "cat",
 ) -> pd.DataFrame:
     points = pq.read_table(f"{fixture_dir}/points.parquet").to_pandas()
     lons = points["lon"].to_numpy()
@@ -59,18 +61,23 @@ def fetch_point_data(
         out["carbon_stock_stddev"] = _sample_masked(std, transform, lons, lats)
 
     if "elevation" in sources:
-        tiles = load_tiles(tiles_tbl, "elevation")
-        out["elevation"] = sample_tiles_at(tiles, lons, lats)
+        # topo samples through the tile's own CRS (EPSG:4269 for the
+        # reference's USGS topo path, api.py:210)
+        tiles = load_tiles(tiles_tbl, elevation_dataset, with_crs=True)
+        out["elevation"] = sample_tiles_at_crs(tiles, lons, lats)
 
     if "catchment" in sources:
+        # hydrography samples through EPSG:5070 when the tiles carry it
+        # (api.py:184); every tile — including the Albers mosaic — has its
+        # own VAT rows keyed by tile_id
         vat = build_vat_lookup(pq.read_table(f"{fixture_dir}/catchment_vat.parquet"))
-        cat_tiles = load_tiles(tiles_tbl, "cat")
+        cat_tiles = load_tiles(tiles_tbl, catchment_dataset, with_crs=True)
         remapped = []
-        for tid, px, transform, nodata, bounds in cat_tiles:
+        for tid, px, transform, nodata, bounds, crs in cat_tiles:
             codes, ids = vat[tid]
             remapped.append((tid, remap_tile(px, codes, ids, nodata), transform,
-                             float("nan"), bounds))
-        vals = sample_tiles_at(remapped, lons, lats)
+                             float("nan"), bounds, crs))
+        vals = sample_tiles_at_crs(remapped, lons, lats)
         # Int64 nullable cast (api.py:200)
         out["catchment_id"] = pd.array(
             [None if np.isnan(v) else int(v) for v in vals], dtype="Int64"

@@ -41,7 +41,7 @@ SCALES = {
 }
 
 FIXTURE_ROOT = "/tmp/demeter_ray_fixtures"
-FIXTURE_VERSION = "8"
+FIXTURE_VERSION = "10"
 
 
 def fixture_dir(scale: str) -> str:
@@ -294,6 +294,16 @@ def elevation_value(gcol: np.ndarray, grow: np.ndarray) -> np.ndarray:
     return (((gcol * 31 + grow * 17) % 1000) / 10.0).astype(np.float64)
 
 
+def catchment_value(gcol: np.ndarray, grow: np.ndarray) -> np.ndarray:
+    """Deterministic global catchment-code field (blocky, 32-px cells keyed
+    by tile id) — the same function the per-tile 'cat' rasters evaluate."""
+    tx = gcol // TILE_PX
+    ty = N_TILES - 1 - grow // TILE_PX
+    lcol = gcol % TILE_PX
+    lrow = grow % TILE_PX
+    return ((tx * N_TILES + ty) * 7 + (lrow + lcol) // 32) % 11 + 1
+
+
 def soil_value(gcol, grow, dataset: str, stat: str, depth_top: int) -> np.ndarray:
     """Smooth deterministic soil property per (dataset, statistic, depth).
     p5/p95 are the mean +/- 0.5 (consistent percentile semantics; their
@@ -367,8 +377,9 @@ def make_raster_tiles() -> pa.Table:
                         if ds == "om" and stat == "mean" and dtop == 0 and (tx, ty) == (1, 0):
                             px[:, :OVERLAP_PX] += 1.0  # conflicting overlap
                         add(ds, stat, dtop, dbot, tx, ty, px, float("nan"), "float32")
-            cat = ((tx * N_TILES + ty) * 7 + (np.indices((TILE_PX, TILE_PX)).sum(axis=0) // 32)).astype(np.int64) % 11
-            add("cat", None, None, None, tx, ty, cat + 1, -9999.0, "int32")
+            lr, lc = np.indices((TILE_PX, TILE_PX))
+            cat = catchment_value(tx * TILE_PX + lc, (N_TILES - 1 - ty) * TILE_PX + lr)
+            add("cat", None, None, None, tx, ty, cat, -9999.0, "int32")
     # misaligned dataset: one tile on a grid shifted by 0.3 px
     t = _tile_transform(0, 0)
     t[2] += RES_DEG * 0.3
@@ -401,6 +412,50 @@ def make_raster_tiles() -> pa.Table:
              pixels=np.broadcast_to(upx, (uh, uw)).astype("float32").tobytes())
     )
 
+    # EPSG:5070 (CONUS Albers) catchment tile + EPSG:4269 elevation tile:
+    # the reference samples hydrography through 5070 (api.py:184) and topo
+    # through 4269 (api.py:210); these carry the SAME deterministic global
+    # fields evaluated through the projection, so CRS-routed sampling is
+    # value-comparable with the EPSG:4326 tiles
+    ax, ay = _geo.crs_forward(
+        "EPSG:5070", np.array([LON0, LON1, LON0, LON1]), np.array([LAT0, LAT0, LAT1, LAT1])
+    )
+    ares = 100.0
+    ax0, ay1 = float(ax.min() - 2 * ares), float(ay.max() + 2 * ares)
+    aw = int(np.ceil((ax.max() + 2 * ares - ax0) / ares)) + 1
+    ah = int(np.ceil((ay1 - (ay.min() - 2 * ares)) / ares)) + 1
+    albers_t = [ares, 0.0, ax0, 0.0, -ares, ay1]
+    pcx = ax0 + (np.arange(aw) + 0.5) * ares
+    pcy = ay1 - (np.arange(ah) + 0.5) * ares
+    gx, gy = np.meshgrid(pcx, pcy)
+    plon, plat = _geo.crs_inverse("EPSG:5070", gx.ravel(), gy.ravel())
+    gcol = np.floor((plon - LON0) / RES_DEG).astype(np.int64)
+    grow = np.floor((LAT1 - plat) / RES_DEG).astype(np.int64)
+    inside = (gcol >= 0) & (gcol < N_TILES * TILE_PX) & (grow >= 0) & (grow < N_TILES * TILE_PX)
+    acat = np.full(gcol.shape, -9999, dtype=np.int64)
+    # mosaic codes must be globally unique (the per-tile VAT id depends on
+    # the tile): code = catchment_value + 16*tile_index, with its own VAT
+    # rows under tile_id "a0_0" (make_catchment_vat)
+    gi, gr = gcol[inside], grow[inside]
+    tidx = (gi // TILE_PX) * N_TILES + (N_TILES - 1 - gr // TILE_PX)
+    acat[inside] = catchment_value(gi, gr) + 16 * tidx
+    rows.append(
+        dict(dataset="cat_albers", statistic=None, depth_top_cm=None,
+             depth_bottom_cm=None, tile_id="a0_0", band=1, h=ah, w=aw,
+             dtype="int32", nodata=-9999.0, transform=albers_t,
+             crs="EPSG:5070", pixels=acat.reshape(ah, aw).astype("int32").tobytes())
+    )
+    npx = N_TILES * TILE_PX
+    ngc, ngr = np.meshgrid(np.arange(npx, dtype=np.int64), np.arange(npx, dtype=np.int64))
+    rows.append(
+        dict(dataset="elevation_nad83", statistic=None, depth_top_cm=None,
+             depth_bottom_cm=None, tile_id="n0_0", band=1,
+             h=npx, w=npx, dtype="float32", nodata=float("nan"),
+             transform=[RES_DEG, 0.0, LON0, 0.0, -RES_DEG, LAT1],
+             crs="EPSG:4269",
+             pixels=elevation_value(ngc, ngr).astype("float32").tobytes())
+    )
+
     tbl = {k: [r[k] for r in rows] for k in rows[0]}
     return pa.table(
         {
@@ -431,6 +486,17 @@ def make_catchment_vat() -> pa.Table:
                 rows.append(
                     (f"{tx}_{ty}", code, 10_000_000_000_000 + code * 17 + (tx * N_TILES + ty),
                      int(100 + code * 3 + tx + ty))
+                )
+                # the EPSG:5070 catchment mosaic's globally-unique codes map
+                # to the SAME catchment ids as the per-tile path (code 11
+                # stays unmapped there too)
+                rows.append(
+                    (
+                        "a0_0",
+                        code + 16 * (tx * N_TILES + ty),
+                        10_000_000_000_000 + code * 17 + (tx * N_TILES + ty),
+                        int(100 + code * 3 + tx + ty),
+                    )
                 )
     cols = list(zip(*rows))
     return pa.table(

@@ -4,19 +4,23 @@ The large-scale shapes (ray_guide 'Aggregation at scale' / 'Near-dup'):
 
 - exact dedup: content key -> ``groupby(key).map_groups(first)`` —
   hash-partition + per-group first (used by exact_dedup_docs).
-- near-dup: per-batch vectorized MinHash signatures in an ACTOR POOL
-  (token-hash cache built once per actor) -> LSH band buckets -> candidate
-  pairs (bucket size CAPPED — a degenerate all-similar corpus otherwise
-  yields O(n^2) candidates) -> vectorized signature-estimate prefilter ->
-  exact-Jaccard verify on the survivors only.  Only signatures and candidate
-  pairs ever move; documents don't.
+- near-dup: per-batch vectorized MinHash signatures in a fixed-size ACTOR
+  POOL (token-hash cache built once per actor) -> band rows (partition key,
+  bucket key, doc_id, signature) -> ``groupby(partition_key)`` SHUFFLE ->
+  partition-local vectorized bucketing + capped pair emission (a degenerate
+  all-similar corpus otherwise yields O(n^2) candidates) + signature-estimate
+  prefilter INSIDE the partition task -> exact-Jaccard verify on the
+  candidate docs only.  Only signatures and candidate pairs ever move;
+  documents don't, and the driver never materializes the corpus.
 
-Scale note: signatures are the distributed stage; the candidate funnel here
-runs driver-side because the post-cap candidate set is small.  At 100 TB the
-band rows go through ``groupby(band_key)`` (shuffle on the bucket key), the
-estimate prefilter runs inside the bucket task with the bucket's own
-signatures, and verification joins pairs back to hash-partitioned documents;
-connected components = a few rounds of min-label propagation via groupby.
+Partitioning: the shuffle key is ``bucket_key % n_partitions`` rather than
+the raw bucket key — one Ray group per hash partition (each holding many LSH
+buckets, resolved vectorized inside the task) instead of one Python callable
+per bucket.  ``n_partitions`` is sized from the corpus row count
+(~``_ROWS_PER_PARTITION`` band rows each), so partitions stay worker-heap
+sized at any corpus scale; the driver only ever holds candidate pairs and
+the candidate docs' token sets, both bounded by the capped candidate funnel
+(output-sized, not corpus-sized).
 """
 
 from __future__ import annotations
@@ -31,6 +35,10 @@ from demeter_ray.functions import hashing
 from demeter_ray.functions.text import char_ngrams
 
 BUCKET_CAP = 256  # max docs per LSH bucket before pair emission degrades to a chain
+_ROWS_PER_PARTITION = 65536  # target band rows per shuffle partition (heap-sized)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _popcount(x: np.ndarray) -> np.ndarray:
@@ -78,61 +86,156 @@ class SignatureActor:
         )
 
 
-def compute_signatures(
+def signatures_dataset(
     ds_docs: ray.data.Dataset, num_perm: int, mode: str, n: int
-):
-    """Distributed signature stage -> (ids, sig matrix, token arrays)."""
-    out = ds_docs.map_batches(
-        SignatureActor,
-        fn_constructor_args=(num_perm, mode, n),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
-    ).to_pandas()
-    ids = out["doc_id"].to_numpy(dtype=np.int64)
-    sigs = np.stack(out["sig"].to_numpy())
-    tokens = [np.asarray(t, dtype=np.int64) for t in out["tokens"]]
-    return ids, sigs, tokens
+) -> ray.data.Dataset:
+    """Distributed signature stage -> Dataset of (doc_id, sig, tokens).
+
+    Plain task pool, not an actor pool: the per-batch token-hash cache is
+    cheap to rebuild, and stateless tasks can't deadlock against the other
+    pools a near-dup pipeline runs back-to-back (BASELINE.md ledger: actor
+    pools add ramp-up seconds and fixed pools starve each other on small
+    CPU budgets)."""
+    worker = SignatureActor(num_perm, mode, n)
+    return ds_docs.map_batches(worker, batch_format="pyarrow", batch_size=1024)
 
 
-def _band_buckets(ids: np.ndarray, sigs: np.ndarray, bands: int):
-    """LSH banding over the signature matrix -> {(band, key): doc indices}."""
-    n, num_perm = sigs.shape
+def _fixed_list_matrix(col, width: int) -> np.ndarray:
+    """Arrow FixedSizeList column -> (n, width) numpy matrix, no per-row
+    Python objects."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
+
+
+def _n_partitions(n_rows: int) -> int:
+    """Shuffle partition count sized so each partition stays heap-sized."""
+    return int(max(8, min(512, n_rows // _ROWS_PER_PARTITION + 1)))
+
+
+def _mix_columns(cols: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of each row of ``cols`` (FNV-1a
+    over the row's uint64 values, salted).  Wrapping uint64 arithmetic —
+    collisions only merge LSH buckets, which the exact verify absorbs."""
+    salted = (salt * int(_GOLDEN)) & 0xFFFFFFFFFFFFFFFF
+    acc = np.full(len(cols), _FNV_BASIS ^ np.uint64(salted), dtype=np.uint64)
+    for j in range(cols.shape[1]):
+        acc = (acc ^ cols[:, j].astype(np.uint64)) * _FNV_PRIME
+    return acc
+
+
+def _make_band_emitter(num_perm: int, bands: int, n_partitions: int):
+    """map_batches fn: one (pkey, bkey, doc_id, sig) row per doc per band.
+    The full signature rides along so the estimate prefilter runs inside the
+    partition task (only signatures shuffle; tokens never do)."""
     rows = num_perm // bands
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for b in range(bands):
-        chunk = np.ascontiguousarray(sigs[:, b * rows : (b + 1) * rows])
-        view = chunk.view([("", chunk.dtype)] * rows).ravel()
-        _, inverse = np.unique(view, return_inverse=True)
-        order = np.argsort(inverse, kind="stable")
-        sorted_inv = inverse[order]
-        starts = np.flatnonzero(np.r_[True, sorted_inv[1:] != sorted_inv[:-1]])
-        ends = np.r_[starts[1:], n]
-        for s, e in zip(starts, ends):
-            if e - s > 1:
-                buckets[(b, int(sorted_inv[s]))] = order[s:e]
-    return buckets
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = _fixed_list_matrix(batch["sig"], num_perm)
+        nd = len(ids)
+        bkeys = np.empty((bands, nd), dtype=np.uint64)
+        for b in range(bands):
+            bkeys[b] = _mix_columns(sig[:, b * rows : (b + 1) * rows], b)
+        bkey = bkeys.ravel()
+        pkey = (bkey % np.uint64(n_partitions)).astype(np.int64)
+        sig_rep = np.tile(sig, (bands, 1))
+        return pa.table(
+            {
+                "pkey": pa.array(pkey, pa.int64()),
+                "bkey": pa.array(bkey.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig_rep.ravel(), pa.int64()), num_perm
+                ),
+            }
+        )
+
+    return emit
 
 
-def _candidate_pairs_capped(buckets, n_docs: int):
-    """All pairs per bucket up to BUCKET_CAP; oversized buckets emit a
-    sorted chain (keeps transitive connectivity) and are counted so the
-    truncation is visible, never silent.  Pairs dedup via packed int64 keys
-    + np.unique (python tuple sets measured ~10x slower at 1M pairs)."""
-    chunks = []
+def _bucket_pair_indices(bkey: np.ndarray):
+    """Capped pair emission over (bkey-sorted) rows: all pairs per bucket up
+    to BUCKET_CAP; oversized buckets emit a sorted chain (keeps transitive
+    connectivity).  Returns (a_idx, b_idx, n_capped)."""
+    starts = np.flatnonzero(np.r_[True, bkey[1:] != bkey[:-1]])
+    ends = np.r_[starts[1:], len(bkey)]
+    a_chunks, b_chunks = [], []
     capped = 0
-    for (_b, _k), idx in buckets.items():
-        idx = np.sort(idx)
-        if len(idx) > BUCKET_CAP:
-            capped += 1
-            chunks.append(idx[:-1].astype(np.int64) * n_docs + idx[1:])
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
             continue
-        a, b = np.triu_indices(len(idx), 1)
-        chunks.append(idx[a].astype(np.int64) * n_docs + idx[b])
-    if not chunks:
-        return np.empty((0, 2), dtype=np.int64), capped
-    packed = np.unique(np.concatenate(chunks))
-    return np.stack([packed // n_docs, packed % n_docs], axis=1), capped
+        if m > BUCKET_CAP:
+            capped += 1
+            a_chunks.append(np.arange(s, e - 1))
+            b_chunks.append(np.arange(s + 1, e))
+        else:
+            ia, ib = np.triu_indices(m, 1)
+            a_chunks.append(ia + s)
+            b_chunks.append(ib + s)
+    if not a_chunks:
+        return np.empty(0, np.int64), np.empty(0, np.int64), capped
+    return np.concatenate(a_chunks), np.concatenate(b_chunks), capped
+
+
+_PAIR_SCHEMA = {"a_id": "int64", "b_id": "int64"}
+
+
+def _make_partition_pairs(num_perm: int, jaccard_threshold: float):
+    """Per-shuffle-partition candidate emission (runs inside the groupby
+    task, vectorized over all buckets in the partition): sort on bucket key,
+    capped pair emission, signature-estimate prefilter, emit (a_id, b_id)."""
+    thr = max(0.0, jaccard_threshold - 0.15)
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _PAIR_SCHEMA.items()})
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty
+        bkey = g["bkey"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sig = np.stack(g["sig"].to_numpy())
+        order = np.lexsort((ids, bkey))
+        bkey, ids, sig = bkey[order], ids[order], sig[order]
+        ai, bi, capped = _bucket_pair_indices(bkey)
+        if capped:
+            print(
+                f"[minhash_neardup] {capped} LSH buckets exceeded cap "
+                f"{BUCKET_CAP}; pair emission degraded to chains there"
+            )
+        if len(ai) == 0:
+            return empty
+        keep_chunks = []
+        for s0 in range(0, len(ai), 200_000):
+            ca, cb = ai[s0 : s0 + 200_000], bi[s0 : s0 + 200_000]
+            est = (sig[ca] == sig[cb]).mean(axis=1)
+            good = est >= thr
+            keep_chunks.append(np.stack([ca[good], cb[good]], axis=1))
+        kept = np.concatenate(keep_chunks)
+        if len(kept) == 0:
+            return empty
+        out = pd.DataFrame(
+            {
+                "a_id": np.minimum(ids[kept[:, 0]], ids[kept[:, 1]]),
+                "b_id": np.maximum(ids[kept[:, 0]], ids[kept[:, 1]]),
+            }
+        )
+        return out.drop_duplicates()
+
+    return fn
+
+
+def _fetch_for_ids(sigs: ray.data.Dataset, uids: np.ndarray, columns: list[str]) -> pd.DataFrame:
+    """Pull ``columns`` for the candidate doc ids only (broadcast id array,
+    vectorized membership filter in workers; result is candidate-bounded)."""
+    ref = ray.put(np.asarray(uids, dtype=np.int64))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        mask = np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), want)
+        return batch.select(columns).filter(pa.array(mask))
+
+    return sigs.map_batches(filt, batch_format="pyarrow", batch_size=1024).to_pandas()
 
 
 def minhash_neardup(
@@ -143,35 +246,44 @@ def minhash_neardup(
     mode: str = "word",
     n: int = 3,
 ) -> pd.DataFrame:
-    """MinHash-LSH candidates -> signature-estimate prefilter -> exact
-    Jaccard verify.  Returns (a_id, b_id, jaccard rounded to 4) sorted."""
-    ids, sigs, tokens = compute_signatures(ds_docs, num_perm, mode, n)
-    buckets = _band_buckets(ids, sigs, bands)
-    pair_arr, capped = _candidate_pairs_capped(buckets, len(ids))
-    if capped:
-        print(
-            f"[minhash_neardup] {capped} LSH buckets exceeded cap {BUCKET_CAP}; "
-            "pair emission degraded to chains there (degenerate-similarity corpus)"
-        )
+    """MinHash-LSH near-dup, distributed end-to-end: signatures (actor pool)
+    -> band rows -> ``groupby(pkey)`` shuffle -> partition-local capped pair
+    emission + signature-estimate prefilter -> exact-Jaccard verify over the
+    candidate docs' token sets.  The driver only ever materializes candidate
+    pairs and candidate-doc tokens (output-bounded), never the corpus.
+    Returns (a_id, b_id, jaccard rounded to 4) sorted."""
     empty = pd.DataFrame(
         {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
          "jaccard": pd.Series(dtype="float64")}
     )
-    if len(pair_arr) == 0:
+    sigs = signatures_dataset(ds_docs, num_perm, mode, n).materialize()
+    n_docs = sigs.count()
+    if n_docs < 2:
         return empty
-    # vectorized estimate, chunked to bound the (chunk, num_perm) gather
-    thr = max(0.0, jaccard_threshold - 0.15)
-    kept = []
-    for s0 in range(0, len(pair_arr), 200_000):
-        chunk = pair_arr[s0 : s0 + 200_000]
-        est = (sigs[chunk[:, 0]] == sigs[chunk[:, 1]]).mean(axis=1)
-        kept.append(chunk[est >= thr])
-    pair_arr = np.concatenate(kept)
-    if len(pair_arr) == 0:
+    band_rows = sigs.select_columns(["doc_id", "sig"]).map_batches(
+        _make_band_emitter(num_perm, bands, _n_partitions(n_docs * bands)),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    cand = (
+        band_rows.groupby("pkey")
+        .map_groups(_make_partition_pairs(num_perm, jaccard_threshold), batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
         return empty
-    # exact verify, fully vectorized when the corpus vocabulary is small:
-    # docs become fixed-width bitsets over the global token vocabulary and
-    # Jaccard = popcount(AND)/popcount(OR) in one array op per word
+    cand = cand.drop_duplicates().reset_index(drop=True)
+    # exact verify on the candidate docs only: fetch their token sets,
+    # vectorize via vocabulary bitsets when the candidate vocabulary is
+    # small (Jaccard = popcount(AND)/popcount(OR)), else per-pair sorted
+    # intersection on the (already prefiltered) survivors
+    uids = np.unique(np.concatenate([cand["a_id"].to_numpy(), cand["b_id"].to_numpy()]))
+    tok = _fetch_for_ids(sigs, uids, ["doc_id", "tokens"])
+    tok_order = np.argsort(tok["doc_id"].to_numpy())
+    tok_ids = tok["doc_id"].to_numpy()[tok_order]
+    tokens = [np.asarray(tok["tokens"].iloc[i], dtype=np.int64) for i in tok_order]
+    pa_idx = np.searchsorted(tok_ids, cand["a_id"].to_numpy())
+    pb_idx = np.searchsorted(tok_ids, cand["b_id"].to_numpy())
     vocab = np.unique(np.concatenate(tokens)) if tokens else np.array([], np.int64)
     if 0 < len(vocab) <= 4096:
         nwords = (len(vocab) + 63) // 64
@@ -183,13 +295,13 @@ def minhash_neardup(
             np.bitwise_or.at(
                 bits[i], pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
             )
-        A, B = bits[pair_arr[:, 0]], bits[pair_arr[:, 1]]
+        A, B = bits[pa_idx], bits[pb_idx]
         inter = _popcount(A & B).sum(axis=1)
         union = _popcount(A | B).sum(axis=1)
         jac = np.round(np.where(union > 0, inter / np.maximum(union, 1), 1.0), 4)
     else:  # open vocabulary: per-pair sorted intersection on the survivors
-        jac = np.empty(len(pair_arr), dtype=np.float64)
-        for k, (x, y) in enumerate(pair_arr):
+        jac = np.empty(len(cand), dtype=np.float64)
+        for k, (x, y) in enumerate(zip(pa_idx, pb_idx)):
             ta, tb = tokens[x], tokens[y]
             inter = len(np.intersect1d(ta, tb, assume_unique=True))
             union = len(ta) + len(tb) - inter
@@ -197,9 +309,10 @@ def minhash_neardup(
     good = jac >= jaccard_threshold
     if not good.any():
         return empty
-    a = np.minimum(ids[pair_arr[good, 0]], ids[pair_arr[good, 1]])
-    b = np.maximum(ids[pair_arr[good, 0]], ids[pair_arr[good, 1]])
-    out = pd.DataFrame({"a_id": a, "b_id": b, "jaccard": jac[good]})
+    out = pd.DataFrame(
+        {"a_id": cand["a_id"].to_numpy()[good], "b_id": cand["b_id"].to_numpy()[good],
+         "jaccard": jac[good]}
+    )
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
@@ -227,48 +340,99 @@ class SimhashActor:
 
 
 def simhash_column(ds_docs: ray.data.Dataset) -> ray.data.Dataset:
-    return ds_docs.map_batches(
-        SimhashActor, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
-    )
+    # plain task pool (see signatures_dataset note)
+    return ds_docs.map_batches(SimhashActor(), batch_format="pyarrow", batch_size=1024)
+
+
+def _make_simhash_emitter(n_partitions: int):
+    """map_batches fn: one (pkey, bkey, doc_id, simhash) row per doc per
+    16-bit chunk (Charikar chunking — any pair within Hamming<=3 shares an
+    exact chunk; wider radii get best-effort recall)."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sh.view(np.uint64)
+        keys = np.empty((4, len(ids)), dtype=np.int64)
+        for chunk in range(4):
+            val16 = (u >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
+            keys[chunk] = (val16 | np.uint64(chunk << 16)).astype(np.int64)
+        bkey = keys.ravel()
+        return pa.table(
+            {
+                "pkey": pa.array(bkey % n_partitions, pa.int64()),
+                "bkey": pa.array(bkey, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "simhash": pa.array(np.tile(sh, 4), pa.int64()),
+            }
+        )
+
+    return emit
+
+
+_HAM_SCHEMA = {"a_id": "int64", "b_id": "int64", "hamming": "int64"}
+
+
+def _make_simhash_partition(max_hamming: int):
+    """Per-shuffle-partition bucketing + in-bucket exact Hamming verify
+    (both docs' simhashes are present in the bucket, so verification never
+    leaves the partition task)."""
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _HAM_SCHEMA.items()})
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty
+        bkey = g["bkey"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy()
+        order = np.lexsort((ids, bkey))
+        bkey, ids, sh = bkey[order], ids[order], sh[order]
+        ai, bi, capped = _bucket_pair_indices(bkey)
+        if capped:
+            print(f"[simhash_neardup] {capped} buckets exceeded cap {BUCKET_CAP}")
+        if len(ai) == 0:
+            return empty
+        ham = _popcount((sh[ai].view(np.uint64)) ^ (sh[bi].view(np.uint64)))
+        good = ham <= max_hamming
+        if not good.any():
+            return empty
+        out = pd.DataFrame(
+            {
+                "a_id": np.minimum(ids[ai[good]], ids[bi[good]]),
+                "b_id": np.maximum(ids[ai[good]], ids[bi[good]]),
+                "hamming": ham[good],
+            }
+        )
+        return out.drop_duplicates(["a_id", "b_id"])
+
+    return fn
 
 
 def simhash_neardup(ds_docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
-    """SimHash near-dup: bucket by the 4 16-bit chunks (Charikar chunking —
-    any pair within Hamming<=3 shares an exact chunk; wider radii get best-
-    effort recall), exact Hamming verify, capped buckets."""
-    hashed = simhash_column(ds_docs).to_pandas()
-    ids = hashed["doc_id"].to_numpy(dtype=np.int64)
-    sh = hashed["simhash"].to_numpy(dtype=np.int64)
-    cand = set()
-    capped = 0
-    for chunk in range(4):
-        keys = (sh.astype(np.uint64) >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"k": keys, "i": np.arange(len(ids))})
-        for _, g in df.groupby("k"):
-            idx = np.sort(g["i"].to_numpy())
-            if len(idx) < 2:
-                continue
-            if len(idx) > BUCKET_CAP:
-                capped += 1
-                for x, y in zip(idx[:-1], idx[1:]):
-                    cand.add((int(x), int(y)))
-                continue
-            a, b = np.triu_indices(len(idx), 1)
-            for x, y in zip(idx[a], idx[b]):
-                cand.add((int(x), int(y)))
-    if capped:
-        print(f"[simhash_neardup] {capped} buckets exceeded cap {BUCKET_CAP}")
-    rows = []
-    for x, y in sorted(cand):
-        d = int(hashing.hamming64(np.array([sh[x]]), int(sh[y]))[0])
-        if d <= max_hamming:
-            a, b = ids[x], ids[y]
-            rows.append((min(a, b), max(a, b), d))
-    if not rows:
-        return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
-                             "b_id": pd.Series(dtype="int64"),
-                             "hamming": pd.Series(dtype="int64")})
-    out = pd.DataFrame(rows, columns=["a_id", "b_id", "hamming"])
+    """SimHash near-dup, distributed: simhash (actor pool) -> chunk-key rows
+    -> ``groupby(pkey)`` shuffle -> partition-local capped bucketing + exact
+    Hamming verify inside the partition task.  The driver only materializes
+    verified pairs (output-bounded), never the corpus."""
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _HAM_SCHEMA.items()})
+    # partition count needs the corpus size; count() after materialize is a
+    # metadata read, and the materialized hashes feed the emitter directly
+    hashed = simhash_column(ds_docs).materialize()
+    n_docs = hashed.count()
+    if n_docs < 2:
+        return empty
+    rows = hashed.map_batches(
+        _make_simhash_emitter(_n_partitions(n_docs * 4)),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    out = (
+        rows.groupby("pkey")
+        .map_groups(_make_simhash_partition(max_hamming), batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    out = out.drop_duplicates(["a_id", "b_id"])
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 

@@ -21,28 +21,45 @@ import pyarrow as pa
 import ray.data
 
 from demeter_ray.functions import codec
-from demeter_ray.functions.hashing import hamming64
+from demeter_ray.functions.hashing import hamming64, hamming64_pairwise
+
+
+def _wh_groups(batch: pa.Table, blobs=None):
+    """Split a batch's row indices into (w, h) groups so decode / resize /
+    feature kernels run batched per group (fixture sizes cycle through a
+    handful of values, so each batch splits into a few big groups).  Uses
+    the w/h metadata columns when present, else the blob headers."""
+    if "w" in batch.column_names and "h" in batch.column_names:
+        ws = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        dims = [codec.header_dims(b) for b in (blobs or batch["bytes"].to_pylist())]
+        ws = np.array([d[0] for d in dims], dtype=np.int64)
+        hs = np.array([d[1] for d in dims], dtype=np.int64)
+    key = ws * 100000 + hs
+    for k in np.unique(key):
+        sel = np.flatnonzero(key == k)
+        yield sel, int(ws[sel[0]]), int(hs[sel[0]])
 
 
 class DecodeStatsActor:
     """bytes -> decoded pixel statistics (mean/std), phash recomputed from
-    decoded pixels, phash drift vs the stored column."""
+    decoded pixels, phash drift vs the stored column.  Decode and stats run
+    batched per (w, h) group — no per-image Python loop."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
         stored = batch["phash"].to_numpy(zero_copy_only=False)
-        means = np.empty(len(blobs), dtype=np.float64)
-        stds = np.empty(len(blobs), dtype=np.float64)
-        rehash = np.empty(len(blobs), dtype=np.int64)
-        for i, buf in enumerate(blobs):
-            px = codec.decode(buf)
-            means[i] = px.mean()
-            stds[i] = px.std()
-            rehash[i] = codec.phash64(px)
-        drift = np.array(
-            [hamming64(np.array([r]), int(s))[0] for r, s in zip(rehash, stored)],
-            dtype=np.int64,
-        )
+        n = len(blobs)
+        means = np.empty(n, dtype=np.float64)
+        stds = np.empty(n, dtype=np.float64)
+        rehash = np.empty(n, dtype=np.int64)
+        for sel, w, h in _wh_groups(batch):
+            px = codec.decode_batch([blobs[i] for i in sel], w, h)
+            means[sel] = px.mean(axis=(1, 2, 3))
+            stds[sel] = px.std(axis=(1, 2, 3))
+            rehash[sel] = codec.phash64_batch(px)
+        drift = hamming64_pairwise(rehash, stored)
         batch = batch.drop_columns(["bytes"])
         batch = batch.append_column("mean_pixel", pa.array(means, pa.float64()))
         batch = batch.append_column("std_pixel", pa.array(stds, pa.float64()))
@@ -101,12 +118,10 @@ class DecodeVerifyActor:
         return batch.append_column("decode_verified", pa.array(ok, pa.bool_()))
 
 
-def decode_stats(ds: ray.data.Dataset, concurrency=4, batch_size: int = 256):
+def decode_stats(ds: ray.data.Dataset, concurrency=None, batch_size: int = 256):
+    """Stateless task pool (the codec holds no state — see decode_verify)."""
     return ds.map_batches(
-        DecodeStatsActor,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+        DecodeStatsActor(), batch_format="pyarrow", batch_size=batch_size
     )
 
 
@@ -172,11 +187,52 @@ def image_features(px: np.ndarray, bins: int = 8) -> np.ndarray:
     return np.concatenate([np.asarray(f, dtype=np.float64) for f in feats])
 
 
+def resize_bilinear_batch(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Batched bilinear resize of (N, H, W, C) uint8 — identical math to
+    ``resize_bilinear`` applied per image, one vectorized pass."""
+    n, h, w, c = px.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[None, :, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, None, :, None]
+    p = px.astype(np.float64)
+    p00 = p[:, y0[:, None], x0[None, :], :]
+    p01 = p[:, y0[:, None], x1[None, :], :]
+    p10 = p[:, y1[:, None], x0[None, :], :]
+    p11 = p[:, y1[:, None], x1[None, :], :]
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def image_features_batch(px: np.ndarray, bins: int = 8) -> np.ndarray:
+    """Batched ``image_features``: per-channel histograms via one bincount
+    over (image, channel, bin) indices + vectorized mean/std."""
+    n, h, w, c = px.shape
+    bin_idx = (px.astype(np.int64) * bins) // 256
+    flat = (
+        np.arange(n, dtype=np.int64)[:, None, None, None] * (c * bins)
+        + np.arange(c, dtype=np.int64)[None, None, None, :] * bins
+        + bin_idx
+    )
+    counts = np.bincount(flat.ravel(), minlength=n * c * bins).reshape(n, c, bins)
+    hists = counts / (h * w)
+    p = px.reshape(n, -1).astype(np.float64)
+    extra = np.stack([p.mean(axis=1) / 255.0, p.std(axis=1) / 255.0], axis=1)
+    return np.concatenate([hists.reshape(n, c * bins), extra], axis=1)
+
+
 class TransformActor:
-    """Decode -> resize -> center-crop -> feature-extract, one pass per
-    batch.  Emits a fixed-size feature vector column + the re-encoded
-    thumbnail (binary) — the shape of a preprocessing stage feeding
-    embedding/ANN pipelines."""
+    """Decode -> resize -> center-crop -> feature-extract, batched per
+    (w, h) group (the DecodeVerifyActor pattern) — no per-image Python loop.
+    Emits a fixed-size feature vector column + the re-encoded thumbnail
+    (binary) — the shape of a preprocessing stage feeding embedding/ANN
+    pipelines."""
 
     def __init__(self, out_size: int = 16, crop: int = 12, bins: int = 8):
         self.out_size = out_size
@@ -185,18 +241,23 @@ class TransformActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
-        thumbs, feats = [], []
-        for buf in blobs:
-            px = codec.decode(buf)
-            small = resize_bilinear(px, self.out_size, self.out_size)
-            cropped = center_crop(small, self.crop, self.crop)
-            thumbs.append(codec.encode(np.ascontiguousarray(cropped), "png"))
-            feats.append(image_features(cropped, self.bins))
-        dim = len(feats[0]) if feats else 3 * self.bins + 2
+        n = len(blobs)
+        dim = 3 * self.bins + 2
+        feats = np.empty((n, dim), dtype=np.float64)
+        thumbs: list = [None] * n
+        for sel, w, h in _wh_groups(batch):
+            px = codec.decode_batch([blobs[i] for i in sel], w, h)
+            small = resize_bilinear_batch(px, self.out_size, self.out_size)
+            r0 = max(0, (self.out_size - self.crop) // 2)
+            cropped = small[:, r0 : r0 + self.crop, r0 : r0 + self.crop, :]
+            feats[sel] = image_features_batch(cropped, self.bins)
+            encoded = codec.encode_batch(np.ascontiguousarray(cropped), "png")
+            for j, i in enumerate(sel):
+                thumbs[i] = encoded[j]
         batch = batch.drop_columns(["bytes"])
         batch = batch.append_column("thumb", pa.array(thumbs, pa.binary()))
         return batch.append_column(
-            "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float64(), dim))
+            "features", pa.array(list(feats), pa.list_(pa.float64(), dim))
         )
 
 
@@ -222,11 +283,11 @@ def sample_frames(video_bytes: bytes, every: int = 2) -> list[np.ndarray]:
 
 
 def transform_images(ds: ray.data.Dataset, out_size: int = 16, crop: int = 12,
-                     concurrency=4, batch_size: int = 256) -> ray.data.Dataset:
+                     concurrency=None, batch_size: int = 256) -> ray.data.Dataset:
+    """Stateless task pool: the transform holds only 3 ints of state, so
+    plain tasks beat an actor pool (no ramp-up, no pool starvation)."""
     return ds.map_batches(
-        TransformActor,
-        fn_constructor_args=(out_size, crop),
+        TransformActor(out_size, crop),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )

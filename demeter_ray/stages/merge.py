@@ -30,7 +30,7 @@ import warnings
 
 import numpy as np
 
-from demeter_ray.functions import geo
+from demeter_ray.functions import geo, warp
 
 
 class OverlappingPixelsWarning(Warning):
@@ -187,6 +187,41 @@ def _copy_count(merged, new, merged_mask, new_mask):
     valid = ~new_mask
     merged[valid] += 1
     merged_mask[valid] = False
+
+
+def reproject_and_merge_tiles(
+    tiles,
+    crs: str,
+    resampling_method: str = "nearest",
+    merge_method="first",
+    align_to=None,
+    **kw,
+):
+    """Reproject tiles [(tile_id, pixels2d, transform, nodata, bounds,
+    src_crs)] to one CRS, then merge — reprojection.py:143-202 semantics.
+    With ``align_to=None`` the first tile's destination grid is the common
+    grid (the rasterio-merge rule), so the merge itself never resamples.
+    Returns (pixels_masked, transform, nodata, crs)."""
+    warped = warp.reproject_tiles(tiles, crs, resampling_method, align_to)
+    merged, out_t, out_nodata = merge_tiles(
+        warped, method=merge_method, allow_resampling=False, **kw
+    )
+    return merged, out_t, out_nodata, crs
+
+
+def align_and_merge_tiles(
+    tiles,
+    to_transform,
+    to_crs: str,
+    resampling_method: str = "nearest",
+    merge_method="first",
+    **kw,
+):
+    """Align tiles to an existing raster's grid, then merge
+    (reprojection.py:205-238)."""
+    return reproject_and_merge_tiles(
+        tiles, to_crs, resampling_method, merge_method, align_to=to_transform, **kw
+    )
 
 
 def merge_variance(tiles, mean, **kw):

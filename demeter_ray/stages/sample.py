@@ -32,19 +32,18 @@ def load_tiles(raster_tiles: pa.Table, dataset: str, statistic=None, depth_top=N
     """Decode the tile rows for one (dataset[, statistic, depth]) into plain
     numpy payloads: [(tile_id, pixels2d, transform, nodata, bounds), ...]
     sorted by tile_id (canonical overlap order).  ``with_crs`` appends the
-    crs string per tile for reprojecting samplers."""
-    tbl = raster_tiles
-    keep = []
-    for i in range(tbl.num_rows):
-        if tbl["dataset"][i].as_py() != dataset:
-            continue
-        if statistic is not None and tbl["statistic"][i].as_py() != statistic:
-            continue
-        if depth_top is not None and tbl["depth_top_cm"][i].as_py() != depth_top:
-            continue
-        keep.append(i)
+    crs string per tile for reprojecting samplers.  The row selection is one
+    vectorized Arrow filter (this runs in every sampler actor ``__init__``)."""
+    import pyarrow.compute as pc
+
+    mask = pc.equal(raster_tiles["dataset"], dataset)
+    if statistic is not None:
+        mask = pc.and_(mask, pc.equal(raster_tiles["statistic"], statistic))
+    if depth_top is not None:
+        mask = pc.and_(mask, pc.equal(raster_tiles["depth_top_cm"], depth_top))
+    tbl = raster_tiles.filter(mask)
     tiles = []
-    for i in keep:
+    for i in range(tbl.num_rows):
         h = tbl["h"][i].as_py()
         w = tbl["w"][i].as_py()
         dtype = tbl["dtype"][i].as_py()
@@ -83,7 +82,11 @@ def sample_tiles_at(tiles, lons, lats) -> np.ndarray:
         vals[ok] = v
         out_idx = np.flatnonzero(m)
         out[out_idx] = vals
-        unassigned[m] = False
+        # only NON-NODATA hits consume a point: a later overlapping tile may
+        # fill a nodata hole, matching the reference's "first" merge
+        # (merge.py _copy_first fills masked pixels from later rasters) and
+        # the reprojecting sampler below
+        unassigned[out_idx[~np.isnan(vals)]] = False
     return out
 
 
@@ -130,8 +133,9 @@ def sample_tiles_at_crs(tiles_with_crs, lons, lats) -> np.ndarray:
     """Reprojecting sampler: points arrive as WGS84 lon/lat; each tile's crs
     decides the coordinate space for the inverse-affine lookup — the
     reference's ``points.to_crs(raster_crs)`` before value_at
-    (api.py:108,132,184,210 / SURVEY.md M2).  EPSG:4326 samples directly;
-    EPSG:326xx tiles transform the points to that UTM zone first."""
+    (api.py:108,132,184,210 / SURVEY.md M2).  EPSG:4326/4269 sample
+    directly; EPSG:326xx transforms points to that UTM zone; EPSG:5070 to
+    CONUS Albers (the reference's hydrography/topo CRSs, api.py:184,210)."""
     lons = np.asarray(lons, dtype=np.float64)
     lats = np.asarray(lats, dtype=np.float64)
     out = np.full(len(lons), np.nan, dtype=np.float64)
@@ -140,13 +144,7 @@ def sample_tiles_at_crs(tiles_with_crs, lons, lats) -> np.ndarray:
     for row in tiles_with_crs:
         by_crs.setdefault(row[5], []).append(row[:5])
     for crs, tiles in sorted(by_crs.items()):
-        if crs.startswith("EPSG:326"):
-            zone = int(crs[-2:])
-            xs, ys = geo.utm_forward(lons, lats, zone)
-        elif crs == "EPSG:4326":
-            xs, ys = lons, lats
-        else:
-            raise ValueError(f"unsupported crs {crs}")
+        xs, ys = geo.crs_forward(crs, lons, lats)
         vals = sample_tiles_at(tiles, xs, ys)
         hit = unassigned & ~np.isnan(vals)
         out[hit] = vals[hit]

@@ -24,9 +24,14 @@ import ray.data
 
 
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    """FixedSizeList/List of float -> (N, D) float64 via Arrow buffer
+    flatten — no per-row Python objects (the hot path of every embedding
+    stage)."""
     col = batch["embedding"]
-    # FixedSizeList or List of float32 -> (N, D) float64
-    return np.array(col.to_pylist(), dtype=np.float64)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), -1)
 
 
 def _normalize(E: np.ndarray) -> np.ndarray:

@@ -78,9 +78,9 @@ class HLLSketchActor:
 def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
     """Distributed approximate distinct count: per-batch sketches (one tiny
     row each) -> elementwise-max merge on the driver -> estimate."""
+    # plain task pool: sketch state is per-batch, actor ramp-up buys nothing
     parts = ds.map_batches(
-        HLLSketchActor, fn_constructor_args=(column, p),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        HLLSketchActor(column, p), batch_format="pyarrow", batch_size=4096
     ).to_pandas()
     merged = np.zeros(1 << p, dtype=np.int64)
     for regs in parts["registers"]:
@@ -106,7 +106,7 @@ def approx_distinct_tokens(ds_docs: ray.data.Dataset, p: int = 12) -> float:
                                                    pa.list_(pa.int64(), 1 << p))})
 
     parts = ds_docs.map_batches(
-        TokenSketch, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+        TokenSketch(), batch_format="pyarrow", batch_size=4096
     ).to_pandas()
     merged = np.zeros(1 << p, dtype=np.int64)
     for regs in parts["registers"]:

@@ -1,0 +1,81 @@
+"""Distributed near-dup funnel: the shuffle-partitioned MinHash-LSH and
+SimHash paths must find known duplicate groups, survive degenerate
+(all-similar) corpora via the bucket cap, and agree with a brute-force
+exact-Jaccard reference on the pairs they emit."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from demeter_ray.stages import dedup
+
+
+def _docs(texts):
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(ray_session):
+    # 40 groups of 3 identical docs + 80 unique-vocabulary singletons
+    texts = []
+    for g in range(40):
+        body = " ".join(f"tok{g}_{i}" for i in range(12))
+        texts += [body] * 3
+    for u in range(80):
+        texts.append(" ".join(f"solo{u}_{i}" for i in range(12)))
+    return texts
+
+
+def test_minhash_finds_identical_groups(ray_session, dup_corpus):
+    out = dedup.minhash_neardup(_docs(dup_corpus), jaccard_threshold=0.9)
+    # each triple {3g, 3g+1, 3g+2} contributes exactly its 3 pairs at jac 1.0
+    expect = set()
+    for g in range(40):
+        base = 3 * g
+        expect |= {(base, base + 1), (base, base + 2), (base + 1, base + 2)}
+    got = set(zip(out["a_id"], out["b_id"]))
+    assert got == expect
+    assert (out["jaccard"] == 1.0).all()
+
+
+def test_minhash_matches_bruteforce_jaccard(ray_session, dup_corpus):
+    """Every emitted pair's jaccard equals the independent set-Jaccard."""
+    out = dedup.minhash_neardup(_docs(dup_corpus), jaccard_threshold=0.9)
+    sets = [set(t.split()) for t in dup_corpus]
+    for a, b, j in zip(out["a_id"], out["b_id"], out["jaccard"]):
+        sa, sb = sets[int(a)], sets[int(b)]
+        assert j == pytest.approx(len(sa & sb) / len(sa | sb), abs=1e-4)
+
+
+def test_minhash_degenerate_corpus_capped_chain(ray_session):
+    """300 identical docs exceed BUCKET_CAP: the chain degradation must keep
+    the component connected without O(n^2) pair blowup."""
+    texts = ["alpha beta gamma delta epsilon"] * 300
+    out = dedup.minhash_neardup(_docs(texts), jaccard_threshold=0.9)
+    assert (out["jaccard"] == 1.0).all()
+    # chain keeps every doc attached to the component
+    seen = set(out["a_id"]) | set(out["b_id"])
+    assert seen == set(range(300))
+    # far below the 300*299/2 = 44850 all-pairs blowup
+    assert len(out) < 2000
+
+
+def test_simhash_pairs_and_hamming(ray_session):
+    texts = (
+        ["red green blue yellow purple orange"] * 3
+        + [" ".join(f"w{u}_{i}" for i in range(10)) for u in range(50)]
+    )
+    out = dedup.simhash_neardup(_docs(texts), max_hamming=3)
+    got = set(zip(out["a_id"], out["b_id"]))
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    ident = out[(out["a_id"] < 3) & (out["b_id"] < 3)]
+    assert (ident["hamming"] == 0).all()
+
+
+def test_minhash_empty_and_single(ray_session):
+    assert dedup.minhash_neardup(_docs([])).empty
+    assert dedup.minhash_neardup(_docs(["just one doc"])).empty
+    assert dedup.simhash_neardup(_docs(["just one doc"])).empty

@@ -95,3 +95,59 @@ def test_reprojecting_sampler_utm(ray_session, tiny_fixtures):
     # point outside raster coverage -> NaN
     far = sample_tiles_at_crs(tiles, np.array([0.0]), np.array([0.0]))
     assert np.isnan(far[0])
+
+
+def test_catchment_through_epsg5070_matches_default(ray_session, tiny_fixtures):
+    """The EPSG:5070 catchment mosaic (reference hydrography CRS,
+    api.py:184) yields the same catchment ids as the per-tile EPSG:4326
+    path — same global field, different projection route."""
+    base = fetch_point_data(tiny_fixtures, sources=("catchment",))
+    albers = fetch_point_data(
+        tiny_fixtures, sources=("catchment",), catchment_dataset="cat_albers"
+    )
+    # p_tile_edge sits exactly on a 4326 tile boundary: the ~100 m Albers
+    # pixel center legitimately lands on the neighboring tile there, so the
+    # exact-id comparison applies to the off-boundary probes
+    interior = base["point_id"] != "p_tile_edge"
+    pd.testing.assert_series_equal(
+        base.loc[interior, "catchment_id"], albers.loc[interior, "catchment_id"]
+    )
+    edge = albers.loc[~interior, "catchment_id"]
+    assert edge.notna().all()
+
+
+def test_elevation_through_epsg4269(ray_session, tiny_fixtures):
+    """Topo through EPSG:4269 (api.py:210): NAD83 geographic is identity to
+    the 4326 grid, so values match the default elevation tile exactly where
+    the 4269 tile has coverage (it spans tile (0,0) only)."""
+    base = fetch_point_data(tiny_fixtures, sources=("elevation",))
+    nad = fetch_point_data(
+        tiny_fixtures, sources=("elevation",), elevation_dataset="elevation_nad83"
+    )
+    m = ~nad["elevation"].isna()
+    assert m.any()
+    np.testing.assert_allclose(nad.loc[m, "elevation"], base.loc[m, "elevation"])
+
+
+def test_sample_through_epsg5070_direct(ray_session, tiny_fixtures):
+    """sample_tiles_at_crs through EPSG:5070 reproduces the catchment-code
+    field at block-interior probe lattice points."""
+    from demeter_ray.stages.sample import load_tiles, sample_tiles_at_crs
+    from demeter_ray.sources.fixtures import (
+        LAT1, LON0, N_TILES, RES_DEG, TILE_PX, catchment_value,
+    )
+
+    tbl = pq.read_table(f"{tiny_fixtures}/raster_tiles.parquet")
+    tiles = load_tiles(tbl, "cat_albers", with_crs=True)
+    assert tiles and tiles[0][5] == "EPSG:5070"
+    # probes at the centers of 32-px blocks (far from any block boundary)
+    g = np.arange(16, N_TILES * TILE_PX, 32, dtype=np.float64)
+    gc, gr = np.meshgrid(g, g)
+    lons = LON0 + (gc.ravel() + 0.5) * RES_DEG
+    lats = LAT1 - (gr.ravel() + 0.5) * RES_DEG
+    got = sample_tiles_at_crs(tiles, lons, lats)
+    want = catchment_value(gc.ravel().astype(np.int64), gr.ravel().astype(np.int64))
+    tidx = (gc.ravel().astype(np.int64) // TILE_PX) * N_TILES + (
+        N_TILES - 1 - gr.ravel().astype(np.int64) // TILE_PX
+    )
+    np.testing.assert_array_equal(got, (want + 16 * tidx).astype(np.float64))

@@ -1,0 +1,129 @@
+"""Raster reprojection / alignment, mirroring the reference's
+tests/raster/utils/test_reprojection.py:19-101 (shape change, mean
+preservation, grid alignment) on synthetic tiles — no rasterio in this
+environment, so the goldens are analytic invariants."""
+
+import numpy as np
+import pytest
+
+from demeter_ray.functions import geo, warp
+from demeter_ray.stages import merge
+
+
+def _smooth_tile(h, w, transform, f):
+    """Smooth field sampled at pixel centers of the given grid."""
+    rows, cols = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    a, b, c, d, e, ff = transform
+    xs = a * (cols + 0.5) + b * (rows + 0.5) + c
+    ys = d * (cols + 0.5) + e * (rows + 0.5) + ff
+    return f(xs, ys)
+
+
+@pytest.fixture
+def elevation_4326():
+    # ~60x80 px tile over Iowa at 0.001 deg (~100 m), smooth "elevation"
+    transform = (0.001, 0.0, -93.60, 0.0, -0.001, 42.05)
+    px = _smooth_tile(60, 80, transform, lambda x, y: 300 + 40 * np.sin(8 * x) + 25 * np.cos(11 * y))
+    return np.ma.masked_array(px), transform
+
+
+def test_reproject_changes_shape_preserves_mean(elevation_4326):
+    px, transform = elevation_4326
+    out, out_t = warp.reproject_raster(px, transform, "EPSG:4326", "EPSG:5070", "average")
+    assert out.shape != px.shape
+    assert round(float(out.mean())) == round(float(px.mean()))
+    # resolution now in meters (~100 m/px, not degrees)
+    assert 50 < out_t[0] < 200 and -200 < out_t[4] < -50
+
+
+def test_reproject_noop_same_crs(elevation_4326):
+    px, transform = elevation_4326
+    out, out_t = warp.reproject_raster(px, transform, "EPSG:4326", "EPSG:4326")
+    assert out_t == transform and np.array_equal(out, px)
+
+
+def test_reproject_masked_pixels_stay_masked(elevation_4326):
+    px, transform = elevation_4326
+    px = px.copy()
+    px[10:20, 10:30] = np.ma.masked
+    out, _ = warp.reproject_raster(px, transform, "EPSG:4326", "EPSG:5070", "nearest")
+    assert out.mask.any()
+    frac_in = px.mask.mean()
+    assert abs(out.mask.mean() - frac_in) < 0.15  # hole survives, roughly same area
+
+
+def test_align_puts_rasters_on_same_grid(elevation_4326):
+    px, transform = elevation_4326
+    # target grid in 5070: 75 m pixels at an arbitrary offset
+    target_t = (75.0, 0.0, 180_037.0, 0.0, -75.0, 2_240_011.0)
+    out, out_t = warp.reproject_raster(
+        px, transform, "EPSG:4326", "EPSG:5070", "average", align_to=target_t
+    )
+    assert out_t[0] == 75.0 and out_t[4] == -75.0
+    bounds = geo.raster_bounds(out_t, *out.shape)
+    assert geo.aligned_pixel_grids(bounds, [target_t, out_t])
+    assert round(float(out.mean())) == round(float(px.mean()))
+
+
+def test_bilinear_matches_smooth_field(elevation_4326):
+    px, transform = elevation_4326
+    out, out_t = warp.reproject_raster(px, transform, "EPSG:4326", "EPSG:5070", "bilinear")
+    # interior of a smooth field: bilinear stays within the field's range
+    inner = out[2:-2, 2:-2].compressed()
+    assert inner.min() >= px.min() - 1 and inner.max() <= px.max() + 1
+
+
+def test_reproject_and_merge_two_utm_zones():
+    """Two tiles in adjacent UTM zones -> EPSG:4326 mosaic, mean method —
+    mirrors test_reprojection.py:62-79 (mean of merged ~= mean of inputs)."""
+    # zone 13 covers lon [-105,-99); zone 14 [-99,-93): tiles near the seam
+    t13_lon, t14_lon, lat = -99.4, -98.9, 41.0
+    e13, n13 = geo.utm_forward(np.array([t13_lon]), np.array([lat]), 13)
+    e14, n14 = geo.utm_forward(np.array([t14_lon]), np.array([lat]), 14)
+    tr13 = (60.0, 0.0, float(e13[0]), 0.0, -60.0, float(n13[0]))
+    tr14 = (60.0, 0.0, float(e14[0]), 0.0, -60.0, float(n14[0]))
+    px13 = _smooth_tile(50, 50, tr13, lambda x, y: np.full_like(x, 0.55))
+    px14 = _smooth_tile(50, 50, tr14, lambda x, y: np.full_like(x, 0.35))
+    tiles = [
+        (0, px13, tr13, None, geo.raster_bounds(tr13, 50, 50), "EPSG:32613"),
+        (1, px14, tr14, None, geo.raster_bounds(tr14, 50, 50), "EPSG:32614"),
+    ]
+    merged, out_t, _, crs = merge.reproject_and_merge_tiles(
+        tiles, "EPSG:4326", "average", merge_method="mean"
+    )
+    assert crs == "EPSG:4326"
+    vals = merged.compressed()
+    original_mean = (0.55 + 0.35) / 2
+    # the two constant patches don't overlap: mosaic mean = area-weighted mean
+    assert 0.35 - 1e-9 <= vals.min() and vals.max() <= 0.55 + 1e-9
+    assert abs(vals.mean() - original_mean) < 0.02
+
+
+def test_align_and_merge_onto_target_grid():
+    """align_and_merge: output grid == target grid (test_reprojection:82-101)."""
+    lon, lat = -98.9, 41.0
+    e, n = geo.utm_forward(np.array([lon]), np.array([lat]), 14)
+    tr = (60.0, 0.0, float(e[0]), 0.0, -60.0, float(n[0]))
+    px = _smooth_tile(40, 40, tr, lambda x, y: np.full_like(x, 7.0))
+    # target: EPSG:5070 at 90 m
+    x5070, y5070 = geo.crs_forward("EPSG:5070", np.array([lon]), np.array([lat]))
+    target_t = (90.0, 0.0, float(x5070[0]) - 500, 0.0, -90.0, float(y5070[0]) + 500)
+    tiles = [(0, px, tr, None, geo.raster_bounds(tr, 40, 40), "EPSG:32614")]
+    merged, out_t, _, crs = merge.align_and_merge_tiles(
+        tiles, target_t, "EPSG:5070", "average", merge_method="mean"
+    )
+    assert crs == "EPSG:5070"
+    assert out_t[0] == 90.0 and out_t[4] == -90.0
+    bounds = geo.raster_bounds(out_t, *merged.shape)
+    assert geo.aligned_pixel_grids(bounds, [target_t, out_t])
+    assert round(float(merged.mean())) == 7
+
+
+def test_roundtrip_mean_preservation_5070():
+    """4326 -> 5070 -> 4326 with average keeps the mean (lossy but unbiased)."""
+    transform = (0.001, 0.0, -93.60, 0.0, -0.001, 42.05)
+    px = _smooth_tile(60, 80, transform, lambda x, y: 100 + 10 * np.sin(30 * x) * np.cos(17 * y))
+    m = np.ma.masked_array(px)
+    once, t1 = warp.reproject_raster(m, transform, "EPSG:4326", "EPSG:5070", "average")
+    back, t2 = warp.reproject_raster(once, t1, "EPSG:5070", "EPSG:4326", "average")
+    assert round(float(back.mean())) == round(float(m.mean()))
