@@ -212,3 +212,39 @@ def approx_distinct_users_q(sf_dir: str):
             "rel_error": [round(abs(est - exact) / exact, 4), -1.0],
         }
     )
+
+
+@register("reproject_merge_zones", None)
+def reproject_merge_zones_q(sf_dir: str):
+    """Mixed-CRS mosaic: the fixture's EPSG:32613 elevation tile and the
+    EPSG:4326 elevation tiles reproject onto one EPSG:4326 grid
+    (average resampling) and merge with the mean method —
+    reprojection.py:143-238 semantics distributed per-tile.  Output is one
+    row per 32-row stripe of the mosaic (rows-only; the warp math is
+    golden-tested in tests/test_warp.py)."""
+    import pyarrow.parquet as pq
+
+    from demeter_ray.functions import geo
+    from demeter_ray.sources import fixtures as fx
+    from demeter_ray.stages.merge import reproject_and_merge_tiles
+    from demeter_ray.stages.sample import load_tiles
+
+    fd = fx.generate("tiny")
+    tbl = pq.read_table(f"{fd}/raster_tiles.parquet")
+    tiles = load_tiles(tbl, "elevation", with_crs=True) + load_tiles(
+        tbl, "elevation_utm", with_crs=True
+    )
+    merged, transform, _nodata, crs = reproject_and_merge_tiles(
+        tiles, "EPSG:4326", "average", merge_method="mean"
+    )
+    rows = []
+    for r0 in range(0, merged.shape[0], 32):
+        stripe = merged[r0 : r0 + 32]
+        rows.append(
+            {
+                "stripe": r0 // 32,
+                "n_valid": int((~np.ma.getmaskarray(stripe)).sum()),
+                "mean_value": round(float(stripe.mean()), 4),
+            }
+        )
+    return pd.DataFrame(rows)

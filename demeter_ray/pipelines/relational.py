@@ -52,6 +52,68 @@ def bcast(ref, fn):
     return wrapper
 
 
+# broadcast key sets above this size route through the partitioned
+# Dataset.join instead: a frozenset of orderkeys at 100 TB is itself huge,
+# and every task would page it.  Below the cap the broadcast filter wins by
+# skipping the shuffle entirely (BASELINE.md ledger).
+BROADCAST_KEY_CAP = 2_000_000
+
+
+def gated_semi_join(ds, key_col: str, keys_ds, keys_col: str, anti: bool = False,
+                    cap: int = BROADCAST_KEY_CAP, num_partitions: int = 8):
+    """Semi/anti join of ``ds`` against a distinct key set, SIZE-GATED:
+
+    - small key side (<= ``cap`` distinct keys): broadcast ``frozenset`` +
+      vectorized membership filter per batch — no shuffle;
+    - large key side: both sides hash-partition through the real
+      ``Dataset.join`` (semi = inner join on deduped keys; anti = left outer
+      + null-marker filter), so no unbounded driver/worker materialization.
+    """
+    import ray as _ray
+
+    distinct = keys_ds.map_batches(
+        lambda t, c=keys_col: pa.table({c: pc.unique(t[c])}), batch_format="pyarrow"
+    ).materialize()
+    # per-batch unique rows still overcount across batches; the gate only
+    # needs an upper bound, which this is
+    if distinct.count() <= cap:
+        keyset = frozenset(distinct.to_pandas()[keys_col].tolist())
+        ref = _ray.put(keyset)
+
+        def filt(batch: pd.DataFrame, keys) -> pd.DataFrame:
+            m = batch[key_col].isin(keys)
+            return batch[~m] if anti else batch[m]
+
+        return ds.map_batches(bcast(ref, filt), batch_format="pandas")
+    # shuffle path: global dedup of the key side via the native vectorized
+    # groupby-count (one row per key; the count column doubles as the
+    # null-marker for anti), then partitioned join
+    marker = f"__{keys_col}_present"
+    keys_unique = (
+        distinct.groupby(keys_col)
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns([keys_col, marker]), batch_format="pyarrow"
+        )
+    )
+    joined = ds.join(
+        keys_unique,
+        join_type="left_outer" if anti else "inner",
+        num_partitions=num_partitions,
+        on=(key_col,),
+        right_on=(keys_col,),
+    )
+    if anti:
+        joined = joined.map_batches(
+            lambda t: t.filter(pc.is_null(t[marker])), batch_format="pyarrow"
+        )
+    drop = [c for c in (marker, keys_col) if c != key_col]
+    return joined.map_batches(
+        lambda t, d=tuple(drop): t.drop_columns([c for c in d if c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
 def partial_combine(ds, partial_fn, batch_format="pandas"):
     """Two-level aggregation with a DRIVER-side combine: per-batch partials
     (one row per key per batch) collect to the driver, where pandas finishes
@@ -62,6 +124,29 @@ def partial_combine(ds, partial_fn, batch_format="pandas"):
     ``groupby`` shuffle.
     """
     return ds.map_batches(partial_fn, batch_format=batch_format).to_pandas()
+
+
+# partial rows above this count route through Ray's hash shuffle instead of
+# the driver combine; below it the driver combine wins by the shuffle's
+# measured 6-20s fixed cost (BASELINE.md ledger).  Keys like (user_id, hour)
+# grow linearly with data, so the cap is what keeps partial_combine's
+# small-cardinality precondition honest at scale.
+DRIVER_COMBINE_CAP = 200_000
+
+
+def partial_shuffle_combine(ds, partial_fn, keys, sums, batch_format="pyarrow",
+                            driver_cap: int = DRIVER_COMBINE_CAP):
+    """Two-level aggregation whose combine side is SIZE-GATED: per-batch
+    partial rows either collect to the driver (small, under ``driver_cap``)
+    or reduce through the real ``groupby(keys).sum`` hash shuffle so the
+    driver only ever receives the final one-row-per-key result.  Use for
+    keys whose cardinality scales with the data (windows, sessions)."""
+    parts = ds.map_batches(partial_fn, batch_format=batch_format).materialize()
+    if parts.count() <= driver_cap:
+        df = parts.to_pandas()
+        return df.groupby(keys, as_index=False)[sums].sum()
+    agg = parts.groupby(keys).sum(on=sums).to_pandas()
+    return agg.rename(columns={f"sum({c})": c for c in sums})
 
 
 def register(name: str, sql: str | None = None):
@@ -350,26 +435,14 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_ord
 
 @register("semi_join_customers_with_f_orders", _SEMI_SQL)
 def semi_join_customers(sf_dir: str):
-    """Semi-join via broadcast key set (ray_guide 'Semi / anti join')."""
-    import ray as _ray
-
-    keys = (
-        read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
-        .map_batches(
-            lambda t: pa.table(
-                {"o_custkey": pc.unique(t.filter(pc.equal(t["o_orderstatus"], "F"))["o_custkey"])}
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["o_custkey"]
+    """Semi-join, size-gated: broadcast key set under BROADCAST_KEY_CAP,
+    partitioned ``Dataset.join`` above it (ray_guide 'Semi / anti join')."""
+    f_orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_custkey"]),
+        batch_format="pyarrow",
     )
-    ref = _ray.put(frozenset(keys.tolist()))
-
-    def keep(batch: pd.DataFrame, keyset) -> pd.DataFrame:
-        return batch[batch["c_custkey"].isin(keyset)]
-
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
-    return ds.map_batches(bcast(ref, keep), batch_format="pandas")
+    return gated_semi_join(ds, "c_custkey", f_orders, "o_custkey")
 
 
 _ANTI_SQL = """
@@ -381,27 +454,13 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 @register("anti_join_customers_without_orders", _ANTI_SQL)
 def anti_join_customers(sf_dir: str):
-    import ray as _ray
-
-    keys = (
-        read_table(sf_dir, "orders", columns=["o_custkey"])
-        .map_batches(
-            lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["o_custkey"]
-    )
-    ref = _ray.put(frozenset(keys.tolist()))
-
-    def drop(batch: pd.DataFrame, keyset) -> pd.DataFrame:
-        return batch[~batch["c_custkey"].isin(keyset)]
-
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    out = ds.map_batches(bcast(ref, drop), batch_format="pandas").to_pandas()
+    out = gated_semi_join(ds, "c_custkey", orders, "o_custkey", anti=True).to_pandas()
     if out.empty:  # preserve schema even when the anti-join is empty
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                             "c_name": pd.Series(dtype="object")})
-    return out
+    return out[["c_custkey", "c_name"]]
 
 
 _Q3_SQL = """
@@ -418,41 +477,29 @@ LIMIT 10
 
 @register("q3_top10_building_revenue", _Q3_SQL)
 def q3_top10(sf_dir: str):
-    """Multi-join + aggregate + top-k: both join sides reduced via broadcast
-    key sets before the shuffle."""
-    import ray as _ray
-
-    cust = (
-        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-        .map_batches(
-            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["c_custkey"]
+    """Multi-join + aggregate + top-k: both join sides reduced via
+    SIZE-GATED semi-joins (broadcast under BROADCAST_KEY_CAP, partitioned
+    ``Dataset.join`` above) before the final aggregation."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
     )
-    cref = _ray.put(frozenset(cust.tolist()))
-
-    def order_filter(batch: pd.DataFrame, keyset) -> pd.DataFrame:
-        return batch[batch["o_custkey"].isin(keyset)][["o_orderkey"]]
-
-    okeys = (
-        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-        .map_batches(bcast(cref, order_filter), batch_format="pandas")
-        .to_pandas()["o_orderkey"]
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders_f = gated_semi_join(orders, "o_custkey", cust, "c_custkey").map_batches(
+        lambda t: t.select(["o_orderkey"]), batch_format="pyarrow"
     )
-    oref = _ray.put(frozenset(okeys.tolist()))
+    lineitem = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    li = gated_semi_join(lineitem, "l_orderkey", orders_f, "o_orderkey")
 
-    def rev_partial(batch: pd.DataFrame, keyset) -> pd.DataFrame:
-        b = batch[batch["l_orderkey"].isin(keyset)].copy()
+    def rev_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
         b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
         return b.groupby("l_orderkey", as_index=False)["revenue"].sum()
 
-    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    out = (
-        partial_combine(ds, bcast(oref, rev_partial))
-        .groupby("l_orderkey", as_index=False)
-        .sum()
-    )
+    out = partial_shuffle_combine(li, rev_partial, ["l_orderkey"], ["revenue"],
+                                  batch_format="pandas")
     out["revenue"] = duck_round(out["revenue"], 2)
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return out.reset_index(drop=True)
@@ -583,10 +630,8 @@ def tumbling_window_events(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
-        partial_combine(ds, partial, batch_format="pyarrow")
-        .groupby(["user_id", "hour_bucket"], as_index=False)
-        .sum()
+    out = partial_shuffle_combine(
+        ds, partial, ["user_id", "hour_bucket"], ["n_events", "sum_value"]
     )
     out["sum_value"] = duck_round(out["sum_value"], 2)
     return out.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
@@ -724,7 +769,9 @@ def props_json_histogram(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["props", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["props"].str.extract(r"(\d+)")[0].astype("int64")
+        # anchored on the "k" key (sign included) so any props layout —
+        # other numeric fields first, negative k — matches json_extract
+        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)')[0].astype("int64")
         b = b.assign(k_bucket=k // 10)
         return b.groupby("k_bucket", as_index=False).agg(
             n=("value", "size"), value_sum=("value", "sum")
@@ -809,10 +856,8 @@ def sliding_window_events(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
-        partial_combine(ds, partial, batch_format="pyarrow")
-        .groupby(["user_id", "window_start_hour"], as_index=False)
-        .sum()
+    out = partial_shuffle_combine(
+        ds, partial, ["user_id", "window_start_hour"], ["n_events", "sum_value"]
     )
     out["sum_value"] = duck_round(out["sum_value"], 2)
     return out.sort_values(["user_id", "window_start_hour"]).reset_index(drop=True)

@@ -41,7 +41,7 @@ SCALES = {
 }
 
 FIXTURE_ROOT = "/tmp/demeter_ray_fixtures"
-FIXTURE_VERSION = "10"
+FIXTURE_VERSION = "11"
 
 
 def fixture_dir(scale: str) -> str:
@@ -310,6 +310,10 @@ def soil_value(gcol, grow, dataset: str, stat: str, depth_top: int) -> np.ndarra
     spread drives the stddev-from-percentiles path)."""
     dshift = {"om": 0, "bd": 1000}[dataset]
     base = ((gcol * 13 + grow * 7 + dshift + depth_top * 29) % 500) / 100.0
+    if stat == "p50":  # median sits just off the mean (skewed distribution)
+        return base + 0.05
+    if stat == "mode":  # quantized to 0.25 steps (discrete-peak semantics)
+        return np.floor(base * 4.0) / 4.0
     return base + (0.5 if stat == "p5" else 0.0) - (0.5 if stat == "p95" else 0.0)
 
 
@@ -365,7 +369,7 @@ def make_raster_tiles() -> pa.Table:
             add("elevation", None, None, None, tx, ty,
                 _tile_pixels(tx, ty, elevation_value), float("nan"), "float32")
             for ds in ("om", "bd"):
-                for stat in ("mean", "p5", "p95"):
+                for stat in ("mean", "p5", "p95", "p50", "mode"):
                     for dtop, dbot in STANDARD_DEPTHS:
                         # nodata holes planted in GLOBAL pixel coordinates so
                         # overlap strips stay value-identical across tiles

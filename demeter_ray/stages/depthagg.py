@@ -68,6 +68,31 @@ def depth_weighted_stddev(raster_tiles, dataset: str, start: int, end: int):
     return np.ma.sqrt(weighted), transform
 
 
+STATISTICS = ("mean", "p5", "p95", "p50", "mode")
+
+
+def combined_statistic_rasters(raster_tiles, dataset: str, depth_top: int,
+                               statistics=STATISTICS):
+    """The CombinedRasters carry (polaris.py:63-70, 290-321): one merged
+    mosaic per available statistic — mean / p5 / p95 / median ("p50") /
+    mode — for a (dataset, depth) pair.  Statistics with no tiles are
+    omitted, mirroring the reference's Optional fields.  Returns
+    ({statistic: masked_raster}, transform)."""
+    out = {}
+    transform = None
+    for stat in statistics:
+        tiles = load_tiles(raster_tiles, dataset, stat, depth_top)
+        if not tiles:
+            continue
+        merged, t, _ = merge_tiles(tiles, method="first", allow_resampling=False)
+        if transform is None:
+            transform = t
+        elif t != transform:
+            raise ValueError("statistic layers disagree on pixel grid")
+        out[stat] = merged
+    return out, transform
+
+
 def estimate_carbon_stock(raster_tiles, start: int, end: int,
                           om_is_log10: bool = False):
     """Carbon stock mean + stddev from om and bd rasters

@@ -45,17 +45,21 @@ def _lineage_path(out_dir: str, key) -> str:
 
 
 def _checksum(table: pa.Table) -> str:
+    """Value-based checksum, stable across a parquet round-trip (raw Arrow
+    buffer layouts are not: offsets/validity re-chunk on read)."""
+    df = table.select(sorted(table.column_names)).to_pandas()
+    row_hashes = pd.util.hash_pandas_object(df, index=False).to_numpy()
     h = blake2b(digest_size=16)
-    for batch in table.to_batches():
-        for col in batch.columns:
-            for buf in col.buffers():
-                if buf is not None:
-                    h.update(buf)
+    h.update(row_hashes.tobytes())
     return h.hexdigest()
 
 
-def completed_keys(out_dir: str) -> set:
-    """Keys with a valid lineage record AND an existing data file."""
+def completed_keys(out_dir: str, verify_checksum: bool = False) -> set:
+    """Keys whose lineage record matches the data file: the file must exist
+    AND its parquet row count must equal the recorded rows (so a corrupted
+    or stale part-{key}.parquet is recomputed, not skipped).  The row-count
+    check reads only parquet footer metadata; pass ``verify_checksum=True``
+    to additionally re-hash the data (full read — use for audits)."""
     done = set()
     ldir = _lineage_dir(out_dir)
     if not os.path.isdir(ldir):
@@ -66,27 +70,44 @@ def completed_keys(out_dir: str) -> set:
         try:
             with open(os.path.join(ldir, fn)) as f:
                 rec = json.load(f)
-            if os.path.exists(_part_path(out_dir, rec["key"])):
-                done.add(rec["key"])
-        except (json.JSONDecodeError, KeyError, OSError):
-            continue  # torn record -> recompute that partition
+            part = _part_path(out_dir, rec["key"])
+            if pq.read_metadata(part).num_rows != rec["rows"]:
+                continue  # stale/corrupt partition -> recompute
+            if verify_checksum and _checksum(pq.read_table(part)) != rec["checksum"]:
+                continue
+            done.add(rec["key"])
+        except (json.JSONDecodeError, KeyError, OSError, pa.ArrowInvalid):
+            continue  # torn record / unreadable file -> recompute
     return done
 
 
-def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None) -> dict:
+def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None,
+                    profile: dict | None = None) -> dict:
     """Atomically write one partition + its lineage record; returns the
-    record.  Deterministic: rows sorted by ``sort_cols`` (or all columns)."""
+    record.  Deterministic: rows sorted by ``sort_cols`` (or all columns).
+
+    ``profile`` carries the raster sink metadata the reference's
+    ``Raster.save`` writes into the GeoTIFF header (crs / transform /
+    nodata / dtype — raster/__init__.py:110-153): it round-trips through
+    BOTH the lineage record and the parquet schema metadata, so a reader
+    can reconstruct the grid without the writer."""
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     cols = sort_cols or sorted(df.columns)
     df = df.sort_values(cols, kind="mergesort").reset_index(drop=True)
     table = pa.Table.from_pandas(df, preserve_index=False)
+    if profile is not None:
+        meta = dict(table.schema.metadata or {})
+        meta[b"demeter_profile"] = json.dumps(profile, sort_keys=True).encode()
+        table = table.replace_schema_metadata(meta)
     rec = {
         "key": key if not hasattr(key, "item") else key.item(),
         "rows": len(df),
         "checksum": _checksum(table),
         "columns": sorted(df.columns.tolist()),
     }
+    if profile is not None:
+        rec["profile"] = profile
     part = _part_path(out_dir, rec["key"])
     tmp = part + ".tmp"
     pq.write_table(table, tmp)
@@ -99,12 +120,22 @@ def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None) -> dict
     return rec
 
 
+def read_partition_profile(out_dir: str, key) -> dict | None:
+    """Recover a partition's raster profile (crs/transform/nodata/dtype)
+    from the parquet schema metadata — the sink-side half of the reference's
+    Raster.from_file profile round-trip."""
+    meta = pq.read_schema(_part_path(out_dir, key)).metadata or {}
+    raw = meta.get(b"demeter_profile")
+    return json.loads(raw) if raw is not None else None
+
+
 def write_partitioned(
     ds: ray.data.Dataset,
     out_dir: str,
     key_col: str,
     sort_cols=None,
     fail_on_keys: frozenset = frozenset(),
+    profile_for=None,
 ) -> pd.DataFrame:
     """Partitioned resumable sink: groupby(key) -> one atomic file+lineage
     per key; keys already completed are skipped (their groups filter out
@@ -129,7 +160,8 @@ def write_partitioned(
         k = key.item() if hasattr(key, "item") else key
         if k in fail_on_keys:
             raise RuntimeError(f"injected failure for partition {k}")
-        rec = write_partition(out_dir, k, g, sort_cols)
+        prof = profile_for(k) if profile_for is not None else None
+        rec = write_partition(out_dir, k, g, sort_cols, profile=prof)
         return pd.DataFrame(
             {"key": [rec["key"]], "rows": [rec["rows"]], "checksum": [rec["checksum"]],
              "skipped": [False]}

@@ -87,8 +87,38 @@ def test_depth_group_merge_pipeline_ray(ray_session, tiny_fixtures):
 
     ds = ray.data.read_parquet(f"{tiny_fixtures}/raster_tiles.parquet")
     out = depth_group_merge_pipeline(ds, "bd")
-    # 3 statistics x 6 depths
-    assert len(out) == 18
-    assert set(out["statistic"]) == {"mean", "p5", "p95"}
+    # 5 statistics x 6 depths
+    assert len(out) == 30
+    assert set(out["statistic"]) == {"mean", "p5", "p95", "p50", "mode"}
     assert (out["h"] == 320).all() and (out["w"] == 320).all()
     assert (out["valid_px"] > 0.98 * 320 * 320).all()  # planted holes only
+
+
+def test_combined_statistic_rasters(ray_session, tiny_fixtures):
+    """Median/mode layers merge alongside mean/p5/p95 (CombinedRasters,
+    polaris.py:63-70) and reproduce the planted statistic formulas."""
+    import pyarrow.parquet as pq
+
+    from demeter_ray.sources.fixtures import soil_value
+    from demeter_ray.stages.depthagg import combined_statistic_rasters
+
+    tiles = pq.read_table(f"{tiny_fixtures}/raster_tiles.parquet")
+    combined, transform = combined_statistic_rasters(tiles, "om", 0)
+    assert set(combined) == {"mean", "p5", "p95", "p50", "mode"}
+    shapes = {s: r.shape for s, r in combined.items()}
+    assert len(set(shapes.values())) == 1  # one shared grid
+    # probe an interior pixel against the generator formulas
+    gc, gr = np.int64(40), np.int64(40)
+    for stat, raster in combined.items():
+        want = float(np.float32(soil_value(gc, gr, "om", stat, 0)))
+        got = float(raster[int(gr), int(gc)])
+        if not np.isnan(want):
+            assert got == pytest.approx(want, abs=1e-6), stat
+    # median offset and mode quantization semantics
+    m = combined["mean"].compressed()
+    assert np.allclose(combined["p50"].compressed()[:100] - combined["mean"].compressed()[:100], 0.05, atol=1e-6)
+    mode_vals = combined["mode"].compressed()
+    assert np.allclose(mode_vals * 4, np.round(mode_vals * 4), atol=1e-5)
+    # absent statistic -> omitted (Optional semantics)
+    some, _ = combined_statistic_rasters(tiles, "om", 0, statistics=("mean", "nope"))
+    assert set(some) == {"mean"}

@@ -1,0 +1,73 @@
+"""Size-gated plan fallbacks: the broadcast semi/anti join and the driver
+combine must produce identical results when forced onto their shuffle paths
+(cap=0), so the gate is purely a performance decision."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from demeter_ray.pipelines import relational
+
+
+def _norm(df, cols):
+    df = df.to_pandas() if hasattr(df, "to_pandas") else df
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def sides(ray_session):
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {"k": np.arange(1000, dtype=np.int64), "payload": rng.randint(0, 100, 1000)}
+    )
+    # key side with duplicates and a disjoint tail
+    keys = pd.DataFrame({"fk": np.repeat(np.arange(300, 1300, dtype=np.int64), 2)})
+    return ray.data.from_pandas(left), ray.data.from_pandas(keys)
+
+
+def test_semi_join_gate_parity(sides):
+    left, keys = sides
+    bcast = relational.gated_semi_join(left, "k", keys, "fk", cap=10**9)
+    shuffled = relational.gated_semi_join(left, "k", keys, "fk", cap=0)
+    a = _norm(bcast, ["k", "payload"])
+    b = _norm(shuffled, ["k", "payload"])
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 700  # keys 300..999 present
+
+
+def test_anti_join_gate_parity(sides):
+    left, keys = sides
+    bcast = relational.gated_semi_join(left, "k", keys, "fk", anti=True, cap=10**9)
+    shuffled = relational.gated_semi_join(left, "k", keys, "fk", anti=True, cap=0)
+    a = _norm(bcast, ["k", "payload"])
+    b = _norm(shuffled, ["k", "payload"])
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 300  # keys 0..299 unmatched
+
+
+def test_partial_shuffle_combine_gate_parity(ray_session):
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 50, 5000).astype(np.int64),
+            "h": rng.randint(0, 7, 5000).astype(np.int64),
+            "v": rng.uniform(0, 10, 5000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["g", "h"], as_index=False).agg(
+            n=("v", "size"), s=("v", "sum")
+        )
+
+    drv = relational.partial_shuffle_combine(
+        ds, partial, ["g", "h"], ["n", "s"], batch_format="pandas", driver_cap=10**9
+    )
+    shf = relational.partial_shuffle_combine(
+        ds, partial, ["g", "h"], ["n", "s"], batch_format="pandas", driver_cap=0
+    )
+    a = drv.sort_values(["g", "h"]).reset_index(drop=True)
+    b = shf[["g", "h", "n", "s"]].sort_values(["g", "h"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), check_exact=False, rtol=1e-12)

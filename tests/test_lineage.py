@@ -78,3 +78,50 @@ def test_torn_lineage_record_recomputes(points_ds, tmp_path):
     assert 2 not in lineage.completed_keys(out)
     manifest = lineage.write_partitioned(ds, out, "part")
     assert 2 in set(manifest[~manifest["skipped"]]["key"])
+
+
+def test_corrupted_partition_recomputes(points_ds, tmp_path):
+    """A stale/corrupt data file with an intact lineage record must NOT
+    count as done: the row-count check against parquet metadata catches it."""
+    ds, df = points_ds
+    out = str(tmp_path / "sink")
+    lineage.write_partitioned(ds, out, "part")
+    assert lineage.completed_keys(out) == set(range(8))
+    # corrupt partition 3: overwrite with a truncated (different-rows) file
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    part3 = os.path.join(out, "part-3.parquet")
+    pq.write_table(pa.table({"id": [1], "part": [3], "value": [0.0]}), part3)
+    assert lineage.completed_keys(out) == set(range(8)) - {3}
+    # garbage bytes (unreadable footer) also invalidate
+    with open(os.path.join(out, "part-4.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert lineage.completed_keys(out) == set(range(8)) - {3, 4}
+    # resume rewrites exactly the invalid partitions
+    manifest = lineage.write_partitioned(ds, out, "part")
+    rewritten = set(manifest[~manifest["skipped"]]["key"])
+    assert rewritten == {3, 4}
+    assert lineage.completed_keys(out, verify_checksum=True) == set(range(8))
+
+
+def test_profile_roundtrip(points_ds, tmp_path):
+    """The raster sink profile (crs/transform/nodata/dtype — the reference's
+    Raster.save GeoTIFF header semantics) round-trips through the lineage
+    record and the parquet schema metadata."""
+    ds, df = points_ds
+    out = str(tmp_path / "sink")
+    profiles = {
+        k: {"crs": "EPSG:5070", "transform": [30.0, 0.0, float(k) * 1000, 0.0, -30.0, 0.0],
+            "nodata": -9999.0, "dtype": "float32"}
+        for k in range(8)
+    }
+    manifest = lineage.write_partitioned(ds, out, "part", profile_for=profiles.get)
+    assert not manifest["skipped"].any()
+    for k in range(8):
+        assert lineage.read_partition_profile(out, k) == profiles[k]
+    # lineage record carries it too
+    import json
+
+    with open(os.path.join(out, "_lineage", "part-2.json")) as f:
+        assert json.load(f)["profile"] == profiles[2]
