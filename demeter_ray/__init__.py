@@ -48,7 +48,8 @@ def ship_code_to_workers() -> None:
         "demeter_ray.stages.hydro", "demeter_ray.stages.images",
         "demeter_ray.stages.knn", "demeter_ray.stages.mask",
         "demeter_ray.stages.merge", "demeter_ray.stages.ndvi",
-        "demeter_ray.stages.pip", "demeter_ray.stages.sample",
+        "demeter_ray.stages.pip", "demeter_ray.stages.pools",
+        "demeter_ray.stages.sample",
         "demeter_ray.stages.simsearch", "demeter_ray.stages.sketches",
         "demeter_ray.stages.spatial",
         "demeter_ray.state.lineage",

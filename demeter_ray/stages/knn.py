@@ -18,6 +18,7 @@ import ray
 import ray.data
 
 from demeter_ray.functions import geo
+from demeter_ray.stages.pools import fitted_pool
 
 
 def field_centroids(fields_table: pa.Table) -> tuple[list, list, list]:
@@ -62,5 +63,5 @@ def knn_join(
         fn_constructor_args=(ref, out_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=fitted_pool(concurrency) if isinstance(concurrency, int) else concurrency,
     )

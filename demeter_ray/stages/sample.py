@@ -25,6 +25,7 @@ import ray
 import ray.data
 
 from demeter_ray.functions import geo
+from demeter_ray.stages.pools import fitted_pool
 
 
 def load_tiles(raster_tiles: pa.Table, dataset: str, statistic=None, depth_top=None,
@@ -125,7 +126,7 @@ def sample_join(
         fn_constructor_args=(ref, out_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=fitted_pool(concurrency) if isinstance(concurrency, int) else concurrency,
     )
 
 

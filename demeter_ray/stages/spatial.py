@@ -22,6 +22,7 @@ import ray
 import ray.data
 
 from demeter_ray.functions import geo
+from demeter_ray.stages.pools import fitted_pool
 from demeter_ray.stages.knn import field_centroids
 from demeter_ray.stages.sample import load_tiles, sample_tiles_at
 
@@ -98,6 +99,6 @@ def spatial_enrich(
         fn_constructor_kwargs={"salt": salt},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=fitted_pool(concurrency) if isinstance(concurrency, int) else concurrency,
         num_cpus=num_cpus,
     )

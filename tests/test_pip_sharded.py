@@ -1,0 +1,74 @@
+"""Sharded PIP parity: splitting the polygon side across cell-prefix shards
+(each its own object-store entry, actor-local LRU of per-shard indexes) must
+reproduce the broadcast path exactly — including min-key ties and polygons
+replicated across shard boundaries."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from demeter_ray.sources.fixtures import LAT0, LAT1, LON0, LON1
+from demeter_ray.stages import pip
+
+
+@pytest.fixture(scope="module")
+def fields_and_points(ray_session, tiny_fixtures):
+    fields = pq.read_table(f"{tiny_fixtures}/fields.parquet")
+    rng = np.random.RandomState(3)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "pt_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(LON0 - 0.05, LON1 + 0.05, n),
+            "lat": rng.uniform(LAT0 - 0.05, LAT1 + 0.05, n),
+        }
+    )
+    return fields, ray.data.from_pandas(df).repartition(8)
+
+
+def _collect(ds):
+    out = ds.to_pandas().sort_values("pt_id").reset_index(drop=True)
+    return out
+
+
+def test_sharded_matches_broadcast_min(fields_and_points):
+    fields, points = fields_and_points
+    base = _collect(pip.pip_join(points, fields, mode="min"))
+    for prefix_res in (10, 11, 13):  # coarser and finer than the window
+        sharded = _collect(
+            pip.sharded_pip_join(points, fields, prefix_res=prefix_res, mode="min")
+        )
+        pd.testing.assert_frame_equal(base, sharded)
+    # sanity: the join actually assigns a healthy fraction
+    assert base["map_unit_key"].notna().mean() > 0.3
+
+
+def test_sharded_matches_broadcast_all_pairs(fields_and_points):
+    fields, points = fields_and_points
+    cols = ["pt_id", "map_unit_key"]
+
+    def norm(ds):
+        df = ds.to_pandas()[cols]
+        return df.sort_values(cols).reset_index(drop=True)
+
+    base = norm(pip.pip_join(points, fields, mode="all"))
+    sharded = norm(pip.sharded_pip_join(points, fields, prefix_res=11, mode="all"))
+    pd.testing.assert_frame_equal(base, sharded)
+    assert len(base) >= base["pt_id"].nunique()  # overlap cases emit pairs
+
+
+def test_shards_are_actually_split(ray_session, tiny_fixtures):
+    fields = pq.read_table(f"{tiny_fixtures}/fields.parquet")
+    shards = pip.shard_fields(fields, prefix_res=11)
+    assert len(shards) > 1  # the window spans multiple prefix cells
+    total = 0
+    import ray as _ray
+
+    for ref in shards.values():
+        ids, wkbs = _ray.get(ref)
+        assert len(ids) == len(wkbs) > 0
+        total += len(ids)
+    # replication across shard boundaries means total >= n_polygons
+    assert total >= fields.num_rows
