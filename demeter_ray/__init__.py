@@ -44,6 +44,7 @@ def ship_code_to_workers() -> None:
         "demeter_ray.functions.warp",
         "demeter_ray.sources.fixtures",
         "demeter_ray.sources.tables", "demeter_ray.stages.cells",
+        "demeter_ray.stages.components",
         "demeter_ray.stages.dedup", "demeter_ray.stages.depthagg",
         "demeter_ray.stages.hydro", "demeter_ray.stages.images",
         "demeter_ray.stages.knn", "demeter_ray.stages.mask",

@@ -15,7 +15,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from demeter_ray.functions import codec, hashing, text as textfns
-from demeter_ray.pipelines.relational import duck_round, partial_combine, register
+from demeter_ray.pipelines.relational import duck_round, partial_combine, partial_shuffle_combine, register
 from demeter_ray.sources.tables import read_table
 from demeter_ray.stages.simsearch import _emb_matrix
 
@@ -341,3 +341,77 @@ def langid_predict(sf_dir: str):
         return batch[["doc_id", "lang_pred"]]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+_COMPONENTS_SQL = """
+WITH RECURSIVE keyed AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:2], ' ') AS k1,
+         array_to_string(string_split(text, ' ')[2:3], ' ') AS k2
+  FROM documents
+),
+edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v FROM keyed a JOIN keyed b ON a.k1 = b.k1 AND a.doc_id <> b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM keyed a JOIN keyed b ON a.k2 = b.k2 AND a.doc_id <> b.doc_id
+),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM keyed
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+@register("dedup_components_docs", _COMPONENTS_SQL)
+def dedup_components_docs(sf_dir: str):
+    """Duplicate-cluster assignment: docs sharing either overlapping shingle
+    key (tokens 1-2 or tokens 2-3) are connected; each doc's cluster id is
+    the MIN doc id in its connected component — the canonical-representative
+    collapse step after near-dup detection.  Engine: per-key min-anchor
+    STARS (connectivity-equivalent to all in-group pairs without the O(B^2)
+    blowup) + the size-gated connected-components operator; oracle: the
+    same graph closed by a recursive CTE."""
+    from demeter_ray.stages.components import connected_components
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        b = b.assign(
+            k1=toks.str[:2].str.join(" "), k2=toks.str[1:3].str.join(" ")
+        )
+        return b[["doc_id", "k1", "k2"]]
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    def anchor_map(col: str) -> dict:
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            return b.groupby(col, as_index=False).agg(anchor=("doc_id", "min"))
+
+        anchors = partial_shuffle_combine(
+            keyed_ds, partial, [col], ["anchor"], batch_format="pandas", agg="min"
+        )
+        return dict(zip(anchors[col], anchors["anchor"]))
+
+    import ray as _ray
+
+    refs = {col: _ray.put(anchor_map(col)) for col in ("k1", "k2")}
+
+    def edges_fn(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col, ref in refs.items():
+            amap = _ray.get(ref)
+            v = b[col].map(amap)
+            frames.append(pd.DataFrame({"u": b["doc_id"], "v": v}))
+        out = pd.concat(frames, ignore_index=True)
+        return out[out["u"] != out["v"]].astype({"u": "int64", "v": "int64"})
+
+    edges = keyed_ds.map_batches(edges_fn, batch_format="pandas")
+    nodes = keyed_ds.map_batches(
+        lambda b: b[["doc_id"]].rename(columns={"doc_id": "node"}),
+        batch_format="pandas",
+    )
+    out = connected_components(edges, nodes)
+    return out.rename(columns={"node": "doc_id"})

@@ -135,18 +135,20 @@ DRIVER_COMBINE_CAP = 200_000
 
 
 def partial_shuffle_combine(ds, partial_fn, keys, sums, batch_format="pyarrow",
-                            driver_cap: int = DRIVER_COMBINE_CAP):
+                            driver_cap: int = DRIVER_COMBINE_CAP, agg: str = "sum"):
     """Two-level aggregation whose combine side is SIZE-GATED: per-batch
     partial rows either collect to the driver (small, under ``driver_cap``)
-    or reduce through the real ``groupby(keys).sum`` hash shuffle so the
-    driver only ever receives the final one-row-per-key result.  Use for
-    keys whose cardinality scales with the data (windows, sessions)."""
+    or reduce through the real ``groupby(keys)`` hash shuffle so the driver
+    only ever receives the final one-row-per-key result.  Use for keys
+    whose cardinality scales with the data (windows, sessions).  ``agg``
+    must be a reduction where combining partials with the same function is
+    exact (sum, min, max)."""
     parts = ds.map_batches(partial_fn, batch_format=batch_format).materialize()
     if parts.count() <= driver_cap:
         df = parts.to_pandas()
-        return df.groupby(keys, as_index=False)[sums].sum()
-    agg = parts.groupby(keys).sum(on=sums).to_pandas()
-    return agg.rename(columns={f"sum({c})": c for c in sums})
+        return getattr(df.groupby(keys, as_index=False)[sums], agg)()
+    agged = getattr(parts.groupby(keys), agg)(on=sums).to_pandas()
+    return agged.rename(columns={f"{agg}({c})": c for c in sums})
 
 
 def register(name: str, sql: str | None = None):
