@@ -415,3 +415,84 @@ def dedup_components_docs(sf_dir: str):
     )
     out = connected_components(edges, nodes)
     return out.rename(columns={"node": "doc_id"})
+
+
+_FRAMES_SQL = """
+WITH px AS (
+  SELECT d.doc_id, k.k AS frame_idx,
+         (((d.doc_id * 31 + k.k) * 97 + x.x * 31 + y.y * 17 + c.c * 11) % 256) AS v
+  FROM documents d,
+       (VALUES (0), (2), (4)) AS k(k),
+       generate_series(0, 7) AS x(x),
+       generate_series(0, 7) AS y(y),
+       generate_series(0, 2) AS c(c)
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       ROUND(SUM(v) / 192.0, 4) AS mean_pixel
+FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+"""
+
+
+@register("video_frame_sample", _FRAMES_SQL)
+def video_frame_sample(sf_dir: str):
+    """Multimodal video path: synthesize a 6-frame container per doc
+    (concatenated encoded frames — the opaque-binary-column pattern),
+    frame-sample every 2nd frame (stages/images.sample_frames), emit one
+    row per sampled frame with its decoded pixel mean.  The oracle
+    recomputes the sampled frames' means from the generator formula in
+    pure SQL, so the container offsets / stride / per-frame decode are all
+    oracle-checked."""
+    from demeter_ray.stages.images import sample_frames
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def build_containers(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = []
+        for i in ids:
+            frames = codec.generate_pixels_batch(
+                int(i) * 31 + np.arange(6, dtype=np.int64), 8, 8
+            )
+            blobs.append(b"".join(codec.encode_batch(frames, "png")))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "video": pa.array(blobs, pa.binary())}
+        )
+
+    def sample_and_stats(batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_mean = [], [], []
+        for i, blob in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False), batch["video"].to_pylist()
+        ):
+            frames = sample_frames(blob, every=2)
+            for j, px in enumerate(frames):
+                out_id.append(int(i))
+                out_idx.append(j * 2)
+                out_mean.append(px.astype(np.int64).sum() / 192.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "mean_pixel": pa.array(duck_round(np.array(out_mean), 4)),
+            }
+        )
+
+    out = (
+        ds.map_batches(build_containers, batch_format="pyarrow", batch_size=256)
+        .map_batches(sample_and_stats, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+@register("embedding_lsh_neardup", None)
+def embedding_lsh_neardup(sf_dir: str):
+    """Distributed scale path of embedding_neardup_pairs: random-hyperplane
+    LSH banding + groupby shuffle + in-bucket exact cosine verify.
+    Precision is exact (the verify is exact cosine); recall vs the O(N^2)
+    oracle measured 0.97 at sf0.01 (rows-only; parity bound pinned in
+    tests/test_simsearch.py)."""
+    from demeter_ray.stages.simsearch import lsh_cosine_neardup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = lsh_cosine_neardup(ds, threshold=0.4)
+    return out[["a_id", "b_id"]]

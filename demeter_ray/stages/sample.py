@@ -151,3 +151,93 @@ def sample_tiles_at_crs(tiles_with_crs, lons, lats) -> np.ndarray:
         out[hit] = vals[hit]
         unassigned &= ~hit
     return out
+
+
+def shard_tiles(raster_tiles: pa.Table, dataset: str, prefix_res: int,
+                statistic=None, depth_top=None) -> dict:
+    """Shard a dataset's tiles by coarse cell: each tile is replicated into
+    every prefix cell its lon/lat envelope touches (projected tiles map
+    their corner envelope through crs_inverse first), so any point's
+    covering tiles are all present in the point's own shard and the
+    sorted-tile_id overlap order is preserved.  One ``ray.put`` object per
+    shard — the whole tile table never broadcasts as one payload."""
+    tiles = load_tiles(raster_tiles, dataset, statistic, depth_top, with_crs=True)
+    shards: dict[int, list] = {}
+    for row in tiles:
+        left, bottom, right, top = row[4]
+        crs = row[5]
+        xs = np.array([left, right, left, right])
+        ys = np.array([bottom, bottom, top, top])
+        lon, lat = geo.crs_inverse(crs, xs, ys)
+        cxs, cys = geo.cover_bbox(lon.min(), lat.min(), lon.max(), lat.max(), prefix_res)
+        for cell in geo.cell_id_from_xy(cxs, cys):
+            shards.setdefault(int(cell), []).append(row)
+    return {
+        cell: ray.put(sorted(rows, key=lambda t: t[0]))
+        for cell, rows in shards.items()
+    }
+
+
+class ShardedSampleActor:
+    """Per-prefix tile sets with an actor-local LRU (the sharded_pip_join
+    pattern): worker memory is bounded by ``cache_size`` shards, not the
+    tile table."""
+
+    def __init__(self, shard_refs: dict, prefix_res: int, out_col: str,
+                 cache_size: int = 8):
+        from collections import OrderedDict
+
+        self.shard_refs = shard_refs
+        self.prefix_res = prefix_res
+        self.out_col = out_col
+        self.cache_size = cache_size
+        self._cache: "OrderedDict[int, list]" = OrderedDict()
+
+    def _tiles(self, prefix: int) -> list:
+        tiles = self._cache.get(prefix)
+        if tiles is not None:
+            self._cache.move_to_end(prefix)
+            return tiles
+        tiles = ray.get(self.shard_refs[prefix])
+        self._cache[prefix] = tiles
+        while len(self._cache) > self.cache_size:
+            self._cache.popitem(last=False)
+        return tiles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lons = batch["lon"].to_numpy(zero_copy_only=False)
+        lats = batch["lat"].to_numpy(zero_copy_only=False)
+        prefixes = geo.cell_id(lons, lats, self.prefix_res)
+        vals = np.full(len(lons), np.nan, dtype=np.float64)
+        for p in np.unique(prefixes):
+            if int(p) not in self.shard_refs:
+                continue
+            sel = np.flatnonzero(prefixes == p)
+            vals[sel] = sample_tiles_at_crs(self._tiles(int(p)), lons[sel], lats[sel])
+        col = pa.array(vals, pa.float64(), from_pandas=True)  # NaN -> null
+        return batch.append_column(self.out_col, col)
+
+
+def sharded_sample_join(
+    ds: ray.data.Dataset,
+    raster_tiles: pa.Table,
+    dataset: str,
+    prefix_res: int = 11,
+    statistic=None,
+    depth_top=None,
+    out_col=None,
+    concurrency=4,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """The multi-region scale path of ``sample_join``: tiles shard by
+    coarse cell, points route per batch through an actor-local LRU.
+    Identical output to the broadcast path (parity-tested)."""
+    out_col = out_col or dataset
+    shard_refs = shard_tiles(raster_tiles, dataset, prefix_res, statistic, depth_top)
+    return ds.map_batches(
+        ShardedSampleActor,
+        fn_constructor_args=(shard_refs, prefix_res, out_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=fitted_pool(concurrency) if isinstance(concurrency, int) else concurrency,
+    )

@@ -158,3 +158,128 @@ def ivf_topk(
         pd.concat(out, ignore_index=True)[["query_idx", "rank", "vec_id", "sim"]]
         if out else pd.DataFrame(columns=["query_idx", "rank", "vec_id", "sim"])
     )
+
+
+def lsh_cosine_neardup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.4,
+    n_bits: int = 64,
+    seed: int = 9,
+    max_hamming: int | None = None,
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup, DISTRIBUTED (the scale path of the exact
+    O(N^2) oracle query): random-hyperplane signatures (sign of E @ R, a
+    64-bit code whose Hamming distance estimates the angle), Charikar
+    16-bit chunk bucketing, ``groupby(pkey)`` shuffle, and in-bucket EXACT
+    cosine verification over the bucket's own embeddings — so precision is
+    exact and only recall depends on the LSH (pairs within ``max_hamming``
+    of a shared chunk).  Driver only materializes verified pairs."""
+    from demeter_ray.stages.dedup import _bucket_pair_indices, _n_partitions
+    import math
+
+    if max_hamming is None:
+        # expected Hamming at the threshold angle + slack (prefilter only —
+        # the exact cosine verify below decides membership)
+        max_hamming = int(n_bits * math.acos(threshold) / math.pi + 0.5) + 8
+
+    def signature(batch: pa.Table) -> pa.Table:
+        E = _normalize(_emb_matrix(batch))
+        rng = np.random.RandomState(seed)
+        Rm = rng.standard_normal((E.shape[1], n_bits))
+        bits = (E @ Rm) > 0
+        code = np.zeros(len(E), dtype=np.uint64)
+        for b in range(n_bits):
+            code |= bits[:, b].astype(np.uint64) << np.uint64(b)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "code": pa.array(code.view(np.int64), pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    sigs = ds.map_batches(signature, batch_format="pyarrow").materialize()
+    n = sigs.count()
+    empty = pd.DataFrame(
+        {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+         "sim": pd.Series(dtype="float64")}
+    )
+    if n < 2:
+        return empty
+    npart = _n_partitions(n * 16)
+
+    # 16 bands of 4 bits: a pair sharing ANY band becomes a candidate —
+    # pigeonhole guarantees candidacy up to Hamming 15/64, and at the
+    # cosine-0.4 angle (p_bit ≈ 0.63) P(any band matches) ≈ 0.94.  Wider
+    # corpora should raise bits-per-band (selectivity ~ 2^bits) — the
+    # classic banding tradeoff, same as the MinHash path.
+    n_bands, band_bits = 16, 4
+
+    def emit(batch: pa.Table) -> pa.Table:
+        code = batch["code"].to_numpy(zero_copy_only=False).view(np.uint64)
+        mask = np.uint64((1 << band_bits) - 1)
+        keys = np.empty((n_bands, len(code)), dtype=np.int64)
+        for chunk in range(n_bands):
+            val = (code >> np.uint64(band_bits * chunk)) & mask
+            keys[chunk] = (val | np.uint64(chunk << 16)).astype(np.int64)
+        bkey = keys.ravel()
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        rep = pa.chunked_array([emb] * n_bands).combine_chunks()
+        return pa.table(
+            {
+                "pkey": pa.array(bkey % npart, pa.int64()),
+                "bkey": pa.array(bkey, pa.int64()),
+                "vec_id": pa.array(
+                    np.tile(batch["vec_id"].to_numpy(zero_copy_only=False), n_bands),
+                    pa.int64(),
+                ),
+                "code": pa.array(np.tile(code.view(np.int64), n_bands), pa.int64()),
+                "embedding": rep,
+            }
+        )
+
+    rows = sigs.map_batches(emit, batch_format="pyarrow")
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty
+        bkey = g["bkey"].to_numpy()
+        ids = g["vec_id"].to_numpy()
+        code = g["code"].to_numpy()
+        E = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        order = np.lexsort((ids, bkey))
+        bkey, ids, code, E = bkey[order], ids[order], code[order], E[order]
+        ai, bi, _capped = _bucket_pair_indices(bkey)
+        if len(ai) == 0:
+            return empty
+        # hamming prefilter on the full 64-bit code, then exact cosine
+        x = (code[ai].view(np.uint64)) ^ (code[bi].view(np.uint64))
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        ham = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+        keep = ham <= max_hamming
+        ai, bi = ai[keep], bi[keep]
+        if len(ai) == 0:
+            return empty
+        sim = np.einsum("ij,ij->i", E[ai], E[bi])
+        good = sim >= threshold
+        if not good.any():
+            return empty
+        out = pd.DataFrame(
+            {
+                "a_id": np.minimum(ids[ai[good]], ids[bi[good]]),
+                "b_id": np.maximum(ids[ai[good]], ids[bi[good]]),
+                "sim": sim[good],
+            }
+        )
+        return out.drop_duplicates(["a_id", "b_id"])
+
+    out = rows.groupby("pkey").map_groups(bucket_verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty
+    out = out.drop_duplicates(["a_id", "b_id"])
+    out["sim"] = np.round(out["sim"], 6)
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)

@@ -72,3 +72,38 @@ def test_shards_are_actually_split(ray_session, tiny_fixtures):
         total += len(ids)
     # replication across shard boundaries means total >= n_polygons
     assert total >= fields.num_rows
+
+
+def test_sharded_sample_matches_broadcast(ray_session, tiny_fixtures):
+    """sharded_sample_join == sample_join for every probe point, across
+    shard resolutions, including nodata holes and the UTM tile path."""
+    import pyarrow.parquet as pq
+
+    from demeter_ray.stages import sample as smp
+
+    tiles = pq.read_table(f"{tiny_fixtures}/raster_tiles.parquet")
+    rng = np.random.RandomState(9)
+    n = 10_000
+    pts = pd.DataFrame(
+        {
+            "pt_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(LON0 - 0.05, LON1 + 0.05, n),
+            "lat": rng.uniform(LAT0 - 0.05, LAT1 + 0.05, n),
+        }
+    )
+    ds = ray.data.from_pandas(pts).repartition(4)
+    for dataset, stat, dtop in [("elevation", None, None), ("om", "mean", 0)]:
+        base = (
+            smp.sample_join(ds, tiles, dataset, statistic=stat, depth_top=dtop, concurrency=2)
+            .to_pandas().sort_values("pt_id").reset_index(drop=True)
+        )
+        for prefix_res in (10, 12):
+            sharded = (
+                smp.sharded_sample_join(
+                    ds, tiles, dataset, prefix_res=prefix_res,
+                    statistic=stat, depth_top=dtop, concurrency=2,
+                )
+                .to_pandas().sort_values("pt_id").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(base, sharded)
+        assert base[dataset].notna().mean() > 0.5

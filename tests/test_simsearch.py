@@ -66,3 +66,31 @@ def test_centroids_deterministic():
     c1 = train_ivf_centroids(X, 8)
     c2 = train_ivf_centroids(X, 8)
     np.testing.assert_array_equal(c1, c2)
+
+def test_lsh_cosine_neardup_precision_and_recall(ray_session):
+    """Distributed LSH near-dup: every emitted pair is exact-verified
+    (precision 1.0); banding recall >= 0.9 vs brute force at the threshold."""
+    import ray.data
+
+    from demeter_ray.stages.simsearch import _normalize, lsh_cosine_neardup
+
+    rng = np.random.RandomState(17)
+    base = rng.standard_normal((120, 32))
+    # plant 40 near-dup partners: small perturbations of the first 40
+    partners = base[:40] + rng.standard_normal((40, 32)) * 0.35
+    E = np.concatenate([base, partners])
+    ids = np.arange(len(E), dtype=np.int64)
+    import pandas as pd
+
+    df = pd.DataFrame({"vec_id": ids, "embedding": [list(v) for v in E.astype(np.float64)]})
+    ds = ray.data.from_pandas(df)
+    got = lsh_cosine_neardup(ds, threshold=0.8)
+    En = _normalize(E)
+    S = En @ En.T
+    iu = np.triu_indices(len(ids), 1)
+    hit = S[iu] >= 0.8
+    exact = set(zip(iu[0][hit], iu[1][hit]))
+    gp = set(zip(got["a_id"], got["b_id"]))
+    assert gp <= exact  # precision 1.0 (exact verify)
+    assert len(gp & exact) / max(1, len(exact)) >= 0.9
+    assert len(exact) >= 30  # the planted partners are present
