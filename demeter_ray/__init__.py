@@ -43,7 +43,8 @@ def ship_code_to_workers() -> None:
         "demeter_ray.functions.scenes", "demeter_ray.functions.text",
         "demeter_ray.functions.warp",
         "demeter_ray.sources.fixtures",
-        "demeter_ray.sources.tables", "demeter_ray.stages.cells",
+        "demeter_ray.sources.tables", "demeter_ray.sources.ziptiles",
+        "demeter_ray.stages.cells",
         "demeter_ray.stages.components",
         "demeter_ray.stages.dedup", "demeter_ray.stages.depthagg",
         "demeter_ray.stages.hydro", "demeter_ray.stages.images",

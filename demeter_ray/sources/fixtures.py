@@ -41,7 +41,7 @@ SCALES = {
 }
 
 FIXTURE_ROOT = "/tmp/demeter_ray_fixtures"
-FIXTURE_VERSION = "11"
+FIXTURE_VERSION = "13"
 
 
 def fixture_dir(scale: str) -> str:
@@ -346,6 +346,9 @@ def make_raster_tiles() -> pa.Table:
     rows = []
 
     def add(dataset, stat, dtop, dbot, tx, ty, px, nodata, dtype, transform=None):
+        t = transform or _tile_transform(tx, ty)
+        h, w = px.shape
+        bounds = geo.raster_bounds(t, h, w)
         rows.append(
             dict(
                 dataset=dataset,
@@ -354,12 +357,16 @@ def make_raster_tiles() -> pa.Table:
                 depth_bottom_cm=dbot,
                 tile_id=f"{tx}_{ty}",
                 band=1,
-                h=px.shape[0],
-                w=px.shape[1],
+                h=h,
+                w=w,
                 dtype=dtype,
                 nodata=nodata,
-                transform=transform or _tile_transform(tx, ty),
+                transform=t,
                 crs="EPSG:4326",
+                # tile envelope as flat columns so windowed reads can push
+                # the bbox predicate into the parquet scan (S5 / "prune at
+                # the read")
+                minx=bounds[0], miny=bounds[1], maxx=bounds[2], maxy=bounds[3],
                 pixels=px.astype(dtype).tobytes(),
             )
         )
@@ -460,6 +467,12 @@ def make_raster_tiles() -> pa.Table:
              pixels=elevation_value(ngc, ngr).astype("float32").tobytes())
     )
 
+    # every row carries its envelope as flat columns (windowed reads push
+    # the bbox predicate into the parquet scan — S5 "prune at the read")
+    for r in rows:
+        if "minx" not in r:
+            b = geo.raster_bounds(tuple(r["transform"]), r["h"], r["w"])
+            r["minx"], r["miny"], r["maxx"], r["maxy"] = b
     tbl = {k: [r[k] for r in rows] for k in rows[0]}
     return pa.table(
         {
@@ -475,6 +488,10 @@ def make_raster_tiles() -> pa.Table:
             "nodata": pa.array(tbl["nodata"], pa.float64()),
             "transform": pa.array(tbl["transform"], pa.list_(pa.float64(), 6)),
             "crs": pa.array(tbl["crs"], pa.string()),
+            "minx": pa.array(tbl["minx"], pa.float64()),
+            "miny": pa.array(tbl["miny"], pa.float64()),
+            "maxx": pa.array(tbl["maxx"], pa.float64()),
+            "maxy": pa.array(tbl["maxy"], pa.float64()),
             "pixels": pa.array(tbl["pixels"], pa.binary()),
         }
     )
@@ -681,8 +698,21 @@ def generate(scale: str = "tiny", force: bool = False) -> str:
         make_fragments(horizons["horizon_key"].to_pylist()),
         os.path.join(out, "fragments.parquet"),
     )
-    pq.write_table(make_raster_tiles(), os.path.join(out, "raster_tiles.parquet"))
-    pq.write_table(make_catchment_vat(), os.path.join(out, "catchment_vat.parquet"))
+    raster_tiles = make_raster_tiles()
+    pq.write_table(raster_tiles, os.path.join(out, "raster_tiles.parquet"))
+    catchment_vat = make_catchment_vat()
+    pq.write_table(catchment_vat, os.path.join(out, "catchment_vat.parquet"))
+    # the S12 zip container: catchment tiles + VAT sidecar in one archive
+    from demeter_ray.sources import ziptiles
+
+    cat = raster_tiles.filter(
+        pa.compute.equal(raster_tiles["dataset"], "cat")
+    ).to_pylist()
+    ziptiles.write_zip_tiles(
+        os.path.join(out, "catchment.zip"),
+        cat,
+        catchment_vat.to_pylist(),
+    )
     pq.write_table(make_points(), os.path.join(out, "points.parquet"))
     pq.write_table(make_depths(), os.path.join(out, "depths.parquet"))
     pq.write_table(make_scenes(), os.path.join(out, "scenes.parquet"))

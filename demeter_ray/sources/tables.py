@@ -44,3 +44,24 @@ def read_images(path: str, columns=None) -> ray.data.Dataset:
         except Exception:
             pass
     return ray.data.read_parquet(path, columns=columns)
+
+
+def read_tiles_window(path: str, bounds, dataset: str | None = None,
+                      columns=None) -> ray.data.Dataset:
+    """Windowed tile read (the reference's windowed COG read, S5): only
+    tile rows whose envelope intersects ``bounds`` leave storage — the bbox
+    predicate and the dataset filter push into the parquet scan as an Arrow
+    dataset expression (row-group pruning), mirroring the byte-range
+    windowed read of a COG.  ``bounds`` = (minx, miny, maxx, maxy) in the
+    tile table's envelope CRS (EPSG:4326 columns)."""
+    import pyarrow.dataset as pads
+
+    minx, miny, maxx, maxy = bounds
+    f = pads.field
+    expr = (
+        (f("minx") < maxx) & (f("maxx") > minx)
+        & (f("miny") < maxy) & (f("maxy") > miny)
+    )
+    if dataset is not None:
+        expr = expr & (f("dataset") == dataset)
+    return ray.data.read_parquet(path, columns=columns, filter=expr)

@@ -4,6 +4,8 @@ and hydrography catchment remap/histogram semantics."""
 import warnings
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -109,3 +111,34 @@ def test_remap_catchments_dataset(ray_session, tiny_fixtures):
     px = np.frombuffer(out.iloc[0]["pixels"], dtype="float64")
     valid = px[~np.isnan(px)]
     assert (valid > 10_000_000_000_000).all()
+
+def test_zip_tiles_roundtrip_and_histogram(ray_session, tiny_fixtures):
+    """S12: the zip container (catchment tiles + VAT sidecar) parses into
+    the standard tile schema and yields the same catchment histogram as the
+    parquet-sourced path."""
+    import ray.data
+
+    from demeter_ray.sources.ziptiles import read_zip_tiles
+    from demeter_ray.stages.hydro import catchment_histogram_from_pixels
+
+    tiles_tbl, vat_tbl = read_zip_tiles(f"{tiny_fixtures}/catchment.zip")
+    assert tiles_tbl.num_rows == 25  # 5x5 cat tiles
+    ref_tiles = pq.read_table(f"{tiny_fixtures}/raster_tiles.parquet")
+    ref_cat = ref_tiles.filter(pa.compute.equal(ref_tiles["dataset"], "cat"))
+    # byte-identical payloads + identical headers per tile
+    z = {t: (h, w, px) for t, h, w, px in zip(
+        tiles_tbl["tile_id"].to_pylist(), tiles_tbl["h"].to_pylist(),
+        tiles_tbl["w"].to_pylist(), tiles_tbl["pixels"].to_pylist())}
+    for t, h, w, px in zip(ref_cat["tile_id"].to_pylist(), ref_cat["h"].to_pylist(),
+                           ref_cat["w"].to_pylist(), ref_cat["pixels"].to_pylist()):
+        assert z[t] == (h, w, px)
+    ref_vat = pq.read_table(f"{tiny_fixtures}/catchment_vat.parquet")
+    assert vat_tbl.to_pydict() == ref_vat.to_pydict()
+    # same histogram through the Ray pipeline from the zip-sourced tiles
+    zip_hist = catchment_histogram_from_pixels(
+        ray.data.from_arrow(tiles_tbl), vat_tbl
+    )
+    parq_hist = catchment_histogram_from_pixels(
+        ray.data.read_parquet(f"{tiny_fixtures}/raster_tiles.parquet"), ref_vat
+    )
+    pd.testing.assert_frame_equal(zip_hist, parq_hist)

@@ -184,3 +184,37 @@ def test_merge_in_map_groups(ray_session, tiny_fixtures):
     om_tiles = load_tiles(tbl, "om", "mean", 0)
     with pytest.warns(OverlappingPixelsWarning):
         merge_tiles(om_tiles, method="first", check_overlap=True)
+
+
+def test_read_tiles_window_prunes_at_the_read(ray_session, tiny_fixtures):
+    """S5 windowed read: only envelope-intersecting tile rows leave the
+    scan, and the windowed merge equals the full merge cropped to the same
+    bounds."""
+    from demeter_ray.sources.fixtures import LAT0, LON0, TILE_DEG
+    from demeter_ray.sources.tables import read_tiles_window
+
+    path = f"{tiny_fixtures}/raster_tiles.parquet"
+    # a window covering (only) the 2x2 southwest tiles
+    win = (LON0 + 0.01, LAT0 + 0.01, LON0 + 2 * TILE_DEG - 0.01, LAT0 + 2 * TILE_DEG - 0.01)
+    ds = read_tiles_window(path, win, dataset="elevation")
+    got = ds.to_pandas()
+    assert set(got["tile_id"]) == {"0_0", "0_1", "1_0", "1_1"}
+    # a window outside the fixture geography reads nothing
+    assert read_tiles_window(path, (0, 0, 1, 1), dataset="elevation").count() == 0
+    # windowed merge == full merge cropped to the window
+    import pyarrow.parquet as pq
+
+    from demeter_ray.stages.merge import merge_tiles
+    from demeter_ray.stages.sample import load_tiles
+
+    windowed_tiles = []
+    for _, r in got.iterrows():
+        px = np.frombuffer(r["pixels"], dtype=r["dtype"]).reshape(r["h"], r["w"])
+        t = tuple(r["transform"])
+        windowed_tiles.append((r["tile_id"], px, t, r["nodata"],
+                               (r["minx"], r["miny"], r["maxx"], r["maxy"])))
+    m_win, t_win, _ = merge_tiles(windowed_tiles, method="first", bounds=win)
+    all_tiles = load_tiles(pq.read_table(path), "elevation")
+    m_all, t_all, _ = merge_tiles(all_tiles, method="first", bounds=win)
+    assert t_win == t_all
+    np.testing.assert_array_equal(m_win.filled(np.nan), m_all.filled(np.nan))
