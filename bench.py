@@ -65,6 +65,7 @@ def run_benchmarks() -> dict:
 
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401
     import demeter_ray.pipelines.oracle_text  # noqa: F401
+    import demeter_ray.pipelines.oracle_extra  # noqa: F401
     from demeter_ray.pipelines import flagship
     from demeter_ray.pipelines.relational import QUERIES
 
@@ -102,9 +103,14 @@ def run_benchmarks() -> dict:
         "mosaic_merge_reduce",
         "exact_dedup_docs",
         "minhash_lsh_neardup_docs",
+        "simhash_neardup_docs",
+        "dedup_components_docs",
         "knn_embeddings_top5",
         "embedding_neardup_pairs",
+        "embedding_lsh_neardup",
         "image_decode_stats",
+        "video_frame_sample",
+        "sliding_window_events",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

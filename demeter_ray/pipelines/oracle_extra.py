@@ -49,10 +49,31 @@ def ndvi_zone_statistics_q(sf_dir: str):
     return out.drop(columns=["pixels"])
 
 
-@register("catchment_histogram", None)
+# the fixture catchment field is pure modular arithmetic
+# (fixtures.catchment_value), so the full remap+histogram pipeline is
+# SQL-recomputable: code = (tidx*7 + (r+c)//32) % 11 + 1 per 64x64 tile,
+# VAT id = 1e13 + code*17 + tidx, code 11 deliberately unmapped (dropped)
+_CATCHMENT_HIST_SQL = """
+WITH px AS (
+  SELECT (t.tx * 5 + t.ty) AS tidx,
+         ((t.tx * 5 + t.ty) * 7 + (r.r + c.c) // 32) % 11 + 1 AS code
+  FROM (SELECT a.a AS tx, b.b AS ty
+        FROM generate_series(0, 4) a(a), generate_series(0, 4) b(b)) t,
+       generate_series(0, 63) r(r), generate_series(0, 63) c(c)
+)
+SELECT CAST(10000000000000 + code * 17 + tidx AS BIGINT) AS catchment_id,
+       COUNT(*) AS n_pixels
+FROM px WHERE code <> 11
+GROUP BY catchment_id ORDER BY catchment_id
+"""
+
+
+@register("catchment_histogram", _CATCHMENT_HIST_SQL)
 def catchment_histogram_q(sf_dir: str):
     """Hydrography pixel-count histogram per global catchment id
-    (usgs/hydrography.py:211-323 semantics)."""
+    (usgs/hydrography.py:211-323 semantics): remap every cat tile through
+    its VAT, count pixels per global id.  The oracle recomputes the whole
+    remap+histogram from the deterministic field formula in pure SQL."""
     import pyarrow.parquet as pq
     import ray.data
 
