@@ -907,3 +907,102 @@ def sliding_window_events(sf_dir: str):
     )
     out["sum_value"] = duck_round(out["sum_value"], 2)
     return out.sort_values(["user_id", "window_start_hour"]).reset_index(drop=True)
+
+
+def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
+                      suffix: str = "asof_"):
+    """As-of join: for every left row, the right row with the LARGEST
+    ``ts_col`` <= the left row's, within the same ``key`` partition — the
+    point-in-time lookup streaming engines call ASOF JOIN.  Both sides
+    shuffle once on the key; within each group the match is one vectorized
+    ``searchsorted`` against the sorted right side (no per-row Python).
+
+    Right-side rows must be unique per (key, ts) — pre-aggregate ties
+    before calling (the oracle's determinism requirement too)."""
+    import ray.data  # noqa: F401
+
+    # the union null-fills each side's missing columns, which floats the
+    # left side's int columns; remember the left int dtypes to restore after
+    # (Ray schemas expose Arrow types for Arrow blocks, numpy for pandas)
+    sch = a_ds.schema(fetch_if_missing=True)
+    left_int_cols = {}
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            if pa.types.is_integer(typ):
+                left_int_cols[name] = typ.to_pandas_dtype()
+        elif np.issubdtype(np.dtype(typ), np.integer):
+            left_int_cols[name] = np.dtype(typ)
+    a_tag = a_ds.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    b_tag = b_ds.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    both = a_tag.union(b_tag)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["__side"] == 0].sort_values(ts_col, kind="mergesort")
+        b = g[g["__side"] == 1].sort_values(ts_col, kind="mergesort")
+        out = a.drop(columns=["__side"] + [c for c in b_cols if c in a.columns])
+        for name, dt in left_int_cols.items():
+            if name in out.columns:
+                out[name] = out[name].astype(dt)
+        if len(b) == 0:
+            for c in b_cols:
+                out[suffix + c] = np.full(len(a), np.nan)
+            return out
+        pos = np.searchsorted(b[ts_col].to_numpy(), a[ts_col].to_numpy(), side="right") - 1
+        hit = pos >= 0
+        for c in b_cols:
+            # float64 carrier so misses are NaN regardless of the source
+            # dtype; callers cast to nullable ints at the boundary
+            vals = b[c].to_numpy()[np.clip(pos, 0, None)].astype(np.float64)
+            out[suffix + c] = np.where(hit, vals, np.nan)
+        return out
+
+    return both.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+_ASOF_SQL = """
+WITH b AS (
+  SELECT user_id, ts, MAX(event_id) AS b_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT a.event_id, a.user_id,
+       CAST(COALESCE(b.b_event_id, -1) AS BIGINT) AS asof_b_event_id
+FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY a.event_id
+"""
+
+
+@register("asof_join_purchase_view", _ASOF_SQL)
+def asof_join_purchase_view(sf_dir: str):
+    """Each purchase event joined to the same user's latest view event at or
+    before it (ASOF LEFT JOIN) — ties on (user, ts) pre-aggregated to the
+    max event_id so both sides are deterministic."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    a = ds.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    b_raw = ds.filter(expr="event_type == 'view'").drop_columns(["event_type"])
+
+    def b_partial(t: pd.DataFrame) -> pd.DataFrame:
+        g = t.groupby(["user_id", "ts"], as_index=False).agg(b_event_id=("event_id", "max"))
+        return g
+
+    b_df = partial_shuffle_combine(
+        b_raw, b_partial, ["user_id", "ts"], ["b_event_id"],
+        batch_format="pandas", agg="max",
+    )
+    import ray.data as rd
+
+    b = rd.from_pandas(b_df)
+    out = asof_join_grouped(a, b, "user_id", "ts", ["b_event_id"]).to_pandas()
+    # misses -> -1 (both sides) so the column stays plain int64 for hashing
+    out["asof_b_event_id"] = (
+        out["asof_b_event_id"].fillna(-1).astype(np.int64)
+    )
+    return out[["event_id", "user_id", "asof_b_event_id"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)

@@ -71,3 +71,20 @@ def test_partial_shuffle_combine_gate_parity(ray_session):
     a = drv.sort_values(["g", "h"]).reset_index(drop=True)
     b = shf[["g", "h", "n", "s"]].sort_values(["g", "h"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), check_exact=False, rtol=1e-12)
+
+
+def test_asof_join_grouped_semantics(ray_session):
+    """As-of join: latest right row at-or-before each left row, per key —
+    exact-timestamp inclusivity, cross-key isolation, empty right side."""
+    a = pd.DataFrame({"k": [1, 1, 1, 2, 3], "t": [10, 20, 30, 15, 5],
+                      "aid": [100, 101, 102, 103, 104]})
+    b = pd.DataFrame({"k": [1, 1, 2], "t": [10, 25, 50], "bval": [7, 9, 11]})
+    out = relational.asof_join_grouped(
+        ray.data.from_pandas(a), ray.data.from_pandas(b), "k", "t", ["bval"]
+    ).to_pandas().sort_values("aid").reset_index(drop=True)
+    got = dict(zip(out["aid"], out["asof_bval"]))
+    assert got[100] == 7.0        # exact-ts match is inclusive (t >= b.t)
+    assert got[101] == 7.0        # before the 25 row
+    assert got[102] == 9.0        # latest of the two
+    assert np.isnan(got[103])     # b row at t=50 is in the future
+    assert np.isnan(got[104])     # key 3 has no right rows at all
