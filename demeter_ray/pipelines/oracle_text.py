@@ -496,3 +496,22 @@ def embedding_lsh_neardup(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = lsh_cosine_neardup(ds, threshold=0.4)
     return out[["a_id", "b_id"]]
+
+
+_QUANTILE_SQL = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS q50,
+       ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS q90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("quantiles_quantity_by_flag", _QUANTILE_SQL)
+def quantiles_quantity_by_flag(sf_dir: str):
+    """Exact distributed quantiles via the mergeable count-histogram sketch
+    (values are domain-bounded integers, so the histogram is exact and tiny;
+    interpolation matches SQL QUANTILE_CONT)."""
+    from demeter_ray.stages.sketches import grouped_exact_quantiles
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return grouped_exact_quantiles(ds, "l_returnflag", "l_quantity", [0.5, 0.9])

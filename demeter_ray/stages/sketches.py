@@ -112,3 +112,41 @@ def approx_distinct_tokens(ds_docs: ray.data.Dataset, p: int = 12) -> float:
     for regs in parts["registers"]:
         merged = np.maximum(merged, np.asarray(regs, dtype=np.int64))
     return hll_estimate(merged)
+
+
+def grouped_exact_quantiles(ds, key: str, val: str, qs, round_to: int = 4):
+    """EXACT distributed quantiles for low-cardinality value domains: the
+    sketch is a per-(key, value) count histogram — mergeable by summation,
+    tiny relative to the data (domain-bounded, not row-bounded) — and the
+    quantile resolves from cumulative counts with the standard linear
+    interpolation (h = (n-1) q), matching SQL QUANTILE_CONT bit-for-bit.
+    Values never shuffle; only (key, value, count) rows do."""
+    import pandas as pd
+
+    from demeter_ray.pipelines.relational import duck_round, partial_shuffle_combine
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([key, val], as_index=False).agg(n=(val, "size"))
+        return g
+
+    hist = partial_shuffle_combine(ds, partial, [key, val], ["n"], batch_format="pandas")
+    out_rows = []
+    for k, g in hist.groupby(key):
+        g = g.sort_values(val)
+        values = g[val].to_numpy(dtype=np.float64)
+        counts = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        row = {key: k}
+        for q in qs:
+            h = (n - 1) * q
+            lo_i = int(np.searchsorted(cum, np.floor(h) + 1, side="left"))
+            hi_i = int(np.searchsorted(cum, np.floor(h) + 2, side="left"))
+            lo_v = values[min(lo_i, len(values) - 1)]
+            hi_v = values[min(hi_i, len(values) - 1)]
+            row[f"q{int(q * 100)}"] = float(lo_v + (h - np.floor(h)) * (hi_v - lo_v))
+        out_rows.append(row)
+    out = pd.DataFrame(out_rows)
+    for q in qs:
+        out[f"q{int(q * 100)}"] = duck_round(out[f"q{int(q * 100)}"], round_to)
+    return out.sort_values(key).reset_index(drop=True)

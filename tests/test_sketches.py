@@ -43,3 +43,28 @@ def test_approx_distinct_ray(ray_session):
     exact = ds.to_pandas()["user_id"].nunique()
     est = approx_distinct(ds, "user_id", p=12)
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+def test_grouped_exact_quantiles_matches_numpy(ray_session):
+    """Count-histogram quantiles == numpy linear-interpolation percentiles
+    (the QUANTILE_CONT convention) on every group, odd and even counts."""
+    import pandas as pd
+    import ray.data
+
+    from demeter_ray.stages.sketches import grouped_exact_quantiles
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 5000),
+            "v": rng.randint(0, 40, 5000).astype(np.float64),
+        }
+    )
+    # odd-count group for the integer-h path
+    df = pd.concat([df, pd.DataFrame({"k": ["d"] * 7, "v": [1.0, 2, 3, 4, 5, 6, 7]})])
+    ds = ray.data.from_pandas(df.reset_index(drop=True)).repartition(6)
+    out = grouped_exact_quantiles(ds, "k", "v", [0.5, 0.9])
+    for _, r in out.iterrows():
+        vals = df[df["k"] == r["k"]]["v"].to_numpy()
+        assert r["q50"] == pytest.approx(np.percentile(vals, 50), abs=1e-4)
+        assert r["q90"] == pytest.approx(np.percentile(vals, 90), abs=1e-4)
+    assert out[out["k"] == "d"]["q50"].iloc[0] == 4.0
