@@ -515,3 +515,37 @@ def quantiles_quantity_by_flag(sf_dir: str):
 
     ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
     return grouped_exact_quantiles(ds, "l_returnflag", "l_quantity", [0.5, 0.9])
+
+
+_SPLIT_SQL = """
+SELECT lang,
+       CASE WHEN (doc_id * 2654435761) % 97 < 78 THEN 'train'
+            WHEN (doc_id * 2654435761) % 97 < 88 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+@register("stratified_split_docs", _SPLIT_SQL)
+def stratified_split_docs(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10-ish via a multiplicative
+    hash of the id — the reproducible dataset-split every training pipeline
+    needs; no RNG state, any worker computes the same split), summarized per
+    language stratum."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["doc_id"].to_numpy(dtype=np.int64) * 2654435761) % 97
+        split = np.where(h < 78, "train", np.where(h < 88, "val", "test"))
+        g = b.assign(split=split).groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("doc_id", "size")
+        )
+        return g
+
+    out = partial_shuffle_combine(
+        ds, partial, ["lang", "split"], ["n_docs"], batch_format="pandas"
+    )
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
