@@ -125,9 +125,18 @@ def _mix_columns(cols: np.ndarray, salt: int) -> np.ndarray:
 
 
 def _make_band_emitter(num_perm: int, bands: int, n_partitions: int):
-    """map_batches fn: one (pkey, bkey, doc_id, sig) row per doc per band.
-    The full signature rides along so the estimate prefilter runs inside the
-    partition task (only signatures shuffle; tokens never do)."""
+    """map_batches fn emitting two row kinds into the shuffle stream:
+
+    - one slim (pkey, bkey, doc_id, sig=null) row per doc per band — the
+      bucket membership;
+    - one (pkey, bkey=-1, doc_id, sig) row per DISTINCT (doc, partition)
+      pair — the signature payload the partition task needs for the
+      estimate prefilter.
+
+    A doc hits at most min(bands, n_partitions) distinct partitions, so the
+    signature ships ~bands/n_partitions-fold less than attaching it to every
+    band row (4x at 32 bands / 8 partitions) — the shuffle volume is the
+    dominant cost of this operator at scale."""
     rows = num_perm // bands
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -139,15 +148,35 @@ def _make_band_emitter(num_perm: int, bands: int, n_partitions: int):
             bkeys[b] = _mix_columns(sig[:, b * rows : (b + 1) * rows], b)
         bkey = bkeys.ravel()
         pkey = (bkey % np.uint64(n_partitions)).astype(np.int64)
-        sig_rep = np.tile(sig, (bands, 1))
+        # distinct (doc, pkey) pairs -> signature rows
+        doc_rep = np.tile(np.arange(nd, dtype=np.int64), bands)
+        packed = doc_rep * np.int64(n_partitions) + pkey
+        uniq = np.unique(packed)
+        sdoc = uniq // n_partitions
+        spkey = uniq % n_partitions
+        n_band = bands * nd
+        n_sig = len(uniq)
+        sig_col = np.zeros((n_band + n_sig, num_perm), dtype=np.int64)
+        sig_col[n_band:] = sig[sdoc]
+        validity = np.r_[np.zeros(n_band, dtype=bool), np.ones(n_sig, dtype=bool)]
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig_col.ravel(), pa.int64()), num_perm
+        )
+        # null out the band rows' sig entries (mask = True where NULL)
+        sig_arr = pa.Array.from_buffers(
+            sig_arr.type, len(sig_arr),
+            [pa.array(validity).buffers()[1], ],
+            children=[sig_arr.values],
+        )
         return pa.table(
             {
-                "pkey": pa.array(pkey, pa.int64()),
-                "bkey": pa.array(bkey.view(np.int64), pa.int64()),
-                "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sig_rep.ravel(), pa.int64()), num_perm
+                "pkey": pa.array(np.r_[pkey.astype(np.int64), spkey], pa.int64()),
+                "bkey": pa.array(
+                    np.r_[bkey.view(np.int64), np.full(n_sig, -1, dtype=np.int64)],
+                    pa.int64(),
                 ),
+                "doc_id": pa.array(np.r_[ids[doc_rep], ids[sdoc]], pa.int64()),
+                "sig": sig_arr,
             }
         )
 
@@ -192,11 +221,22 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return empty
-        bkey = g["bkey"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        sig = np.stack(g["sig"].to_numpy())
+        # split the stream: bkey == -1 rows carry this partition's
+        # signatures (one per doc), the rest are bucket memberships
+        is_sig = g["bkey"].to_numpy() == -1
+        sig_rows = g[is_sig]
+        sig_ids = sig_rows["doc_id"].to_numpy()
+        sig_order = np.argsort(sig_ids, kind="mergesort")
+        sig_ids = sig_ids[sig_order]
+        sig_mat = np.stack(sig_rows["sig"].to_numpy()[sig_order])
+        band = g[~is_sig]
+        if len(band) < 2:
+            return empty
+        bkey = band["bkey"].to_numpy()
+        ids = band["doc_id"].to_numpy()
         order = np.lexsort((ids, bkey))
-        bkey, ids, sig = bkey[order], ids[order], sig[order]
+        bkey, ids = bkey[order], ids[order]
+        sig = sig_mat[np.searchsorted(sig_ids, ids)]
         ai, bi, capped = _bucket_pair_indices(bkey)
         if capped:
             print(
