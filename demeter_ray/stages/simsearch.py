@@ -160,101 +160,162 @@ def ivf_topk(
     )
 
 
+def _lsh_banding_params(n: int, threshold: float, target_recall: float = 0.98,
+                        target_bucket: int = 64, max_bands: int = 96):
+    """Size (band_bits r, n_bands b) from the corpus and the cosine
+    threshold (the classic banding tradeoff — selectivity ~ 2^r per band,
+    recall = 1-(1-p^r)^b with p = 1 - acos(t)/pi the per-bit agreement
+    probability at the threshold angle).
+
+    - r keeps the EXPECTED bucket size (~n/2^r for random vectors) at or
+      under ``target_bucket`` so buckets stay below BUCKET_CAP at any
+      corpus size instead of silently degrading to chains;
+    - b is then solved for ``target_recall`` at the threshold and capped.
+    Hyperplane count = r*b (the signature widens with the corpus — a
+    64-bit code can't hold selective bands AND enough bands for recall)."""
+    import math
+
+    r = max(4, min(16, math.ceil(math.log2(max(2.0, n / target_bucket)))))
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    p_band = max(1e-9, p ** r)
+    if p_band >= 1.0 - 1e-12:
+        b = 1
+    else:
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return r, int(min(max_bands, max(4, b)))
+
+
 def lsh_cosine_neardup(
     ds: ray.data.Dataset,
     threshold: float = 0.4,
-    n_bits: int = 64,
     seed: int = 9,
     max_hamming: int | None = None,
+    band_bits: int | None = None,
+    n_bands: int | None = None,
 ) -> pd.DataFrame:
     """Embedding-cosine near-dup, DISTRIBUTED (the scale path of the exact
-    O(N^2) oracle query): random-hyperplane signatures (sign of E @ R, a
-    64-bit code whose Hamming distance estimates the angle), Charikar
-    16-bit chunk bucketing, ``groupby(pkey)`` shuffle, and in-bucket EXACT
-    cosine verification over the bucket's own embeddings — so precision is
-    exact and only recall depends on the LSH (pairs within ``max_hamming``
-    of a shared chunk).  Driver only materializes verified pairs."""
+    O(N^2) oracle query): random-hyperplane band signatures (sign of E @ R),
+    banding sized from the corpus (``_lsh_banding_params``), ``groupby(pkey)``
+    shuffle of SLIM band rows, and in-bucket EXACT cosine verification — so
+    precision is exact and only recall depends on the LSH banding.
+
+    Shuffle layout mirrors the MinHash funnel (dedup._make_band_emitter):
+    band rows ship slim (pkey, bkey, vec_id, code64) and each vector's
+    embedding ships ONCE per DISTINCT partition it touches (<= min(b, npart)
+    copies instead of b copies) — the payload bytes through the shuffle are
+    bounded by npart x corpus, not bands x corpus.  A 64-bit prefilter code
+    (first 64 hyperplanes) rides the slim rows for a cheap Hamming gate
+    before the exact cosine.  Capped buckets are logged, never silent.
+    Driver only materializes verified pairs."""
     from demeter_ray.stages.dedup import _bucket_pair_indices, _n_partitions
     import math
 
     if max_hamming is None:
         # expected Hamming at the threshold angle + slack (prefilter only —
         # the exact cosine verify below decides membership)
-        max_hamming = int(n_bits * math.acos(threshold) / math.pi + 0.5) + 8
+        max_hamming = int(64 * math.acos(threshold) / math.pi + 0.5) + 8
 
-    def signature(batch: pa.Table) -> pa.Table:
-        E = _normalize(_emb_matrix(batch))
-        rng = np.random.RandomState(seed)
-        Rm = rng.standard_normal((E.shape[1], n_bits))
-        bits = (E @ Rm) > 0
-        code = np.zeros(len(E), dtype=np.uint64)
-        for b in range(n_bits):
-            code |= bits[:, b].astype(np.uint64) << np.uint64(b)
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"],
-                "code": pa.array(code.view(np.int64), pa.int64()),
-                "embedding": batch["embedding"],
-            }
-        )
-
-    sigs = ds.map_batches(signature, batch_format="pyarrow").materialize()
-    n = sigs.count()
     empty = pd.DataFrame(
         {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
          "sim": pd.Series(dtype="float64")}
     )
+    n = ds.count()  # metadata read on parquet inputs
     if n < 2:
         return empty
-    npart = _n_partitions(n * 16)
-
-    # 16 bands of 4 bits: a pair sharing ANY band becomes a candidate —
-    # pigeonhole guarantees candidacy up to Hamming 15/64, and at the
-    # cosine-0.4 angle (p_bit ≈ 0.63) P(any band matches) ≈ 0.94.  Wider
-    # corpora should raise bits-per-band (selectivity ~ 2^bits) — the
-    # classic banding tradeoff, same as the MinHash path.
-    n_bands, band_bits = 16, 4
+    auto_r, auto_b = _lsh_banding_params(n, threshold)
+    r = band_bits if band_bits is not None else auto_r
+    b = n_bands if n_bands is not None else auto_b
+    total_bits = r * b
+    npart = _n_partitions(n * b)
 
     def emit(batch: pa.Table) -> pa.Table:
-        code = batch["code"].to_numpy(zero_copy_only=False).view(np.uint64)
-        mask = np.uint64((1 << band_bits) - 1)
-        keys = np.empty((n_bands, len(code)), dtype=np.int64)
-        for chunk in range(n_bands):
-            val = (code >> np.uint64(band_bits * chunk)) & mask
-            keys[chunk] = (val | np.uint64(chunk << 16)).astype(np.int64)
-        bkey = keys.ravel()
+        E = _normalize(_emb_matrix(batch))
+        nd = len(E)
+        rng = np.random.RandomState(seed)
+        Rm = rng.standard_normal((E.shape[1], max(total_bits, 64)))
+        bits = (E @ Rm) > 0
+        # 64-bit prefilter code from the first 64 hyperplanes
+        code = np.zeros(nd, dtype=np.uint64)
+        for k in range(64):
+            code |= bits[:, k].astype(np.uint64) << np.uint64(k)
+        # band keys: pack each band's r bits, salt with the band index
+        weights = (np.uint64(1) << np.arange(r, dtype=np.uint64)).astype(np.uint64)
+        vals = bits[:, :total_bits].reshape(nd, b, r).astype(np.uint64) @ weights
+        bkey = (vals.T | (np.arange(b, dtype=np.uint64)[:, None] << np.uint64(32))
+                ).astype(np.int64).ravel()  # (b, nd) row-major
+        pkey = (bkey.view(np.uint64) % np.uint64(npart)).astype(np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code_i64 = code.view(np.int64)
+        # distinct (vec, pkey) pairs -> payload rows carrying the embedding
+        doc_rep = np.tile(np.arange(nd, dtype=np.int64), b)
+        packed = doc_rep * np.int64(npart) + pkey
+        uniq = np.unique(packed)
+        sdoc = (uniq // npart).astype(np.int64)
+        spkey = (uniq % npart).astype(np.int64)
         emb = batch["embedding"]
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
-        rep = pa.chunked_array([emb] * n_bands).combine_chunks()
-        return pa.table(
+        n_band = b * nd
+        band_tbl = pa.table(
             {
-                "pkey": pa.array(bkey % npart, pa.int64()),
+                "pkey": pa.array(pkey, pa.int64()),
                 "bkey": pa.array(bkey, pa.int64()),
-                "vec_id": pa.array(
-                    np.tile(batch["vec_id"].to_numpy(zero_copy_only=False), n_bands),
-                    pa.int64(),
-                ),
-                "code": pa.array(np.tile(code.view(np.int64), n_bands), pa.int64()),
-                "embedding": rep,
+                "vec_id": pa.array(ids[doc_rep], pa.int64()),
+                "code": pa.array(code_i64[doc_rep], pa.int64()),
+                "embedding": pa.nulls(n_band, type=emb.type),
             }
         )
+        sig_tbl = pa.table(
+            {
+                "pkey": pa.array(spkey, pa.int64()),
+                "bkey": pa.array(np.full(len(uniq), -1, dtype=np.int64), pa.int64()),
+                "vec_id": pa.array(ids[sdoc], pa.int64()),
+                "code": pa.array(code_i64[sdoc], pa.int64()),
+                "embedding": emb.take(pa.array(sdoc)),
+            }
+        )
+        return pa.concat_tables([band_tbl, sig_tbl]).combine_chunks()
 
-    rows = sigs.map_batches(emit, batch_format="pyarrow")
+    rows = ds.map_batches(emit, batch_format="pyarrow", batch_size=2048)
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return empty
-        bkey = g["bkey"].to_numpy()
-        ids = g["vec_id"].to_numpy()
-        code = g["code"].to_numpy()
-        E = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        # split the stream: bkey == -1 rows carry this partition's
+        # embeddings (one per vec), the rest are slim bucket memberships
+        is_sig = g["bkey"].to_numpy() == -1
+        sig_rows = g[is_sig]
+        sig_ids = sig_rows["vec_id"].to_numpy()
+        sig_order = np.argsort(sig_ids, kind="mergesort")
+        sig_ids = sig_ids[sig_order]
+        E_all = _normalize(
+            np.stack(sig_rows["embedding"].to_numpy()[sig_order]).astype(np.float64)
+        )
+        band = g[~is_sig]
+        if len(band) < 2:
+            return empty
+        bkey = band["bkey"].to_numpy()
+        ids = band["vec_id"].to_numpy()
+        code = band["code"].to_numpy()
         order = np.lexsort((ids, bkey))
-        bkey, ids, code, E = bkey[order], ids[order], code[order], E[order]
-        ai, bi, _capped = _bucket_pair_indices(bkey)
+        bkey, ids, code = bkey[order], ids[order], code[order]
+        emb_idx = np.searchsorted(sig_ids, ids)
+        if len(sig_ids) == 0 or emb_idx.max(initial=-1) >= len(sig_ids) or not np.array_equal(
+            sig_ids[np.minimum(emb_idx, len(sig_ids) - 1)], ids
+        ):
+            raise ValueError(
+                "lsh_cosine_neardup: band row vec_id missing its embedding "
+                "payload row in this partition (emitter invariant violated)"
+            )
+        ai, bi, capped = _bucket_pair_indices(bkey)
+        if capped:
+            print(
+                f"[lsh_cosine_neardup] {capped} LSH buckets exceeded cap; "
+                f"pair emission degraded to chains there"
+            )
         if len(ai) == 0:
             return empty
-        # hamming prefilter on the full 64-bit code, then exact cosine
+        # hamming prefilter on the 64-bit code, then exact cosine
         x = (code[ai].view(np.uint64)) ^ (code[bi].view(np.uint64))
         x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
         x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
@@ -264,7 +325,9 @@ def lsh_cosine_neardup(
         ai, bi = ai[keep], bi[keep]
         if len(ai) == 0:
             return empty
-        sim = np.einsum("ij,ij->i", E[ai], E[bi])
+        sim = np.einsum(
+            "ij,ij->i", E_all[emb_idx[ai]], E_all[emb_idx[bi]]
+        )
         good = sim >= threshold
         if not good.any():
             return empty
