@@ -787,17 +787,99 @@ FROM events
 
 @register("running_sum_per_user", _RUNNING_SQL)
 def running_sum_per_user(sf_dir: str):
-    """Cumulative window function: per-user ordered running sum — groupby
-    shuffle on the partition key, sorted cumsum within the group (the
-    ordered-stream semantics, ray_guide 'Streaming-shaped')."""
+    """Cumulative window function: per-user ordered running sum, fully
+    VECTORIZED (the sessionize two-stage pattern): one range-partitioned
+    ``Dataset.sort`` on (user, ts, event_id), per-block integer-cent segment
+    partials, a driver-side exclusive base offset per (user, block segment),
+    then a second vectorized pass over the SAME materialized blocks
+    (``batch_size=None`` = one batch per block, so segmentation is
+    identical) adding each segment's base.  No per-group Python at any user
+    cardinality; partial rows are O(users + blocks), not O(events).  Cents
+    keep the cross-block combine exact (values are 2-decimal; float
+    association would otherwise differ from the oracle's sequential sum)."""
+    import ray as _ray
+
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    sorted_ds = ds.sort(["user_id", "ts", "event_id"]).materialize()
 
-    def cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["running_value"] = duck_round(g["value"].cumsum(), 2)
-        return g[["event_id", "user_id", "running_value"]]
+    def _segments(batch: pa.Table):
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        return uid, us, eid, cents, starts, ends
 
-    return ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        empty = {
+            "user_id": pa.array([], pa.int64()),
+            "first_ts": pa.array([], pa.int64()),
+            "first_eid": pa.array([], pa.int64()),
+            "seg_cents": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0:
+            return pa.table(empty)
+        uid, us, eid, cents, starts, ends = _segments(batch)
+        cum = np.cumsum(cents)
+        seg = cum[ends - 1] - cum[starts] + cents[starts]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "first_ts": pa.array(us[starts], pa.int64()),
+                "first_eid": pa.array(eid[starts], pa.int64()),
+                "seg_cents": pa.array(seg, pa.int64()),
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(seg_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["user_id", "first_ts", "first_eid"])
+        .reset_index(drop=True)
+    )
+    base = (
+        parts.groupby("user_id")["seg_cents"].cumsum() - parts["seg_cents"]
+    ).to_numpy()
+    offsets = {
+        (int(u), int(t), int(e)): int(b)
+        for u, t, e, b in zip(
+            parts["user_id"], parts["first_ts"], parts["first_eid"], base
+        )
+    }
+    ref = _ray.put(offsets)
+
+    def apply_base(batch: pa.Table, off) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "running_value": pa.array([], pa.float64())}
+            )
+        uid, us, eid, cents, starts, ends = _segments(batch)
+        run = np.cumsum(cents)
+        seg_id = np.cumsum(np.r_[0, (uid[1:] != uid[:-1]).astype(np.int64)])
+        within = run - (run[starts] - cents[starts])[seg_id]
+        bases = np.array(
+            [off[(int(uid[s]), int(us[s]), int(eid[s]))] for s in starts],
+            dtype=np.int64,
+        )  # KeyError here = block segmentation drifted between passes: fail loud
+        total = within + bases[seg_id]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "running_value": pa.array(
+                    duck_round(total / 100.0, 2), pa.float64()
+                ),
+            }
+        )
+
+    return sorted_ds.map_batches(
+        bcast(ref, apply_base), batch_format="pyarrow", batch_size=None
+    )
 
 
 _JSON_SQL = """

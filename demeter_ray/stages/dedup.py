@@ -476,11 +476,31 @@ def simhash_neardup(ds_docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataF
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
-def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str) -> ray.data.Dataset:
+def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
+                cap: int | None = None) -> ray.data.Dataset:
     """Generic exact dedup: keep the min-id row per key (deterministic
-    'first')."""
+    'first').
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    Fully vectorized — no per-group Python at any key cardinality (the
+    content-key cardinality at corpus scale is ~one group per document):
+    per-batch min-id partials (slim (key, id) rows) reduce through the
+    native ``groupby(key).min(id)`` shuffle, then the winning ids (unique
+    row identifiers) semi-join the original rows back, size-gated between
+    a broadcast id set and a partitioned hash join (gated_semi_join)."""
+    from demeter_ray.pipelines.relational import gated_semi_join
 
-    return ds.groupby(key_col).map_groups(first, batch_format="pandas")
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(key_col, as_index=False)[[id_col]].min()
+
+    winners = (
+        ds.select_columns([key_col, id_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .min(id_col)
+    )
+    minc = f"min({id_col})"
+    winner_ids = winners.map_batches(
+        lambda t, c=minc: pa.table({id_col: t[c]}), batch_format="pyarrow"
+    )
+    kw = {} if cap is None else {"cap": cap}
+    return gated_semi_join(ds, id_col, winner_ids, id_col, **kw)

@@ -79,3 +79,62 @@ def test_minhash_empty_and_single(ray_session):
     assert dedup.minhash_neardup(_docs([])).empty
     assert dedup.minhash_neardup(_docs(["just one doc"])).empty
     assert dedup.simhash_neardup(_docs(["just one doc"])).empty
+
+
+def test_exact_dedup_generic_min_id_per_key(ray_session):
+    """Generic exact_dedup keeps exactly the min-id row per key and carries
+    the full row through — parity vs an independent pandas reference (the
+    semantics the old map_groups path implemented)."""
+    rng = np.random.RandomState(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n).astype(np.int64),
+            "content_key": rng.randint(0, 700, n).astype(np.int64),
+            "payload": [f"row{i}" for i in range(n)],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    got = (
+        dedup.exact_dedup(ds, "content_key", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.sort_values("doc_id")
+        .groupby("content_key", as_index=False)
+        .head(1)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "content_key", "payload"]],
+        ref[["doc_id", "content_key", "payload"]],
+    )
+
+
+def test_exact_dedup_generic_shuffle_branch(ray_session):
+    """Same parity through the partitioned-join branch of gated_semi_join
+    (cap forced to 0 keys)."""
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "content_key": (np.arange(200) % 37).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    got = (
+        dedup.exact_dedup(ds, "content_key", "doc_id", cap=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby("content_key", as_index=False)
+        .min()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["content_key"].tolist() == ref["content_key"].tolist()
