@@ -1003,17 +1003,6 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
     before calling (the oracle's determinism requirement too)."""
     import ray.data  # noqa: F401
 
-    # the union null-fills each side's missing columns, which floats the
-    # left side's int columns; remember the left int dtypes to restore after
-    # (Ray schemas expose Arrow types for Arrow blocks, numpy for pandas)
-    sch = a_ds.schema(fetch_if_missing=True)
-    left_int_cols = {}
-    for name, typ in zip(sch.names, sch.types):
-        if isinstance(typ, pa.DataType):
-            if pa.types.is_integer(typ):
-                left_int_cols[name] = typ.to_pandas_dtype()
-        elif np.issubdtype(np.dtype(typ), np.integer):
-            left_int_cols[name] = np.dtype(typ)
     a_tag = a_ds.map_batches(
         lambda t: t.append_column("__side", pa.array(np.zeros(len(t), dtype=np.int8))),
         batch_format="pyarrow",
@@ -1024,27 +1013,34 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
     )
     both = a_tag.union(b_tag)
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["__side"] == 0].sort_values(ts_col, kind="mergesort")
-        b = g[g["__side"] == 1].sort_values(ts_col, kind="mergesort")
-        out = a.drop(columns=["__side"] + [c for c in b_cols if c in a.columns])
-        for name, dt in left_int_cols.items():
-            if name in out.columns:
-                out[name] = out[name].astype(dt)
-        if len(b) == 0:
+    def merge_group(t: pa.Table) -> pa.Table:
+        # pure-Arrow merge: the right-side columns keep their exact types
+        # with misses as real nulls — a float64 carrier would silently lose
+        # precision for int64 values above 2^53
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        a_idx = np.flatnonzero(side == 0)
+        b_idx = np.flatnonzero(side == 1)
+        a_order = a_idx[np.argsort(ts[a_idx], kind="mergesort")]
+        b_order = b_idx[np.argsort(ts[b_idx], kind="mergesort")]
+        drop = ["__side"] + [c for c in b_cols if c in t.column_names]
+        a_tbl = t.drop_columns(drop).take(pa.array(a_order, pa.int64()))
+        if len(b_order) == 0:
             for c in b_cols:
-                out[suffix + c] = np.full(len(a), np.nan)
-            return out
-        pos = np.searchsorted(b[ts_col].to_numpy(), a[ts_col].to_numpy(), side="right") - 1
+                a_tbl = a_tbl.append_column(
+                    suffix + c, pa.nulls(len(a_order), type=t.schema.field(c).type)
+                )
+            return a_tbl
+        pos = np.searchsorted(ts[b_order], ts[a_order], side="right") - 1
         hit = pos >= 0
+        take_idx = b_order[np.clip(pos, 0, None)]
         for c in b_cols:
-            # float64 carrier so misses are NaN regardless of the source
-            # dtype; callers cast to nullable ints at the boundary
-            vals = b[c].to_numpy()[np.clip(pos, 0, None)].astype(np.float64)
-            out[suffix + c] = np.where(hit, vals, np.nan)
-        return out
+            col = t[c].take(pa.array(take_idx, pa.int64())).combine_chunks()
+            col = pc.if_else(pa.array(hit), col, pa.nulls(len(hit), type=col.type))
+            a_tbl = a_tbl.append_column(suffix + c, col)
+        return a_tbl
 
-    return both.groupby(key).map_groups(merge_group, batch_format="pandas")
+    return both.groupby(key).map_groups(merge_group, batch_format="pyarrow")
 
 
 _ASOF_SQL = """

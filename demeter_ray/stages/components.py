@@ -48,8 +48,24 @@ def _components_streaming(edges: ray.data.Dataset, nodes: np.ndarray) -> pd.Data
     nodes = np.unique(nodes)
     parent = np.arange(len(nodes), dtype=np.int64)
     for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ui = np.searchsorted(nodes, batch["u"].to_numpy(zero_copy_only=False))
-        vi = np.searchsorted(nodes, batch["v"].to_numpy(zero_copy_only=False))
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        # membership check: an endpoint absent from the node set would
+        # otherwise silently union the wrong node (or index past the end)
+        nmax = len(nodes)
+        bad = (
+            (ui >= nmax) | (vi >= nmax)
+            | (nodes[np.minimum(ui, nmax - 1)] != u)
+            | (nodes[np.minimum(vi, nmax - 1)] != v)
+        )
+        if bad.any():
+            k = int(np.flatnonzero(bad)[0])
+            raise ValueError(
+                f"connected_components: edge ({u[k]}, {v[k]}) references a "
+                "node absent from nodes_ds"
+            )
         for a, b in zip(ui.tolist(), vi.tolist()):
             ra, rb = _find1(parent, a), _find1(parent, b)
             if ra != rb:

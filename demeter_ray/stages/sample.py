@@ -163,11 +163,17 @@ def shard_tiles(raster_tiles: pa.Table, dataset: str, prefix_res: int,
     shard — the whole tile table never broadcasts as one payload."""
     tiles = load_tiles(raster_tiles, dataset, statistic, depth_top, with_crs=True)
     shards: dict[int, list] = {}
+    edge = np.linspace(0.0, 1.0, 9)
+    zeros, ones = np.zeros_like(edge), np.ones_like(edge)
     for row in tiles:
         left, bottom, right, top = row[4]
         crs = row[5]
-        xs = np.array([left, right, left, right])
-        ys = np.array([bottom, bottom, top, top])
+        # densified boundary lattice (warp._densified_bounds approach): a
+        # projected tile's edges bow outward in lon/lat under conic/TM CRSs,
+        # so a 4-corner envelope can miss boundary prefix cells the tile
+        # actually covers (returning nulls the broadcast sampler fills)
+        xs = left + (right - left) * np.concatenate([edge, edge, zeros, ones])
+        ys = bottom + (top - bottom) * np.concatenate([zeros, ones, edge, edge])
         lon, lat = geo.crs_inverse(crs, xs, ys)
         cxs, cys = geo.cover_bbox(lon.min(), lat.min(), lon.max(), lat.max(), prefix_res)
         for cell in geo.cell_id_from_xy(cxs, cys):

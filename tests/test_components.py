@@ -63,3 +63,15 @@ def test_isolated_nodes_keep_own_id(ray_session):
     nodes = ray.data.from_pandas(pd.DataFrame({"node": [1, 2, 99]}))
     out = connected_components(edges, nodes)
     assert dict(zip(out["node"], out["cluster_id"])) == {1: 1, 2: 1, 99: 99}
+
+
+def test_components_unknown_endpoint_raises(ray_session):
+    """An edge endpoint absent from nodes_ds must fail loudly, not silently
+    union the wrong node (searchsorted membership guard)."""
+    import pytest
+    import ray.data
+
+    edges = ray.data.from_pandas(pd.DataFrame({"u": [1, 999], "v": [2, 1]}))
+    nodes = ray.data.from_pandas(pd.DataFrame({"node": [1, 2, 3]}))
+    with pytest.raises(ValueError, match="absent"):
+        connected_components(edges, nodes)

@@ -88,3 +88,25 @@ def test_asof_join_grouped_semantics(ray_session):
     assert got[102] == 9.0        # latest of the two
     assert np.isnan(got[103])     # b row at t=50 is in the future
     assert np.isnan(got[104])     # key 3 has no right rows at all
+
+
+def test_asof_join_grouped_int64_precision(ray_session):
+    """Right-side int64 values above 2^53 survive the join exactly (the
+    pure-Arrow merge carries them as int64-with-nulls, never float64)."""
+    import pyarrow as pa
+
+    big = 2**60 + 12345
+    a = pd.DataFrame({"k": [1, 1, 2], "t": [10, 20, 5], "aid": [1, 2, 3]})
+    b = pd.DataFrame({"k": [1, 2], "t": [9, 50], "bid": [big, big + 7]})
+    out = relational.asof_join_grouped(
+        ray.data.from_pandas(a), ray.data.from_pandas(b), "k", "t", ["bid"]
+    )
+    tbl = pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_columns]
+    )
+    assert tbl.schema.field("asof_bid").type == pa.int64()
+    df = tbl.to_pandas(
+        types_mapper={pa.int64(): pd.Int64Dtype()}.get
+    ).sort_values("aid")
+    assert df["asof_bid"].tolist()[:2] == [big, big]
+    assert pd.isna(df["asof_bid"].tolist()[2])
