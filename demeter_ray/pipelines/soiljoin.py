@@ -31,6 +31,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from demeter_ray.pipelines.relational import bcast, partial_combine
+
 PROPERTY_COLS = [
     "fine_fraction_percent_by_weight",
     "gravel_percent_by_weight",
@@ -55,16 +57,26 @@ def primary_soil_components(
     ).to_pandas()
 
     # 1. grouped top-1-with-ties over major components ---------------------
+    # broadcast-group-max shape (relational.grouped_top1_with_ties): partial
+    # per-batch maxes -> tiny combine -> broadcast max map -> vectorized
+    # tie filter.  No per-group Python at any map-unit cardinality.
     comps = ray.data.read_parquet(f"{fixture_dir}/components.parquet")
     comps = comps.filter(expr="majcompflag == 'Yes'")
 
-    def top_ties(g: pd.DataFrame) -> pd.DataFrame:
-        m = g["comppct_r"].max()
-        return g[g["comppct_r"] == m]
+    def max_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("map_unit_key", as_index=False)["comppct_r"].max()
 
-    primary = (
-        comps.groupby("map_unit_key").map_groups(top_ties, batch_format="pandas").to_pandas()
+    maxmap = (
+        partial_combine(comps, max_partial)
+        .groupby("map_unit_key")["comppct_r"]
+        .max()
     )
+    mref = ray.put(maxmap)
+
+    def keep_ties(b: pd.DataFrame, mm) -> pd.DataFrame:
+        return b[b["comppct_r"].to_numpy() == b["map_unit_key"].map(mm).to_numpy()]
+
+    primary = comps.map_batches(bcast(mref, keep_ties), batch_format="pandas").to_pandas()
     primary = primary.rename(
         columns={
             "component_key": "component_key",
@@ -136,29 +148,48 @@ def primary_soil_components(
     horizons = horizons.map_batches(AttachFragments, batch_format="pandas", concurrency=(1, 4))
 
     # 4+5. per-component depth-weighted averages + fragment kinds ----------
-    def aggregate_component(g: pd.DataFrame) -> pd.DataFrame:
-        tops = g["top_depth_cm"].clip(lower=top_depth_cm)
-        bottoms = g["bottom_depth_cm"].clip(upper=bottom_depth_cm)
-        weights = (bottoms - tops).to_numpy(dtype=np.float64)
-        out = {"component_key": [g["component_key"].iloc[0]]}
-        for col in PROPERTY_COLS:
-            vals = g[col].to_numpy(dtype=np.float64)
-            m = np.ma.masked_array(vals, mask=np.isnan(vals))
-            avg = np.ma.average(m, weights=weights)
-            out[col] = [None if avg is np.ma.masked else float(avg)]
-        kinds_series = g["fragment_kind"].dropna()
-        if len(kinds_series):
-            uniq = sorted(set(k for joined in kinds_series for k in joined.split("|")))
-            out["fragment_kind"] = [", ".join(uniq)]
-        else:
-            out["fragment_kind"] = [None]
-        return pd.DataFrame(out)
+    # partial-agg + combine (the ssurgo_analog_plan shape, no per-group
+    # Python): each batch emits one row per component with (sum w*v, sum w)
+    # per property — missing values contribute to neither — plus its kinds
+    # union; the driver finishes the reduction.  Partial rows are
+    # O(components x batches), region-dim scale.
+    wv_cols = [f"wv__{c}" for c in PROPERTY_COLS]
+    w_cols = [f"w__{c}" for c in PROPERTY_COLS]
 
-    agg = (
-        horizons.groupby("component_key")
-        .map_groups(aggregate_component, batch_format="pandas")
-        .to_pandas()
+    def comp_partial(b: pd.DataFrame) -> pd.DataFrame:
+        tops = b["top_depth_cm"].clip(lower=top_depth_cm)
+        bottoms = b["bottom_depth_cm"].clip(upper=bottom_depth_cm)
+        w = (bottoms - tops).to_numpy(dtype=np.float64)
+        data = {"component_key": b["component_key"].to_numpy()}
+        for col in PROPERTY_COLS:
+            v = b[col].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(v)
+            data[f"wv__{col}"] = np.where(ok, w * v, 0.0)
+            data[f"w__{col}"] = np.where(ok, w, 0.0)
+        agg_num = pd.DataFrame(data).groupby("component_key", as_index=False).sum()
+        kinds = (
+            b.dropna(subset=["fragment_kind"])
+            .groupby("component_key")["fragment_kind"]
+            .agg(lambda v: "|".join(sorted(set(k for j in v for k in j.split("|")))))
+        )
+        agg_num["kinds"] = agg_num["component_key"].map(kinds).astype(object)
+        return agg_num
+
+    parts = partial_combine(horizons, comp_partial)
+    num = parts.groupby("component_key", as_index=False)[wv_cols + w_cols].sum()
+    agg = pd.DataFrame({"component_key": num["component_key"]})
+    for col in PROPERTY_COLS:
+        wv = num[f"wv__{col}"].to_numpy(dtype=np.float64)
+        ws = num[f"w__{col}"].to_numpy(dtype=np.float64)
+        # all-missing -> NaN (the reference's all-masked -> None, ssurgo.py:289-297)
+        agg[col] = np.where(ws > 0, wv / np.where(ws > 0, ws, 1.0), np.nan)
+    kind_union = (
+        parts.dropna(subset=["kinds"])
+        .groupby("component_key")["kinds"]
+        .agg(lambda v: ", ".join(sorted(set(k for j in v for k in j.split("|")))))
     )
+    fk = agg["component_key"].map(kind_union).astype(object)
+    agg["fragment_kind"] = fk.where(fk.notna(), None)
 
     # 6. one-to-one left merges + output order -----------------------------
     out = fields.merge(primary, how="left", on="map_unit_key")
