@@ -9,8 +9,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from demeter_ray.pipelines.relational import register
+from demeter_ray.pipelines.relational import duck_round, register
 from demeter_ray.sources.tables import read_table
+
+# fixture tables live at a deterministic path, so the DuckDB oracles can
+# re-run the same relational plans directly over the parquet files (the
+# catchment_histogram SQL-recompute pattern, extended to whole plans)
+_FX = "/tmp/demeter_ray_fixtures/tiny"
 
 
 @register("fetch_point_data", None)
@@ -24,21 +29,166 @@ def fetch_point_data_q(sf_dir: str):
     return point_data.fetch_point_data(fx.generate("tiny"))
 
 
-@register("primary_soil_components", None)
+_PROPERTY_AVGS = ",\n         ".join(
+    "CASE WHEN SUM(cbot - ctop) FILTER (WHERE {c} IS NOT NULL) > 0 THEN "
+    "ROUND(SUM((cbot - ctop) * {c}) FILTER (WHERE {c} IS NOT NULL) * 1.0 / "
+    "SUM(cbot - ctop) FILTER (WHERE {c} IS NOT NULL), 4) END AS {c}".format(c=c)
+    for c in (
+        "fine_fraction_percent_by_weight",
+        "gravel_percent_by_weight",
+        "sand_percent_of_fine_fraction_by_weight",
+        "silt_percent_of_fine_fraction_by_weight",
+        "clay_percent_of_fine_fraction_by_weight",
+        "organic_matter_percent_of_fine_fraction_by_weight",
+        "oven_dry_bulk_density_g_per_cm3",
+        "fragment_percent_by_volume",
+    )
+)
+
+# the full SSURGO relational plan (top-1-with-ties, interval join, fragment
+# rollup, missing-ignoring depth-weighted averages, sorted-unique kinds,
+# one-to-one left merge) re-expressed in SQL over the SAME fixture parquet
+# dims — the driver's hard oracle for the flagship soil plan
+_PRIMARY_SOIL_SQL = f"""
+WITH fields AS (
+  SELECT map_unit_key, map_unit_symbol, map_unit_name
+  FROM read_parquet('{_FX}/fields.parquet')
+),
+prim AS (
+  SELECT component_key, map_unit_key, comppct_r AS component_percent,
+         compname AS component_name, compkind AS component_kind,
+         drainagecl AS drainage_class
+  FROM (SELECT c.*, RANK() OVER (PARTITION BY map_unit_key
+                                 ORDER BY comppct_r DESC) AS rk
+        FROM read_parquet('{_FX}/components.parquet') c
+        WHERE majcompflag = 'Yes')
+  WHERE rk = 1
+),
+frag AS (
+  SELECT horizon_key, SUM(fragvol_r) AS frag_vol,
+         STRING_AGG(DISTINCT fragkind, '|' ORDER BY fragkind) AS kinds
+  FROM read_parquet('{_FX}/fragments.parquet')
+  GROUP BY horizon_key
+),
+hz AS (
+  SELECT h.component_key, h.horizon_key,
+         GREATEST(h.hzdept_r, 0) AS ctop, LEAST(h.hzdepb_r, 100) AS cbot,
+         (100 - h.fraggt10_r - h.frag3to10_r) * (h.sieveno10_r / 100)
+           AS fine_fraction_percent_by_weight,
+         100 - (100 - h.fraggt10_r - h.frag3to10_r) * (h.sieveno10_r / 100)
+           AS gravel_percent_by_weight,
+         h.sandtotal_r AS sand_percent_of_fine_fraction_by_weight,
+         h.silttotal_r AS silt_percent_of_fine_fraction_by_weight,
+         h.claytotal_r AS clay_percent_of_fine_fraction_by_weight,
+         h.om_r AS organic_matter_percent_of_fine_fraction_by_weight,
+         h.dbovendry_r AS oven_dry_bulk_density_g_per_cm3,
+         frag.frag_vol AS fragment_percent_by_volume,
+         frag.kinds
+  FROM read_parquet('{_FX}/horizons.parquet') h
+  LEFT JOIN frag USING (horizon_key)
+  WHERE h.hzdepb_r > 0 AND h.hzdept_r < 100
+    AND h.component_key IN (SELECT component_key FROM prim)
+),
+agg AS (
+  SELECT component_key,
+         {_PROPERTY_AVGS}
+  FROM hz GROUP BY component_key
+),
+kinds AS (
+  SELECT component_key, STRING_AGG(DISTINCT k, ', ' ORDER BY k) AS fragment_kind
+  FROM (SELECT component_key, UNNEST(string_split(kinds, '|')) AS k
+        FROM hz WHERE kinds IS NOT NULL)
+  GROUP BY component_key
+)
+SELECT f.map_unit_key, f.map_unit_symbol, f.map_unit_name,
+       p.component_key, p.component_percent, p.component_name,
+       p.component_kind, p.drainage_class,
+       a.fine_fraction_percent_by_weight, a.gravel_percent_by_weight,
+       a.sand_percent_of_fine_fraction_by_weight,
+       a.silt_percent_of_fine_fraction_by_weight,
+       a.clay_percent_of_fine_fraction_by_weight,
+       a.organic_matter_percent_of_fine_fraction_by_weight,
+       a.oven_dry_bulk_density_g_per_cm3,
+       a.fragment_percent_by_volume,
+       k.fragment_kind
+FROM fields f
+LEFT JOIN prim p USING (map_unit_key)
+LEFT JOIN agg a USING (component_key)
+LEFT JOIN kinds k USING (component_key)
+ORDER BY f.map_unit_key, p.component_key
+"""
+
+
+@register("primary_soil_components", _PRIMARY_SOIL_SQL)
 def primary_soil_components_q(sf_dir: str):
     """Full SSURGO plan over fixture dims (ssurgo.py:111-179 semantics;
-    golden conformance in tests/test_soiljoin.py)."""
-    from demeter_ray.pipelines.soiljoin import primary_soil_components
+    golden conformance in tests/test_soiljoin.py).  The oracle re-runs the
+    whole plan in DuckDB over the same fixture parquet files; the property
+    averages round to 4 decimals on both sides."""
+    from demeter_ray.pipelines.soiljoin import PROPERTY_COLS, primary_soil_components
     from demeter_ray.sources import fixtures as fx
 
-    return primary_soil_components(fx.generate("tiny"), 0, 100)
+    out = primary_soil_components(fx.generate("tiny"), 0, 100)
+    for c in PROPERTY_COLS:
+        out[c] = duck_round(out[c].to_numpy(dtype=np.float64), 4)
+    return out.drop(columns=["majcompflag"])
 
 
-@register("ndvi_zone_statistics", None)
+# full SQL recompute of the NDVI zone statistics from the deterministic
+# scene formulas (fixtures.scene_band_value): detector-footprint mask
+# (left 2 cols per tile), dropout stripe, SCL cloud block (20m grid
+# upscaled), reflectance ratio quantized to the float32 the per-datatake
+# rasters store, then per-pixel mean/min/max/stddev across datatakes
+_NDVI_SQL = """
+WITH zones(zone_i, utm_zone) AS (VALUES (0, '13N'), (1, '14N')),
+px AS (SELECT t.t AS tile_i, r.r AS r, c.c AS c
+       FROM generate_series(0, 1) t(t), generate_series(0, 63) r(r),
+            generate_series(0, 63) c(c)),
+dts(dt) AS (VALUES (0), (1), (2)),
+nd AS (
+  SELECT z.utm_zone, p.r, p.c + p.tile_i * 64 AS gc,
+    CASE WHEN p.c <= 1 THEN NULL
+         WHEN (p.c + p.r * 3 + d.dt) % 151 = 0 THEN NULL
+         WHEN (p.r // 2 >= 4 + d.dt * 6 AND p.r // 2 < 8 + d.dt * 6
+               AND p.c // 2 >= 8 AND p.c // 2 < 16) THEN NULL
+         ELSE CAST(CAST(
+           ( (5000 + (p.c*17 + p.r*29 + d.dt*97 + p.tile_i*13 + z.zone_i*7) % 3000) / 10000.0
+           - (1000 + (p.c*17 + p.r*29 + d.dt*97 + p.tile_i*13 + z.zone_i*7) % 3000) / 10000.0 )
+           /
+           ( (5000 + (p.c*17 + p.r*29 + d.dt*97 + p.tile_i*13 + z.zone_i*7) % 3000) / 10000.0
+           + (1000 + (p.c*17 + p.r*29 + d.dt*97 + p.tile_i*13 + z.zone_i*7) % 3000) / 10000.0 )
+           AS REAL) AS DOUBLE)
+    END AS v
+  FROM zones z CROSS JOIN px p CROSS JOIN dts d
+),
+wm AS (
+  SELECT utm_zone, r, gc, v,
+         AVG(v) OVER (PARTITION BY utm_zone, r, gc) AS m
+  FROM nd WHERE v IS NOT NULL
+),
+pix AS (
+  SELECT utm_zone, r, gc, ANY_VALUE(m) AS mean_v, MIN(v) AS min_v,
+         MAX(v) AS max_v, SQRT(AVG(POWER(v - m, 2))) AS std_v
+  FROM wm GROUP BY utm_zone, r, gc
+),
+long AS (
+  SELECT utm_zone, 'mean' AS statistic, mean_v AS v FROM pix
+  UNION ALL SELECT utm_zone, 'min', min_v FROM pix
+  UNION ALL SELECT utm_zone, 'max', max_v FROM pix
+  UNION ALL SELECT utm_zone, 'stddev', std_v FROM pix
+)
+SELECT utm_zone, statistic, 64 AS h, 128 AS w, COUNT(*) AS valid_px,
+       ROUND(AVG(v), 6) AS mean_value
+FROM long GROUP BY utm_zone, statistic ORDER BY utm_zone, statistic
+"""
+
+
+@register("ndvi_zone_statistics", _NDVI_SQL)
 def ndvi_zone_statistics_q(sf_dir: str):
     """Sentinel-2-style NDVI statistics per zone (ndvi.py:126-313 semantics;
     golden conformance in tests/test_ndvi.py).  Drops raster payload bytes
-    for the driver's row check."""
+    for the driver's check; the oracle recomputes the full mask + statistic
+    pipeline from the scene formulas in SQL."""
     import ray.data
 
     from demeter_ray.sources import fixtures as fx
@@ -46,7 +196,9 @@ def ndvi_zone_statistics_q(sf_dir: str):
 
     fd = fx.generate("tiny")
     out = ndvi_statistics(ray.data.read_parquet(f"{fd}/scene_tiles.parquet"))
-    return out.drop(columns=["pixels"])
+    out = out.drop(columns=["pixels"])
+    out["mean_value"] = duck_round(out["mean_value"].to_numpy(dtype=np.float64), 6)
+    return out
 
 
 # the fixture catchment field is pure modular arithmetic
@@ -86,10 +238,72 @@ def catchment_histogram_q(sf_dir: str):
     return catchment_histogram_from_pixels(tiles, vat)
 
 
-@register("carbon_stock_summary", None)
+# full SQL recompute of the depth-weighted carbon stock over the fixture
+# formulas (fixtures.soil_value + planted nodata holes + float32 tile
+# quantization via REAL casts): per-pixel missing-ignoring weighted mean,
+# stddev from p5/p95 spread with squared weights, Var(XY) stock stddev —
+# the catchment_histogram formula-recompute pattern applied to the whole
+# POLARIS plan
+_CARBON_SQL = """
+WITH ranges(top_cm, bottom_cm) AS (VALUES (0, 30), (0, 100), (30, 100)),
+layers(dt, db) AS (VALUES (0,5),(5,15),(15,30),(30,60),(60,100),(100,200)),
+px AS (SELECT r.r AS r, c.c AS c
+       FROM generate_series(0, 319) r(r), generate_series(0, 319) c(c)),
+vals AS (
+  SELECT rg.top_cm, rg.bottom_cm, p.r, p.c,
+         CAST(LEAST(l.db, rg.bottom_cm) - GREATEST(l.dt, rg.top_cm) AS DOUBLE) AS w,
+         CASE WHEN (p.c + p.r + l.dt) % 89 = 0 THEN NULL ELSE
+           CAST(CAST(((p.c*13 + p.r*7 + l.dt*29) % 500) / 100.0 AS REAL) AS DOUBLE)
+         END AS om,
+         CASE WHEN (p.c + p.r + l.dt) % 89 = 0 THEN NULL ELSE
+           CAST(CAST(((p.c*13 + p.r*7 + 1000 + l.dt*29) % 500) / 100.0 AS REAL) AS DOUBLE)
+         END AS bd,
+         CASE WHEN (p.c + p.r + l.dt) % 89 = 0 THEN NULL ELSE
+           CAST(CAST(((p.c*13 + p.r*7 + l.dt*29) % 500) / 100.0 + 0.5 AS REAL) AS DOUBLE)
+           - CAST(CAST(((p.c*13 + p.r*7 + l.dt*29) % 500) / 100.0 - 0.5 AS REAL) AS DOUBLE)
+         END AS om_spread,
+         CASE WHEN (p.c + p.r + l.dt) % 89 = 0 THEN NULL ELSE
+           CAST(CAST(((p.c*13 + p.r*7 + 1000 + l.dt*29) % 500) / 100.0 + 0.5 AS REAL) AS DOUBLE)
+           - CAST(CAST(((p.c*13 + p.r*7 + 1000 + l.dt*29) % 500) / 100.0 - 0.5 AS REAL) AS DOUBLE)
+         END AS bd_spread
+  FROM ranges rg
+  JOIN layers l ON l.db > rg.top_cm AND l.dt < rg.bottom_cm
+  CROSS JOIN px p
+),
+pix AS (
+  SELECT top_cm, bottom_cm, r, c,
+         SUM(w*om) FILTER (WHERE om IS NOT NULL)
+           / SUM(w) FILTER (WHERE om IS NOT NULL) AS om_mean,
+         SQRT(SUM(w*w*POWER(om_spread/(2*1.645), 2)) FILTER (WHERE om IS NOT NULL)
+           / SUM(w*w) FILTER (WHERE om IS NOT NULL)) AS om_std,
+         SUM(w*bd) FILTER (WHERE bd IS NOT NULL)
+           / SUM(w) FILTER (WHERE bd IS NOT NULL) AS bd_mean,
+         SQRT(SUM(w*w*POWER(bd_spread/(2*1.645), 2)) FILTER (WHERE bd IS NOT NULL)
+           / SUM(w*w) FILTER (WHERE bd IS NOT NULL)) AS bd_std
+  FROM vals GROUP BY top_cm, bottom_cm, r, c
+),
+stock AS (
+  SELECT top_cm, bottom_cm,
+         (0.58*om_mean)*bd_mean AS sm,
+         SQRT(POWER(0.58*om_std, 2)*POWER(bd_std, 2)
+              + POWER(0.58*om_std, 2)*POWER(bd_mean, 2)
+              + POWER(bd_std, 2)*POWER(0.58*om_mean, 2)) AS ss
+  FROM pix
+)
+SELECT top_cm, bottom_cm,
+       COUNT(*) FILTER (WHERE sm IS NOT NULL) AS valid_px,
+       ROUND(AVG(sm), 6) AS stock_mean,
+       ROUND(AVG(ss), 6) AS stock_stddev_mean
+FROM stock GROUP BY top_cm, bottom_cm ORDER BY top_cm, bottom_cm
+"""
+
+
+@register("carbon_stock_summary", _CARBON_SQL)
 def carbon_stock_summary_q(sf_dir: str):
     """POLARIS-style depth-weighted carbon stock over the fixture raster
-    table: per-depth-range summary rows (polaris.py:160-324 semantics)."""
+    table: per-depth-range summary rows (polaris.py:160-324 semantics).
+    The oracle recomputes the whole plan from the deterministic tile
+    formulas in SQL."""
     import pyarrow.parquet as pq
 
     from demeter_ray.sources import fixtures as fx
@@ -104,8 +318,8 @@ def carbon_stock_summary_q(sf_dir: str):
                 "top_cm": start,
                 "bottom_cm": end,
                 "valid_px": int((~np.ma.getmaskarray(mean)).sum()),
-                "stock_mean": round(float(np.ma.mean(mean)), 6),
-                "stock_stddev_mean": round(float(np.ma.mean(std)), 6),
+                "stock_mean": float(duck_round(np.ma.mean(mean), 6)),
+                "stock_stddev_mean": float(duck_round(np.ma.mean(std), 6)),
             }
         )
     return pd.DataFrame(rows)
@@ -145,11 +359,55 @@ def ivf_ann_topk_q(sf_dir: str):
     return out.drop(columns=["sim"])
 
 
-@register("image_transform_features", None)
+# SQL recompute of the decode->resize->crop->features pipeline: source
+# pixels are (i*97 + x*31 + y*17 + c*11) % 256; the 32->16 bilinear resize
+# is an exact 2x2 average whose only rounding tie (s%4==2) follows np.rint's
+# half-to-even; feat_mean = (sum of 24 histogram fractions + mean/255 +
+# std/255) / 26 over the 12x12 center crop
+_IMG_FEAT_SQL = """
+WITH src AS (SELECT doc_id FROM documents),
+grid AS (SELECT y.y AS y, x.x AS x, ch.ch AS ch
+         FROM generate_series(2, 13) y(y), generate_series(2, 13) x(x),
+              generate_series(0, 2) ch(ch)),
+resized AS (
+  SELECT d.doc_id, g.ch,
+    ((d.doc_id*97 + (2*g.x)*31   + (2*g.y)*17   + g.ch*11) % 256
+   + (d.doc_id*97 + (2*g.x+1)*31 + (2*g.y)*17   + g.ch*11) % 256
+   + (d.doc_id*97 + (2*g.x)*31   + (2*g.y+1)*17 + g.ch*11) % 256
+   + (d.doc_id*97 + (2*g.x+1)*31 + (2*g.y+1)*17 + g.ch*11) % 256) AS s
+  FROM src d CROSS JOIN grid g
+),
+vals AS (
+  SELECT doc_id, ch,
+    CASE WHEN s % 4 = 2 THEN (CASE WHEN (s // 4) % 2 = 0 THEN s // 4 ELSE s // 4 + 1 END)
+         WHEN s % 4 = 3 THEN s // 4 + 1
+         ELSE s // 4 END AS v
+  FROM resized
+),
+hist AS (
+  SELECT doc_id, SUM(frac) AS hsum FROM (
+    SELECT doc_id, ch, v // 32 AS b, COUNT(*) / 144.0 AS frac
+    FROM vals GROUP BY doc_id, ch, v // 32
+  ) GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, ANY_VALUE(m) AS mean_px, SQRT(AVG(POWER(v - m, 2))) AS std_px
+  FROM (SELECT doc_id, v, AVG(v) OVER (PARTITION BY doc_id) AS m FROM vals)
+  GROUP BY doc_id
+)
+SELECT 'img' || lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS image_id,
+       ROUND((h.hsum + s.mean_px / 255.0 + s.std_px / 255.0) / 26.0, 6) AS feat_mean
+FROM src d JOIN hist h USING (doc_id) JOIN stats s USING (doc_id)
+ORDER BY image_id
+"""
+
+
+@register("image_transform_features", _IMG_FEAT_SQL)
 def image_transform_features_q(sf_dir: str):
-    """Decode -> bilinear resize -> center-crop -> feature-extraction actor
-    pool over derived images (payload-axis preprocessing; rows-only —
-    goldens in tests/test_image_stages.py)."""
+    """Decode -> bilinear resize -> center-crop -> feature-extraction task
+    pool over derived images (payload-axis preprocessing; goldens in
+    tests/test_image_stages.py; the oracle recomputes the whole transform
+    from the deterministic pixel formula in SQL)."""
     import pyarrow as pa
 
     from demeter_ray.functions import codec
@@ -170,7 +428,7 @@ def image_transform_features_q(sf_dir: str):
     ds = ds.map_batches(to_images, batch_format="pyarrow", batch_size=512)
     out = transform_images(ds, concurrency=(1, 4)).to_pandas()
     feats = np.array(out["features"].tolist())
-    out["feat_mean"] = np.round(feats.mean(axis=1), 6)
+    out["feat_mean"] = duck_round(feats.mean(axis=1), 6)
     return out[["image_id", "feat_mean"]]
 
 
@@ -221,7 +479,9 @@ def approx_distinct_users_q(sf_dir: str):
     from demeter_ray.stages.sketches import approx_distinct, approx_distinct_tokens
 
     users = read_table(sf_dir, "events", columns=["user_id"])
-    exact = users.to_pandas()["user_id"].nunique()
+    # exact comparison column via the distributed groupby (one row per key,
+    # counted by metadata) — never a full-column driver pull
+    exact = users.groupby("user_id").count().count()
     est = approx_distinct(users, "user_id", p=12)
     docs = read_table(sf_dir, "documents", columns=["text"])
     vocab_est = approx_distinct_tokens(docs, p=12)
