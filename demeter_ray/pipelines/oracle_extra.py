@@ -196,7 +196,7 @@ def ndvi_zone_statistics_q(sf_dir: str):
 
     fd = fx.generate("tiny")
     out = ndvi_statistics(ray.data.read_parquet(f"{fd}/scene_tiles.parquet"))
-    out = out.drop(columns=["pixels"])
+    out = out.drop(columns=["pixels", "transform", "crs"])
     out["mean_value"] = duck_round(out["mean_value"].to_numpy(dtype=np.float64), 6)
     return out
 

@@ -27,8 +27,9 @@ from demeter_ray.stages.depthagg import estimate_carbon_stock
 from demeter_ray.stages.hydro import build_vat_lookup, remap_tile
 from demeter_ray.stages.sample import load_tiles, sample_tiles_at, sample_tiles_at_crs
 from demeter_ray.functions import geo
+from demeter_ray.functions.scenes import decode_flow_direction
 
-ALL_SOURCES = ("carbon_stock", "elevation", "catchment", "ssurgo")
+ALL_SOURCES = ("carbon_stock", "elevation", "catchment", "ndvi", "ssurgo")
 
 
 def _sample_masked(raster, transform, lons, lats) -> np.ndarray:
@@ -82,6 +83,48 @@ def fetch_point_data(
         out["catchment_id"] = pd.array(
             [None if np.isnan(v) else int(v) for v in vals], dtype="Int64"
         )
+        # fac/fdr companions: the reference's hydro source samples all three
+        # of cat/fac/fdr, decoding fdr to the FlowDirection categorical
+        # (api.py:183-206, usgs/constants.py:14-24)
+        fac_tiles = load_tiles(tiles_tbl, "fac", with_crs=True)
+        out["flow_accumulation"] = sample_tiles_at_crs(fac_tiles, lons, lats)
+        fdr_tiles = load_tiles(tiles_tbl, "fdr", with_crs=True)
+        fdr_vals = sample_tiles_at_crs(fdr_tiles, lons, lats)
+        out["flow_direction"] = decode_flow_direction(
+            [None if np.isnan(v) else int(v) for v in fdr_vals]
+        )
+
+    if "ndvi" in sources:
+        # per-zone NDVI statistic rasters sampled at each point's own zone
+        # (api.py:128-178): zone assignment by the floor(lon/6) rule (J9),
+        # four sentinel2-style statistic columns appended
+        import ray.data
+
+        from demeter_ray.stages.ndvi import ndvi_statistics
+
+        nd = ndvi_statistics(
+            ray.data.read_parquet(f"{fixture_dir}/scene_tiles.parquet")
+        )
+        zone_nums = geo.utm_zone_for(lons)
+        for stat in ("mean", "min", "max", "stddev"):
+            vals = np.full(len(lons), np.nan)
+            for zone_label in nd["utm_zone"].unique():
+                zn = int(zone_label[:-1])
+                m = zone_nums == zn
+                if not m.any():
+                    continue
+                row = nd[(nd["utm_zone"] == zone_label)
+                         & (nd["statistic"] == stat)].iloc[0]
+                px = (
+                    np.frombuffer(row["pixels"], np.float32)
+                    .reshape(row["h"], row["w"])
+                    .astype(np.float64)
+                )
+                transform = tuple(float(v) for v in row["transform"].split(","))
+                bounds = geo.raster_bounds(transform, row["h"], row["w"])
+                tile = [(zone_label, px, transform, float("nan"), bounds, row["crs"])]
+                vals[m] = sample_tiles_at_crs(tile, lons[m], lats[m])
+            out[f"ndvi_{stat}"] = vals
 
     if "ssurgo" in sources:
         from demeter_ray.pipelines.soiljoin import primary_soil_components

@@ -41,7 +41,7 @@ SCALES = {
 }
 
 FIXTURE_ROOT = "/tmp/demeter_ray_fixtures"
-FIXTURE_VERSION = "13"
+FIXTURE_VERSION = "14"
 
 
 def fixture_dir(scale: str) -> str:
@@ -304,6 +304,18 @@ def catchment_value(gcol: np.ndarray, grow: np.ndarray) -> np.ndarray:
     return ((tx * N_TILES + ty) * 7 + (lrow + lcol) // 32) % 11 + 1
 
 
+def fac_value(gcol: np.ndarray, grow: np.ndarray) -> np.ndarray:
+    """Deterministic flow-accumulation field (SQL-recomputable):
+    ((gcol*11 + grow*23) % 5000) / 4.0"""
+    return (((gcol * 11 + grow * 23) % 5000) / 4.0).astype(np.float64)
+
+
+def fdr_value(gcol: np.ndarray, grow: np.ndarray) -> np.ndarray:
+    """Deterministic D8 flow-direction codes 2^k (k from 8-px blocks) —
+    the decode_flow_direction categorical domain (usgs/constants.py:14-24)."""
+    return (2 ** ((gcol // 8 + grow // 8) % 8)).astype(np.int64)
+
+
 def soil_value(gcol, grow, dataset: str, stat: str, depth_top: int) -> np.ndarray:
     """Smooth deterministic soil property per (dataset, statistic, depth).
     p5/p95 are the mean +/- 0.5 (consistent percentile semantics; their
@@ -391,6 +403,14 @@ def make_raster_tiles() -> pa.Table:
             lr, lc = np.indices((TILE_PX, TILE_PX))
             cat = catchment_value(tx * TILE_PX + lc, (N_TILES - 1 - ty) * TILE_PX + lr)
             add("cat", None, None, None, tx, ty, cat, -9999.0, "int32")
+            # fac/fdr hydrography companions (api.py:183-206 samples all
+            # three of cat/fac/fdr per point)
+            gc = tx * TILE_PX + lc
+            gr = (N_TILES - 1 - ty) * TILE_PX + lr
+            add("fac", None, None, None, tx, ty, fac_value(gc, gr),
+                float("nan"), "float32")
+            add("fdr", None, None, None, tx, ty, fdr_value(gc, gr),
+                -9999.0, "int32")
     # misaligned dataset: one tile on a grid shifted by 0.3 px
     t = _tile_transform(0, 0)
     t[2] += RES_DEG * 0.3
@@ -604,10 +624,20 @@ def scene_band_value(zone_i: int, tile_i: int, datatake_i: int, band: str,
 
 
 def _scene_transform(zone_i: int, tile_i: int, res_m: float) -> list[float]:
-    # UTM-ish meters: each tile 640m x 640m at 10m res (toy scale)
-    x0 = 500000.0 + tile_i * (SCENE_PX * 10.0)
-    y1 = 4000000.0
-    return [res_m, 0.0, x0, 0.0, -res_m, y1]
+    """Scene tiles positioned over the fixture window in the zone's own UTM
+    coordinates (toy 100x scale: the '10 m' band is 1 km/px so one 64-px
+    tile spans 64 km and covers the 0.5-degree window) — the point-sampling
+    path (fetch_point_data NDVI columns, api.py:128-178) needs real
+    coverage.  Both resolutions share the 1 km-grid origin so the SCL
+    20 m->10 m alignment crop stays a pure upscale."""
+    zone = 13 + zone_i
+    e, n = geo.utm_forward(
+        np.array([LON0, LON1, LON0, LON1]), np.array([LAT0, LAT0, LAT1, LAT1]), zone
+    )
+    base = 1000.0
+    x0 = float(np.floor(e.min() / base) * base) + tile_i * (SCENE_PX * base)
+    y1 = float(np.ceil(n.max() / base) * base)
+    return [res_m * 100.0, 0.0, x0, 0.0, -res_m * 100.0, y1]
 
 
 def make_scene_tiles() -> pa.Table:

@@ -52,6 +52,7 @@ def build_ndvi_for_datatake(group: pd.DataFrame) -> tuple[str, str, np.ma.Masked
 
     red, red_t, _ = merge_tiles(band_tiles("red"), method="first",
                                 allow_resampling=False, check_overlap=True)
+    crs = group["crs"].iloc[0] if "crs" in group.columns else "EPSG:32613"
     nir, _, _ = merge_tiles(band_tiles("nir"), method="first",
                             allow_resampling=False, check_overlap=True)
     foot, _, _ = merge_tiles(band_tiles("detfoo"), method="first",
@@ -85,7 +86,7 @@ def build_ndvi_for_datatake(group: pd.DataFrame) -> tuple[str, str, np.ma.Masked
     ndvi = (nir_r - red_r) / (nir_r + red_r)
     zone = group["utm_zone"].iloc[0]
     dt = group["datatake_ts"].iloc[0]
-    return zone, dt, ndvi
+    return zone, dt, ndvi, red_t, crs
 
 
 def ndvi_statistics(scene_tiles: ray.data.Dataset) -> pd.DataFrame:
@@ -94,13 +95,17 @@ def ndvi_statistics(scene_tiles: ray.data.Dataset) -> pd.DataFrame:
     raster bytes for downstream sinks."""
 
     def per_datatake(g: pd.DataFrame) -> pd.DataFrame:
-        zone, dt, ndvi = build_ndvi_for_datatake(g)
+        zone, dt, ndvi, transform, crs = build_ndvi_for_datatake(g)
         return pd.DataFrame(
             {
                 "utm_zone": [zone],
                 "datatake_ts": [dt],
                 "h": [ndvi.shape[0]],
                 "w": [ndvi.shape[1]],
+                # transform as a csv string: ragged/object arrays in pandas
+                # blocks break Ray block serialization
+                "transform": [",".join(repr(float(v)) for v in transform)],
+                "crs": [crs],
                 "ndvi": [ndvi.filled(np.nan).astype(np.float32).tobytes()],
             }
         )
@@ -133,6 +138,8 @@ def ndvi_statistics(scene_tiles: ray.data.Dataset) -> pd.DataFrame:
                     "statistic": name,
                     "h": raster.shape[0],
                     "w": raster.shape[1],
+                    "transform": g["transform"].iloc[0],
+                    "crs": g["crs"].iloc[0],
                     "valid_px": int((~np.ma.getmaskarray(raster)).sum()),
                     "mean_value": float(np.ma.mean(raster)),
                     "pixels": raster.filled(np.nan).astype(np.float32).tobytes(),

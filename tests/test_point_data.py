@@ -151,3 +151,73 @@ def test_sample_through_epsg5070_direct(ray_session, tiny_fixtures):
         N_TILES - 1 - gr.ravel().astype(np.int64) // TILE_PX
     )
     np.testing.assert_array_equal(got, (want + 16 * tidx).astype(np.float64))
+
+
+def test_hydro_fac_fdr_columns(result):
+    """fac/fdr point columns (api.py:183-206): flow accumulation matches
+    the deterministic field formula; fdr decodes to the FlowDirection
+    categorical; outside-coverage points get nulls."""
+    from demeter_ray.functions.scenes import FLOW_DIRECTIONS
+
+    inside = result[~result["point_id"].isin(["p_outside", "p_tile_edge"])]
+    gcol = np.floor((inside["lon"].to_numpy() - fx.LON0) / fx.RES_DEG).astype(np.int64)
+    grow = np.floor((fx.LAT1 - inside["lat"].to_numpy()) / fx.RES_DEG).astype(np.int64)
+    np.testing.assert_allclose(
+        inside["flow_accumulation"].to_numpy(),
+        fx.fac_value(gcol, grow).astype(np.float32),
+        rtol=1e-6,
+    )
+    expect = [FLOW_DIRECTIONS[int(v)] for v in fx.fdr_value(gcol, grow)]
+    assert list(inside["flow_direction"]) == expect
+    assert str(result["flow_direction"].dtype) == "category"
+    out_row = result[result["point_id"] == "p_outside"].iloc[0]
+    assert pd.isna(out_row["flow_accumulation"])
+    assert pd.isna(out_row["flow_direction"])
+
+
+def test_ndvi_point_columns(result):
+    """NDVI statistic columns (api.py:128-178): per-point values recomputed
+    independently from the scene formulas through the zone-13N UTM
+    transform (mirrors tests/test_api.py:14-178 semantics)."""
+    inside = result[result["point_id"] != "p_outside"]
+    # the fixture window straddles the 13/14 zone boundary at -102 deg, so
+    # each point recomputes through ITS zone's raster (api.py:134-151)
+    zone_nums = geo.utm_zone_for(inside["lon"].to_numpy())
+    assert set(zone_nums) == {13, 14}  # both zones exercised
+    exp_mean, exp_min, exp_max, exp_std = [], [], [], []
+    for lon, lat, zn in zip(
+        inside["lon"].to_numpy(), inside["lat"].to_numpy(), zone_nums
+    ):
+        zone_i = int(zn) - 13
+        e, n = geo.utm_forward(np.array([lon]), np.array([lat]), int(zn))
+        t = fx._scene_transform(zone_i, 0, 10.0)
+        ci = int(np.floor((e[0] - t[2]) / t[0]))
+        ri = int(np.floor((n[0] - t[5]) / t[4]))
+        tile_i, c_local = divmod(ci, fx.SCENE_PX)
+        per_dt = []
+        for dt in range(3):
+            cc = np.array([[c_local]])
+            rr = np.array([[ri]])
+            red = int(fx.scene_band_value(zone_i, tile_i, dt, "red", cc, rr)[0, 0])
+            nir = int(fx.scene_band_value(zone_i, tile_i, dt, "nir", cc, rr)[0, 0])
+            scl = int(
+                fx.scene_band_value(zone_i, tile_i, dt, "scl", cc // 2, rr // 2)[0, 0]
+            )
+            if c_local < 2 or red == 0 or nir == 0 or scl in fx.CLOUD_VALUES:
+                continue
+            r_r, n_r = red / 10000, nir / 10000
+            per_dt.append(float(np.float32((n_r - r_r) / (n_r + r_r))))
+        assert per_dt, "probe points should have at least one valid datatake"
+        a = np.asarray(per_dt)
+        exp_mean.append(a.mean())
+        exp_min.append(a.min())
+        exp_max.append(a.max())
+        exp_std.append(np.sqrt(((a - a.mean()) ** 2).mean()))
+    np.testing.assert_allclose(inside["ndvi_mean"].to_numpy(), exp_mean, rtol=1e-5)
+    np.testing.assert_allclose(inside["ndvi_min"].to_numpy(), exp_min, rtol=1e-5)
+    np.testing.assert_allclose(inside["ndvi_max"].to_numpy(), exp_max, rtol=1e-5)
+    np.testing.assert_allclose(
+        inside["ndvi_stddev"].to_numpy(), exp_std, rtol=1e-4, atol=1e-7
+    )
+    out_row = result[result["point_id"] == "p_outside"].iloc[0]
+    assert np.isnan(out_row["ndvi_mean"])
