@@ -641,7 +641,13 @@ def crs_forward(crs: str, lons, lats):
         return albers_forward(lons, lats)
     if code.startswith("326") and len(code) == 5:
         return utm_forward(lons, lats, int(code[3:]))
-    raise ValueError(f"unsupported CRS {crs!r}")
+    raise ValueError(
+        f"unsupported CRS {crs!r}: this engine dispatches EPSG:4326/EPSG:4269 "
+        "(geographic identity), EPSG:5070 (CONUS Albers) and EPSG:326xx (UTM "
+        "north) only — the reference accepts any pyproj CRS "
+        "(reprojection.py:15-112), but this sandbox has no pyproj; extend "
+        "crs_forward/crs_inverse with the projection math to add one"
+    )
 
 
 def crs_inverse(crs: str, xs, ys):
@@ -653,4 +659,7 @@ def crs_inverse(crs: str, xs, ys):
         return albers_inverse(xs, ys)
     if code.startswith("326") and len(code) == 5:
         return utm_inverse(xs, ys, int(code[3:]))
-    raise ValueError(f"unsupported CRS {crs!r}")
+    raise ValueError(
+        f"unsupported CRS {crs!r}: supported codes are EPSG:4326, EPSG:4269, "
+        "EPSG:5070 and EPSG:326xx (see crs_forward)"
+    )

@@ -119,6 +119,205 @@ ORDER BY f.map_unit_key, p.component_key
 """
 
 
+def _point_data_rasters_sql() -> str:
+    """SQL recompute of fetch_point_data's raster columns at the 5 fixture
+    probe points: elevation / catchment+VAT / fac / fdr-decode from the
+    global field formulas through the SAME per-tile inverse-affine floor the
+    sampler uses (every float expression mirrors the numpy op order, so IEEE
+    doubles agree bit-for-bit), depth-weighted carbon stock from the
+    per-pixel formula plan, and NDVI statistics from the scene formulas.
+    Only the point->UTM-pixel mapping (Krueger projection) is embedded as
+    literals — computed at SQL-build time and independently golden-tested in
+    tests/test_point_data.py."""
+    import numpy as np
+
+    from demeter_ray.functions import geo
+    from demeter_ray.sources import fixtures as fx
+
+    pts = fx.make_points().to_pylist()
+    # repr() round-trips doubles exactly, so the SQL literals ARE the
+    # fixture coordinates bit-for-bit
+    # the e0 suffix forces DOUBLE literals (DuckDB parses bare decimals as
+    # DECIMAL and loses trailing double precision through the cast)
+    pts_values = ",\n  ".join(
+        f"('{p['point_id']}', {p['lon']!r}e0, {p['lat']!r}e0)" for p in pts
+    )
+    # NDVI pixel literals: per-point zone + scene-mosaic pixel via the UTM
+    # forward projection (out-of-coverage points get no row -> NULL ndvi)
+    nd_rows = []
+    for p in pts:
+        zn = int(geo.utm_zone_for([p["lon"]])[0])
+        zone_i = zn - 13
+        if zone_i not in (0, 1):
+            continue
+        e, n = geo.utm_forward(np.array([p["lon"]]), np.array([p["lat"]]), zn)
+        t = fx._scene_transform(zone_i, 0, 10.0)
+        # mirror affine_rowcol's op order exactly
+        det = t[0] * t[4]
+        ci = int(np.floor((t[4] * (e[0] - t[2])) / det))
+        ri = int(np.floor((t[0] * (n[0] - t[5])) / det))
+        if not (0 <= ci < 2 * fx.SCENE_PX and 0 <= ri < fx.SCENE_PX):
+            continue
+        nd_rows.append(
+            f"('{p['point_id']}', {zone_i}, {ci // fx.SCENE_PX}, "
+            f"{ci % fx.SCENE_PX}, {ri})"
+        )
+    nd_values = ",\n  ".join(nd_rows)
+    return f"""
+WITH pts(point_id, lon, lat) AS (VALUES
+  {pts_values}
+),
+tiles AS (
+  -- all literals CAST to DOUBLE: DuckDB's bare decimal literals use exact
+  -- DECIMAL arithmetic, which diverges from the sampler's IEEE doubles at
+  -- floor boundaries (p_tile_edge sits exactly on one)
+  SELECT tx.a AS tx, ty.b AS ty,
+         CAST(-102.2 AS DOUBLE) + tx.a * CAST(0.1 AS DOUBLE) AS x0,
+         CAST(36.0 AS DOUBLE) + (ty.b + 1) * CAST(0.1 AS DOUBLE) AS y1,
+         CAST(0.1 AS DOUBLE) / 64 AS res,
+         CASE WHEN tx.a < 4 THEN 66 ELSE 64 END AS w,
+         CASE WHEN ty.b > 0 THEN 66 ELSE 64 END AS h
+  FROM generate_series(0, 4) tx(a), generate_series(0, 4) ty(b)
+),
+hit AS (
+  SELECT p.point_id, t.tx, t.ty,
+         CAST(FLOOR((-t.res * (CAST(p.lon AS DOUBLE) - t.x0)) / (t.res * -t.res)) AS BIGINT) AS lcol,
+         CAST(FLOOR((t.res * (CAST(p.lat AS DOUBLE) - t.y1)) / (t.res * -t.res)) AS BIGINT) AS lrow,
+         ROW_NUMBER() OVER (PARTITION BY p.point_id ORDER BY t.tx, t.ty) AS rn
+  FROM pts p JOIN tiles t
+    ON CAST(p.lon AS DOUBLE) >= t.x0 AND CAST(p.lon AS DOUBLE) < t.x0 + t.w * t.res
+   AND CAST(p.lat AS DOUBLE) > t.y1 - t.h * t.res AND CAST(p.lat AS DOUBLE) <= t.y1
+),
+cell AS (
+  SELECT point_id, tx * 64 + lcol AS gcol, (4 - ty) * 64 + lrow AS grow
+  FROM hit WHERE rn = 1 AND lcol >= 0 AND lrow >= 0
+),
+-- carbon stock at each point's pixel (range 0-100, 5 layers)
+clayers(dt, db) AS (VALUES (0,5),(5,15),(15,30),(30,60),(60,100)),
+cvals AS (
+  SELECT c.point_id,
+         CAST(l.db - l.dt AS DOUBLE) AS w,
+         CASE WHEN (c.gcol + c.grow + l.dt) % 89 = 0 THEN NULL ELSE
+           CAST(CAST(((c.gcol*13 + c.grow*7 + l.dt*29) % 500) / 100.0 AS REAL) AS DOUBLE)
+         END AS om,
+         CASE WHEN (c.gcol + c.grow + l.dt) % 89 = 0 THEN NULL ELSE
+           CAST(CAST(((c.gcol*13 + c.grow*7 + 1000 + l.dt*29) % 500) / 100.0 AS REAL) AS DOUBLE)
+         END AS bd,
+         CASE WHEN (c.gcol + c.grow + l.dt) % 89 = 0 THEN NULL ELSE
+           CAST(CAST(((c.gcol*13 + c.grow*7 + l.dt*29) % 500) / 100.0 + 0.5 AS REAL) AS DOUBLE)
+           - CAST(CAST(((c.gcol*13 + c.grow*7 + l.dt*29) % 500) / 100.0 - 0.5 AS REAL) AS DOUBLE)
+         END AS om_spread,
+         CASE WHEN (c.gcol + c.grow + l.dt) % 89 = 0 THEN NULL ELSE
+           CAST(CAST(((c.gcol*13 + c.grow*7 + 1000 + l.dt*29) % 500) / 100.0 + 0.5 AS REAL) AS DOUBLE)
+           - CAST(CAST(((c.gcol*13 + c.grow*7 + 1000 + l.dt*29) % 500) / 100.0 - 0.5 AS REAL) AS DOUBLE)
+         END AS bd_spread
+  FROM cell c CROSS JOIN clayers l
+),
+carbon AS (
+  SELECT point_id,
+         ROUND((0.58 * (SUM(w*om) FILTER (WHERE om IS NOT NULL)
+                        / SUM(w) FILTER (WHERE om IS NOT NULL)))
+               * (SUM(w*bd) FILTER (WHERE bd IS NOT NULL)
+                  / SUM(w) FILTER (WHERE bd IS NOT NULL)), 6) AS carbon_stock_mean,
+         ROUND(SQRT(
+             POWER(0.58 * SQRT(SUM(w*w*POWER(om_spread/(2*1.645), 2)) FILTER (WHERE om IS NOT NULL)
+                               / SUM(w*w) FILTER (WHERE om IS NOT NULL)), 2)
+             * POWER(SQRT(SUM(w*w*POWER(bd_spread/(2*1.645), 2)) FILTER (WHERE bd IS NOT NULL)
+                          / SUM(w*w) FILTER (WHERE bd IS NOT NULL)), 2)
+             + POWER(0.58 * SQRT(SUM(w*w*POWER(om_spread/(2*1.645), 2)) FILTER (WHERE om IS NOT NULL)
+                                 / SUM(w*w) FILTER (WHERE om IS NOT NULL)), 2)
+             * POWER(SUM(w*bd) FILTER (WHERE bd IS NOT NULL)
+                     / SUM(w) FILTER (WHERE bd IS NOT NULL), 2)
+             + POWER(SQRT(SUM(w*w*POWER(bd_spread/(2*1.645), 2)) FILTER (WHERE bd IS NOT NULL)
+                          / SUM(w*w) FILTER (WHERE bd IS NOT NULL)), 2)
+             * POWER(0.58 * (SUM(w*om) FILTER (WHERE om IS NOT NULL)
+                             / SUM(w) FILTER (WHERE om IS NOT NULL)), 2)
+         ), 6) AS carbon_stock_stddev
+  FROM cvals GROUP BY point_id
+),
+-- NDVI statistics at each point's zone pixel (literals from the projection)
+ndpix(point_id, zone_i, tile_i, c_local, srow) AS (VALUES
+  {nd_values}
+),
+nddt AS (
+  SELECT np.point_id,
+    CASE WHEN np.c_local <= 1 THEN NULL
+         WHEN (np.c_local + np.srow * 3 + d.dt) % 151 = 0 THEN NULL
+         WHEN (np.srow // 2 >= 4 + d.dt * 6 AND np.srow // 2 < 8 + d.dt * 6
+               AND np.c_local // 2 >= 8 AND np.c_local // 2 < 16) THEN NULL
+         ELSE CAST(CAST(
+           ( (5000 + (np.c_local*17 + np.srow*29 + d.dt*97 + np.tile_i*13 + np.zone_i*7) % 3000) / 10000.0
+           - (1000 + (np.c_local*17 + np.srow*29 + d.dt*97 + np.tile_i*13 + np.zone_i*7) % 3000) / 10000.0 )
+           /
+           ( (5000 + (np.c_local*17 + np.srow*29 + d.dt*97 + np.tile_i*13 + np.zone_i*7) % 3000) / 10000.0
+           + (1000 + (np.c_local*17 + np.srow*29 + d.dt*97 + np.tile_i*13 + np.zone_i*7) % 3000) / 10000.0 )
+           AS REAL) AS DOUBLE)
+    END AS v
+  FROM ndpix np CROSS JOIN (VALUES (0), (1), (2)) d(dt)
+),
+ndstat AS (
+  SELECT point_id,
+         CAST(CAST(ANY_VALUE(m) AS REAL) AS DOUBLE) AS ndvi_mean,
+         CAST(CAST(MIN(v) AS REAL) AS DOUBLE) AS ndvi_min,
+         CAST(CAST(MAX(v) AS REAL) AS DOUBLE) AS ndvi_max,
+         CAST(CAST(SQRT(AVG(POWER(v - m, 2))) AS REAL) AS DOUBLE) AS ndvi_stddev
+  FROM (SELECT point_id, v, AVG(v) OVER (PARTITION BY point_id) AS m
+        FROM nddt WHERE v IS NOT NULL)
+  GROUP BY point_id
+)
+SELECT p.point_id, p.lon, p.lat,
+       ca.carbon_stock_mean, ca.carbon_stock_stddev,
+       CAST(CAST(((c.gcol*31 + c.grow*17) % 1000) / 10.0 AS REAL) AS DOUBLE)
+         AS elevation,
+       CASE WHEN ((c.gcol//64*5 + (4 - c.grow//64))*7
+                  + (c.gcol%64 + c.grow%64)//32) % 11 + 1 <> 11
+            THEN CAST(10000000000000
+                      + (((c.gcol//64*5 + (4 - c.grow//64))*7
+                          + (c.gcol%64 + c.grow%64)//32) % 11 + 1) * 17
+                      + (c.gcol//64*5 + (4 - c.grow//64)) AS DOUBLE)
+       END AS catchment_id,
+       CAST(CAST(((c.gcol*11 + c.grow*23) % 5000) / 4.0 AS REAL) AS DOUBLE)
+         AS flow_accumulation,
+       CASE CAST(POWER(2, (c.gcol//8 + c.grow//8) % 8) AS BIGINT)
+         WHEN 1 THEN 'E' WHEN 2 THEN 'SE' WHEN 4 THEN 'S' WHEN 8 THEN 'SW'
+         WHEN 16 THEN 'W' WHEN 32 THEN 'NW' WHEN 64 THEN 'N' WHEN 128 THEN 'NE'
+       END AS flow_direction,
+       nd.ndvi_mean, nd.ndvi_min, nd.ndvi_max, nd.ndvi_stddev
+FROM pts p
+LEFT JOIN cell c USING (point_id)
+LEFT JOIN carbon ca USING (point_id)
+LEFT JOIN ndstat nd USING (point_id)
+ORDER BY p.point_id
+"""
+
+
+@register("fetch_point_data_rasters", _point_data_rasters_sql())
+def fetch_point_data_rasters_q(sf_dir: str):
+    """fetch_point_data restricted to its raster sources (carbon stock,
+    elevation, catchment + fac/fdr, NDVI) — the oracle recomputes every
+    column from the deterministic field formulas in SQL (the ssurgo source
+    stays in the full rows-only fetch_point_data: its polygon jitter uses
+    RandomState, which SQL can't reproduce)."""
+    from demeter_ray.pipelines import point_data
+    from demeter_ray.sources import fixtures as fx
+
+    out = point_data.fetch_point_data(
+        fx.generate("tiny"),
+        sources=("carbon_stock", "elevation", "catchment", "ndvi"),
+    )
+    out["carbon_stock_mean"] = duck_round(
+        out["carbon_stock_mean"].to_numpy(dtype=np.float64), 6
+    )
+    out["carbon_stock_stddev"] = duck_round(
+        out["carbon_stock_stddev"].to_numpy(dtype=np.float64), 6
+    )
+    # nullable Int64 -> float64 (the checker's int path can't carry NA)
+    out["catchment_id"] = out["catchment_id"].astype("Float64").astype(np.float64)
+    fd = out["flow_direction"].astype(object)
+    out["flow_direction"] = fd.where(fd.notna(), None)
+    return out
+
+
 @register("primary_soil_components", _PRIMARY_SOIL_SQL)
 def primary_soil_components_q(sf_dir: str):
     """Full SSURGO plan over fixture dims (ssurgo.py:111-179 semantics;

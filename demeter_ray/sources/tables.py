@@ -18,6 +18,20 @@ import os
 import ray.data
 
 
+def _stripped_schema(path: str, columns=None):
+    """Projected schema with file-level metadata removed: pandas-written
+    parquet carries a schema-metadata dict that makes the Arrow schema
+    unhashable, so every Ray schema-dedup pass logs a 'Failed to hash the
+    schemas' warning — strip it at the read boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path)
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch.remove_metadata()
+
+
 def read_table(sf_dir: str, name: str, columns=None, blocks: int | None = None) -> ray.data.Dataset:
     """Read one driver table.  Ray auto-splits even single-row-group files
     into parallel blocks (ReadParquet->SplitBlocks), so no repartition is
@@ -25,7 +39,9 @@ def read_table(sf_dir: str, name: str, columns=None, blocks: int | None = None) 
     measured ~17s of stall on this Ray build.  ``blocks`` remains available
     for callers that genuinely need a specific block count."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ds = ray.data.read_parquet(path, columns=columns)
+    ds = ray.data.read_parquet(
+        path, columns=columns, schema=_stripped_schema(path, columns)
+    )
     if blocks:
         ds = ds.repartition(blocks)
     return ds

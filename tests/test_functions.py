@@ -317,3 +317,19 @@ def test_om_log10_conversion(tiny_fixtures):
     # conversion is 10**om applied before the SOC scale -> strictly different
     i, j = np.argwhere(~np.ma.getmaskarray(lin))[0]
     assert log[i, j] != lin[i, j]
+
+
+def test_crs_dispatch_unknown_epsg_raises():
+    """Unknown EPSG codes fail loudly with the supported set listed — never
+    a silent passthrough (VERDICT r2 #8)."""
+    import numpy as np
+    import pytest
+
+    from demeter_ray.functions import geo
+
+    for fn in (geo.crs_forward, geo.crs_inverse):
+        with pytest.raises(ValueError, match="EPSG:5070"):
+            fn("EPSG:3857", np.array([0.0]), np.array([0.0]))
+    # supported codes still dispatch
+    x, y = geo.crs_forward("EPSG:4269", np.array([1.0]), np.array([2.0]))
+    assert x[0] == 1.0 and y[0] == 2.0
