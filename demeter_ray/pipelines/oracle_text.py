@@ -278,13 +278,41 @@ def image_decode_stats(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-# -------------------------------------------- rows-only (non-SQL) operators
+# ---------------- near-dup / fingerprint / langid operators (SQL-recomputed)
+#
+# The LSH funnels are verified by EXACT similarity on the candidate pairs, so
+# the final output is a deterministic function of the corpus alone whenever
+# banding recall is 1.0 at the gate's scale — which it is here (32 bands of 4
+# rows at J>=0.9: miss probability ~1e-15, checked empirically at sf0.001 and
+# sf0.01 incl. the capped-bucket chains).  That makes exact set-similarity SQL
+# a true oracle for the funnel's output.
 
-@register("minhash_lsh_neardup_docs", None)
+_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.ts, b.ts)) AS i,
+         len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS u
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+),
+j AS (
+  SELECT a_id, b_id,
+         CASE WHEN u = 0 THEN 1.0 ELSE round_even(i::DOUBLE / u::DOUBLE, 4) END AS jaccard
+  FROM p
+)
+SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.9 ORDER BY a_id, b_id
+"""
+
+
+@register("minhash_lsh_neardup_docs", _MINHASH_SQL)
 def minhash_lsh_neardup_docs(sf_dir: str):
     """MinHash + LSH banding near-dup candidates, verified by exact Jaccard
     (shingle -> minhash -> band -> bucket groupby -> verify; ray_guide
-    'Near-dup').  Rows-only: token hashing isn't SQL-expressible."""
+    'Near-dup').  Oracle: exact word-set Jaccard over all pairs — equivalent
+    because the funnel ends in an exact verify and banding recall is 1.0 at
+    oracle scale (see module comment)."""
     from demeter_ray.stages.dedup import minhash_neardup
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -302,19 +330,75 @@ def simhash_docs(sf_dir: str):
     return simhash_column(ds)
 
 
-@register("ngram_jaccard_pairs", None)
+_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(text) - 1),
+                                      i -> substr(lower(text), i::INT, 3))) AS ts
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.ts, b.ts)) AS i,
+         len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS u
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+),
+j AS (
+  SELECT a_id, b_id,
+         CASE WHEN u = 0 THEN 1.0 ELSE round_even(i::DOUBLE / u::DOUBLE, 4) END AS jaccard
+  FROM p
+)
+SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a_id, b_id
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_SQL)
 def ngram_jaccard_pairs(sf_dir: str):
     """Character-3-gram Jaccard near-dup pairs via banded MinHash candidates
-    + exact verify (rows-only)."""
+    + exact verify.  Oracle: exact 3-gram-set Jaccard over all pairs (same
+    recall argument as the word-set funnel above)."""
     from demeter_ray.stages.dedup import ngram_jaccard_neardup
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ngram_jaccard_neardup(ds, n=3, threshold=0.8)
 
 
-@register("doc_fingerprints", None)
+# Karp-Rabin k-gram hashes (k=8, base 257, mod 2^31-1) recomputed as a
+# direct polynomial with precomputed powers 257^(7-j) mod m, then winnowed
+# (window-4 minima, distinct picks) — byte-exact vs functions/hashing.
+# rolling_fingerprints because the corpus is ASCII (codepoint == byte).
+_FINGERPRINT_SQL = """
+WITH hg AS (
+  SELECT doc_id,
+    list_transform(range(1, len(text) - 6), i ->
+      (ascii(substr(text, i::INT, 1))::BIGINT * 623063367
+       + ascii(substr(text, (i+1)::INT, 1))::BIGINT * 336663071
+       + ascii(substr(text, (i+2)::INT, 1))::BIGINT * 168429323
+       + ascii(substr(text, (i+3)::INT, 1))::BIGINT * 67503107
+       + ascii(substr(text, (i+4)::INT, 1))::BIGINT * 16974593
+       + ascii(substr(text, (i+5)::INT, 1))::BIGINT * 66049
+       + ascii(substr(text, (i+6)::INT, 1))::BIGINT * 257
+       + ascii(substr(text, (i+7)::INT, 1))::BIGINT) % 2147483647
+    ) AS hs
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+         ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+                i -> least(hs[i::INT], hs[(i+1)::INT], hs[(i+2)::INT], hs[(i+3)::INT])))
+    END AS picks
+  FROM hg
+)
+SELECT doc_id, len(picks)::BIGINT AS n_fingerprints,
+       list_min(picks)::BIGINT AS min_fingerprint
+FROM w ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprints", _FINGERPRINT_SQL)
 def doc_fingerprints(sf_dir: str):
-    """Winnowed rolling-hash fingerprints per doc (rows-only)."""
+    """Winnowed rolling-hash fingerprints per doc, SQL-recomputed."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -330,10 +414,45 @@ def doc_fingerprints(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-@register("langid_predict", None)
+def _langid_sql() -> str:
+    """Recompute detect_language in SQL, generated from _LANG_PROFILES so the
+    oracle stays in sync: per-language score = sum of non-overlapping trigram
+    counts ((len - len(replace))/3 == str.count), winner = first language in
+    profile order achieving the strict running max (start 'und'/0)."""
+    langs = list(textfns._LANG_PROFILES)
+    score_cols = ",\n    ".join(
+        "(" + " + ".join(
+            f"((len(t) - len(replace(t, '{g}', ''))) // 3)" for g in grams
+        ) + f") AS s_{lang}"
+        for lang, grams in textfns._LANG_PROFILES.items()
+    )
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= 1"]
+        conds += [f"s_{lang} > s_{e}" for e in langs[:i]]
+        conds += [f"s_{lang} >= s_{l}" for l in langs[i + 1:]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH s AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM s
+)
+SELECT doc_id,
+  CASE
+    {' '.join(branches)}
+    ELSE 'und' END AS lang_pred
+FROM sc ORDER BY doc_id
+"""
+
+
+@register("langid_predict", _langid_sql())
 def langid_predict(sf_dir: str):
-    """n-gram language-ID heuristic over the text column (rows-only — the
-    synthetic text carries no real language signal; the operator matters)."""
+    """n-gram language-ID heuristic over the text column (the synthetic text
+    carries no real language signal; the operator + oracle recompute do)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
