@@ -66,6 +66,7 @@ def run_benchmarks() -> dict:
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401
     import demeter_ray.pipelines.oracle_text  # noqa: F401
     import demeter_ray.pipelines.oracle_extra  # noqa: F401
+    import demeter_ray.pipelines.oracle_window  # noqa: F401
     from demeter_ray.pipelines import flagship
     from demeter_ray.pipelines.relational import QUERIES
 

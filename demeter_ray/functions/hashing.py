@@ -2,7 +2,7 @@
 rolling-hash fingerprints.
 
 Everything is deterministic across processes and Ray workers (no reliance on
-PYTHONHASHSEED).  Token->int64 hashing goes through blake2b with a per-actor
+PYTHONHASHSEED).  Token->int64 hashing goes through sha256 with a per-actor
 cache — fixture/document vocabularies are small, so the cache turns per-token
 hashing into dict lookups; the scale note for open vocabularies is in
 stages/dedup.py.
@@ -10,7 +10,7 @@ stages/dedup.py.
 
 from __future__ import annotations
 
-from hashlib import blake2b
+from hashlib import sha256
 
 import numpy as np
 
@@ -18,10 +18,13 @@ MERSENNE61 = (1 << 61) - 1
 
 
 def stable_hash64(data) -> int:
-    """Stable unsigned 63-bit hash of bytes/str."""
+    """Stable unsigned 63-bit hash of bytes/str: little-endian first 8 bytes
+    of sha256, top bit dropped.  sha256 (not blake2b) so DuckDB oracles can
+    recompute token hashes in SQL (`sha256(t)` + hex arithmetic) — see
+    pipelines/oracle_text.py simhash / approx-distinct oracles."""
     if isinstance(data, str):
         data = data.encode("utf-8")
-    return int.from_bytes(blake2b(data, digest_size=8).digest(), "little") >> 1
+    return int.from_bytes(sha256(data).digest()[:8], "little") >> 1
 
 
 class TokenHasher:

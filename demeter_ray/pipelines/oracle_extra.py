@@ -524,7 +524,27 @@ def carbon_stock_summary_q(sf_dir: str):
     return pd.DataFrame(rows)
 
 
-@register("simhash_neardup_docs", None)
+# pairs = docs sharing >=1 exact 16-bit simhash chunk (the Charikar bucketing
+# the engine shuffles on) AND Hamming <= 6 — both conditions SQL-recomputed
+# from the simhash CTE, so the oracle reproduces the engine's recall shape
+# exactly (verified incl. capped-bucket chains at sf0.001/sf0.01)
+def _simhash_pairs_sql() -> str:
+    from demeter_ray.pipelines.oracle_text import SIMHASH_CTE
+
+    return SIMHASH_CTE + """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+  AND (((a.simhash >> 0)  & 65535) = ((b.simhash >> 0)  & 65535)
+    OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+    OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+    OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
+ORDER BY a_id, b_id
+"""
+
+
+@register("simhash_neardup_docs", _simhash_pairs_sql())
 def simhash_neardup_docs_q(sf_dir: str):
     """SimHash chunk-bucketed near-dup pairs with exact Hamming verify."""
     from demeter_ray.stages.dedup import simhash_neardup
@@ -669,12 +689,70 @@ def image_embedding_neardup_q(sf_dir: str):
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
-@register("approx_distinct_users", None)
+def _hll_estimate_cte(vals_query: str) -> str:
+    """HyperLogLog p=12 recomputed in SQL, register-exact vs
+    stages/sketches.hll_add/hll_estimate: h = stable_hash64(str(v)) << 1,
+    idx = top 12 bits, rank = leading zeros of the remaining 52 bits + 1,
+    alpha_m estimator with the small-range (linear-counting) correction."""
+    from demeter_ray.pipelines.oracle_text import sha256_hash64_sql
+
+    return f"""
+WITH vals AS ({vals_query}),
+hv AS (
+  SELECT ({sha256_hash64_sql('v')} * 2)::HUGEINT AS h FROM vals
+),
+parts AS (
+  SELECT (h >> 52)::BIGINT AS idx,
+         (h & 4503599627370495)::BIGINT AS rest
+  FROM hv
+),
+ranked AS (
+  SELECT idx,
+         (CASE WHEN rest = 0 THEN 52
+               ELSE coalesce(list_position(list_transform(range(0, 52),
+                      b -> (rest >> (51 - b)::INT) & 1), 1) - 1, 52) END + 1) AS rank
+  FROM parts
+),
+regs AS (
+  SELECT idx, MAX(rank) AS r FROM ranked GROUP BY idx
+),
+agg AS (
+  SELECT SUM(2.0 ^ (-r)) AS s, COUNT(*) AS n_present FROM regs
+),
+est AS (
+  SELECT (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
+           / (s + (4096 - n_present) * 1.0) AS raw,
+         (4096 - n_present) AS zeros
+  FROM agg
+)
+SELECT CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+            THEN 4096 * ln(4096.0 / zeros) ELSE raw END AS estimate
+FROM est
+"""
+
+
+def _approx_distinct_sql() -> str:
+    return f"""
+WITH u AS ({_hll_estimate_cte("SELECT CAST(user_id AS VARCHAR) AS v FROM events")}),
+t AS ({_hll_estimate_cte("SELECT unnest(list_distinct(string_split(text, ' '))) AS v FROM documents")}),
+ex AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS exact FROM events)
+SELECT 'distinct_users' AS metric, round_even(u.estimate, 1) AS estimate,
+       ex.exact AS "exact",
+       round_even(abs(u.estimate - ex.exact) / ex.exact, 4) AS rel_error
+FROM u, ex
+UNION ALL
+SELECT 'distinct_tokens', round_even(t.estimate, 1), -1, -1.0 FROM t
+ORDER BY metric DESC
+"""
+
+
+@register("approx_distinct_users", _approx_distinct_sql())
 def approx_distinct_users_q(sf_dir: str):
     """HyperLogLog approximate distinct count (mergeable-sketch aggregation:
     one tiny sketch row per batch shuffles, never the values) beside the
-    exact count and the relative error — rows-only; the error bound is
-    pytest-pinned in tests/test_sketches.py."""
+    exact count and the relative error — register-exact SQL oracle (the HLL
+    fold is recomputed in DuckDB); the error bound is also pytest-pinned in
+    tests/test_sketches.py."""
     from demeter_ray.stages.sketches import approx_distinct, approx_distinct_tokens
 
     users = read_table(sf_dir, "events", columns=["user_id"])

@@ -1,8 +1,11 @@
 """Text / embedding / image-payload queries over the driver's documents and
 embeddings tables — the training-data-pipeline operator suite (dedup,
 similarity search, text analysis, multimodal decode) with DuckDB oracles
-where SQL can express the semantics and rows-only registration where it
-can't (MinHash-LSH, SimHash, fingerprints, language-ID).
+where SQL can express the semantics — including full recomputes of the
+MinHash/ngram funnels (exact set-Jaccard), SimHash (sha256 token hashes +
+bit votes), winnowing fingerprints and language-ID — and rows-only
+registration only where recall is genuinely probabilistic at scale
+(embedding LSH, IVF) or the math is raster-side (warp).
 """
 
 from __future__ import annotations
@@ -321,9 +324,47 @@ def minhash_lsh_neardup_docs(sf_dir: str):
     return minhash_neardup(ds, num_perm=128, bands=32, jaccard_threshold=0.9)
 
 
-@register("simhash_docs", None)
+def sha256_hash64_sql(expr: str) -> str:
+    """SQL expression recomputing functions/hashing.stable_hash64(expr):
+    little-endian first 8 bytes of sha256, top bit dropped (HUGEINT)."""
+    return f"""(list_sum(list_transform(range(0, 8), i ->
+    ((strpos('0123456789abcdef', substr(sha256({expr}), (2*i+1)::INT, 1)) - 1)::HUGEINT * 16
+     + (strpos('0123456789abcdef', substr(sha256({expr}), (2*i+2)::INT, 1)) - 1)::HUGEINT)
+    * ([1,256,65536,16777216,4294967296,1099511627776,281474976710656,72057594037927936][(i+1)::INT])::HUGEINT
+ )) >> 1)"""
+
+
+# SimHash recompute: hash every token occurrence, per-bit majority vote
+# (bit set iff 2*ones > n — the strict-majority rule in hashing.simhash64),
+# assembled as signed int64 (bit 63 contributes -2^63).
+SIMHASH_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hv AS (
+  SELECT doc_id, {sha256_hash64_sql('tok')}::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, j, SUM(((h >> j) & 1)) AS ones, COUNT(*) AS n
+  FROM hv, (SELECT unnest(range(0, 64)) AS j) js
+  GROUP BY doc_id, j
+),
+sim AS (
+  SELECT doc_id,
+    SUM(CASE WHEN 2 * ones > n
+             THEN CASE WHEN j = 63 THEN -9223372036854775808 ELSE (1::BIGINT << j::INT) END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+_SIMHASH_SQL = SIMHASH_CTE + "SELECT doc_id, simhash FROM sim ORDER BY doc_id"
+
+
+@register("simhash_docs", _SIMHASH_SQL)
 def simhash_docs(sf_dir: str):
-    """Per-doc 64-bit SimHash (rows-only; deterministic)."""
+    """Per-doc 64-bit SimHash, SQL-recomputed bit-for-bit (sha256 token
+    hashes + per-bit majority vote)."""
     from demeter_ray.stages.dedup import simhash_column
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])

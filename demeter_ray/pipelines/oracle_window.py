@@ -1,0 +1,610 @@
+"""Window functions, grouping sets, pivots, range joins and deterministic
+sampling — the relational tail of SURVEY.md §2.6/§2.9 plus training-data
+operators (hash sampling, text normalization), every one with a DuckDB
+oracle.
+
+Design notes (scale-first, same house rules as relational.py):
+
+- Ordered window functions (rank / dense_rank / row_number / lag) use the
+  sessionize shape — ONE range-partitioned ``Dataset.sort``, vectorized
+  per-block partials, a tiny O(blocks x groups) driver combine for the
+  cross-block carry, then a second vectorized pass over the SAME
+  materialized sorted blocks (batch_size=None keeps block segmentation
+  identical).  No per-group Python at any group cardinality.
+- ROLLUP pre-aggregates at the finest level through the size-gated
+  partial_shuffle_combine; super-aggregate levels are derived from the
+  (small, key-cardinality-bounded) leaf table on the driver.
+- The distance-range join broadcasts the small side (ray.put once) and
+  emits per-batch partials; only min/max/count cross the shuffle, so the
+  comparison stays float-exact.
+- Hash sampling recomputes functions/hashing.stable_hash64 in SQL (sha256),
+  making "deterministic 10% sample" driver-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from demeter_ray.pipelines.oracle_spatial import (
+    LAT_EXPR,
+    LON_EXPR,
+    ORACLE_CENTROIDS,
+    derive_lat,
+    derive_lon,
+)
+from demeter_ray.pipelines.oracle_text import sha256_hash64_sql
+from demeter_ray.pipelines.relational import (
+    partial_shuffle_combine,
+    register,
+)
+from demeter_ray.sources.tables import read_table
+
+# ------------------------------------------------------------------ ranks
+
+_RANK_SQL = """
+SELECT c_nationkey, c_custkey,
+       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS rn,
+       RANK()       OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC) AS drnk
+FROM customer
+ORDER BY c_nationkey, rn
+"""
+
+
+@register("rank_customers_by_balance", _RANK_SQL)
+def rank_customers_by_balance(sf_dir: str):
+    """row_number / rank / dense_rank per nation ordered by balance desc.
+
+    One global ``Dataset.sort`` on (nation, -balance, custkey), vectorized
+    block partials (per (block, nation): row count, distinct-value count,
+    boundary values), an ordered driver combine carrying (rows-before,
+    distinct-before, last value, last value's rank) across blocks, then a
+    second vectorized pass adding the carried bases.  The carry state is
+    O(blocks x nations) — scale-safe at any customer cardinality."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    sorted_ds = ds.sort(
+        ["c_nationkey", "c_acctbal", "c_custkey"], descending=[False, True, False]
+    ).materialize()
+
+    def _segments(batch: pa.Table):
+        nat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        key = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        ends = np.r_[starts[1:], len(nat)]
+        return nat, bal, key, starts, ends
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        empty = {
+            "nation": pa.array([], pa.int64()),
+            "first_bal": pa.array([], pa.float64()),
+            "first_key": pa.array([], pa.int64()),
+            "last_bal": pa.array([], pa.float64()),
+            "n_rows": pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+            "last_run_len": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0:
+            return pa.table(empty)
+        nat, bal, key, starts, ends = _segments(batch)
+        new_val = np.r_[True, (bal[1:] != bal[:-1]) | (nat[1:] != nat[:-1])]
+        cum_new = np.cumsum(new_val)
+        n_distinct = cum_new[ends - 1] - cum_new[starts] + 1
+        # length of the trailing equal-value run in each segment (for the
+        # cross-block rank carry)
+        run_start = np.maximum.accumulate(np.where(new_val, np.arange(len(nat)), 0))
+        last_run_len = (ends - 1) - run_start[ends - 1] + 1
+        return pa.table(
+            {
+                "nation": pa.array(nat[starts], pa.int64()),
+                "first_bal": pa.array(bal[starts], pa.float64()),
+                "first_key": pa.array(key[starts], pa.int64()),
+                "last_bal": pa.array(bal[ends - 1], pa.float64()),
+                "n_rows": pa.array(ends - starts, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "last_run_len": pa.array(last_run_len, pa.int64()),
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(seg_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    # order partials the same way the global sort ordered rows
+    parts = parts.sort_values(
+        ["nation", "first_bal", "first_key"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+    # ordered carry per (block segment): rows/distinct before it, plus the
+    # previous segment's boundary value and that value's rank/dense anchors
+    offsets: dict[tuple[int, int, int], tuple[int, int, float, int, int]] = {}
+    rows_before = distinct_before = 0
+    prev_nation = None
+    prev_last_bal = 0.0
+    prev_run_before = 0  # rows before the trailing run of prev segment
+    for row in parts.itertuples(index=False):
+        if row.nation != prev_nation:
+            rows_before = distinct_before = 0
+            prev_last_bal = np.nan
+            prev_run_before = 0
+        offsets[(int(row.nation), int(row.first_key), 0)] = (
+            rows_before,
+            distinct_before,
+            prev_last_bal,
+            prev_run_before,
+            0,
+        )
+        boundary_merge = (
+            prev_nation == row.nation and row.first_bal == prev_last_bal
+        )
+        seg_distinct = int(row.n_distinct) - (1 if boundary_merge else 0)
+        if boundary_merge and int(row.n_distinct) == 1:
+            # whole segment continues the previous run
+            prev_run_before = prev_run_before
+        else:
+            prev_run_before = rows_before + int(row.n_rows) - int(row.last_run_len)
+        rows_before += int(row.n_rows)
+        distinct_before += seg_distinct
+        prev_nation = row.nation
+        prev_last_bal = row.last_bal
+    ref = _ray.put(offsets)
+
+    def apply_ranks(batch: pa.Table, off) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"c_nationkey": pa.array([], pa.int64()),
+                 "c_custkey": pa.array([], pa.int64()),
+                 "rn": pa.array([], pa.int64()),
+                 "rnk": pa.array([], pa.int64()),
+                 "drnk": pa.array([], pa.int64())}
+            )
+        nat, bal, key, starts, ends = _segments(batch)
+        n = len(nat)
+        seg_id = np.cumsum(np.r_[0, (nat[1:] != nat[:-1]).astype(np.int64)])
+        pos = np.arange(n)
+        within_rn = pos - starts[seg_id] + 1
+        new_val = np.r_[True, (bal[1:] != bal[:-1]) | (nat[1:] != nat[:-1])]
+        # within-block dense rank and within-block value-run start row
+        cum_new = np.cumsum(new_val)
+        within_dense = cum_new - (cum_new[starts[seg_id]] - 1)
+        run_start = np.maximum.accumulate(np.where(new_val, pos, 0))
+        rn = np.empty(n, dtype=np.int64)
+        rnk = np.empty(n, dtype=np.int64)
+        drnk = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            nation = int(nat[s])
+            rows_before, distinct_before, prev_bal, prev_run_before, _ = off[
+                (nation, int(key[s]), 0)
+            ]
+            merge = bal[s] == prev_bal
+            rn[s:e] = within_rn[s:e] + rows_before
+            d = within_dense[s:e] + distinct_before - (1 if merge else 0)
+            drnk[s:e] = d
+            # rank = row number of the value-run's first row; runs that
+            # start inside this block anchor locally, the boundary run
+            # anchors at the carried run start
+            local_anchor = run_start[s:e] - s + 1 + rows_before
+            in_boundary_run = (bal[s:e] == bal[s]) & (run_start[s:e] == run_start[s])
+            if merge:
+                rnk[s:e] = np.where(in_boundary_run, prev_run_before + 1, local_anchor)
+            else:
+                rnk[s:e] = local_anchor
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nat, pa.int64()),
+                "c_custkey": pa.array(key, pa.int64()),
+                "rn": pa.array(rn, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+                "drnk": pa.array(drnk, pa.int64()),
+            }
+        )
+
+    out = sorted_ds.map_batches(
+        lambda b: apply_ranks(b, _ray.get(ref)),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()
+    return out.sort_values(["c_nationkey", "rn"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- lag
+
+_LAG_SQL = """
+SELECT event_id, user_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS delta_us
+FROM events
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("lag_delta_events", _LAG_SQL)
+def lag_delta_events(sf_dir: str):
+    """LAG window function: per-user time delta between consecutive events.
+    Sessionize shape: one sort, per-block vectorized diffs, the cross-block
+    boundary delta carried via an O(blocks x users) driver map, second pass
+    over the same blocks."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    sorted_ds = ds.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "first_ts": pa.array([], pa.int64()),
+                 "first_eid": pa.array([], pa.int64()),
+                 "last_ts": pa.array([], pa.int64())}
+            )
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "first_ts": pa.array(us[starts], pa.int64()),
+                "first_eid": pa.array(eid[starts], pa.int64()),
+                "last_ts": pa.array(us[ends - 1], pa.int64()),
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(seg_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["user_id", "first_ts", "first_eid"])
+        .reset_index(drop=True)
+    )
+    prev_last = parts.groupby("user_id")["last_ts"].shift(1)
+    carry = {
+        (int(u), int(t), int(e)): (None if pd.isna(p) else int(p))
+        for u, t, e, p in zip(
+            parts["user_id"], parts["first_ts"], parts["first_eid"], prev_last
+        )
+    }
+    ref = _ray.put(carry)
+
+    def apply_lag(batch: pa.Table, off) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "delta_us": pa.array([], pa.int64())}
+            )
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        # float64 carrier: NaN marks LAG's NULL on the first event per user,
+        # matching how the oracle's BIGINT-with-NULL lands in pandas
+        delta = np.empty(n, dtype=np.float64)
+        delta[1:] = us[1:] - us[:-1]
+        for s in starts:
+            prev = off[(int(uid[s]), int(us[s]), int(eid[s]))]
+            delta[s] = np.nan if prev is None else us[s] - prev
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "delta_us": pa.array(delta, pa.float64()),
+            }
+        )
+
+    out = sorted_ds.map_batches(
+        lambda b: apply_lag(b, _ray.get(ref)), batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return out
+
+
+# ---------------------------------------------------------------- rollup
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("rollup_flag_status", _ROLLUP_SQL)
+def rollup_flag_status(sf_dir: str):
+    """GROUP BY ROLLUP: leaf level through the size-gated shuffle combine,
+    super-aggregate levels derived from the (key-bounded) leaf table —
+    one pass over the data for all grouping sets."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), n_rows=("l_quantity", "size")
+        )
+        return g
+
+    leaf = partial_shuffle_combine(
+        ds, partial, ["l_returnflag", "l_linestatus"], ["sum_qty", "n_rows"],
+        batch_format="pandas",
+    )
+    leaf["sum_qty"] = leaf["sum_qty"].astype(np.int64)
+    lvl1 = leaf.groupby("l_returnflag", as_index=False)[["sum_qty", "n_rows"]].sum()
+    lvl1["l_linestatus"] = None
+    lvl0 = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None],
+         "sum_qty": [leaf["sum_qty"].sum()], "n_rows": [leaf["n_rows"].sum()]}
+    )
+    out = pd.concat([lvl0, lvl1, leaf], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+    ]
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------- pivot
+
+_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register("pivot_event_types", _PIVOT_SQL)
+def pivot_event_types(sf_dir: str):
+    """Pivot (conditional aggregation): per-batch vectorized crosstab
+    partials, summed through the size-gated shuffle combine — the wide
+    counts shuffle as one row per (user, batch), never raw events."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.crosstab(b["user_id"], b["event_type"])
+        d = d.reindex(columns=list(_EVENT_TYPES), fill_value=0)
+        d.columns = cols
+        return d.reset_index()
+
+    out = partial_shuffle_combine(ds, partial, ["user_id"], cols, batch_format="pandas")
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ------------------------------------------------- distance-range join
+
+def _range_join_sql() -> str:
+    values = ", ".join(f"({i}, {x}, {y})" for i, x, y in ORACLE_CENTROIDS)
+    lon = LON_EXPR.format(k="event_id")
+    lat = LAT_EXPR.format(k="event_id")
+    return f"""
+WITH pts AS (
+  SELECT event_id, {lon} AS lon, {lat} AS lat FROM events
+),
+c(id, cx, cy) AS (VALUES {values}),
+hits AS (
+  SELECT c.id, sqrt((p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy)) AS d
+  FROM pts p JOIN c ON (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy) <= 0.01
+)
+SELECT id AS centroid_id, COUNT(*) AS n_within,
+       MIN(d) AS min_dist, MAX(d) AS max_dist
+FROM hits GROUP BY id ORDER BY centroid_id
+"""
+
+
+@register("range_join_events_centroids", _range_join_sql())
+def range_join_events_centroids(sf_dir: str):
+    """Distance-range join (spatial band join): every event within radius
+    0.1 deg of each centroid, aggregated per centroid.  Broadcast small side
+    (ray.put once), per-batch vectorized distance matrix, min/max/count
+    partials through the shuffle — the raw pairs never leave the batch task.
+    Float-exact: min/max are order-free and sqrt/multiply are IEEE-identical
+    to the SQL expressions."""
+    import ray as _ray
+
+    ids = np.array([c[0] for c in ORACLE_CENTROIDS], dtype=np.int64)
+    cx = np.array([c[1] for c in ORACLE_CENTROIDS])
+    cy = np.array([c[2] for c in ORACLE_CENTROIDS])
+    ref = _ray.put((ids, cx, cy))
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        iids, ix, iy = _ray.get(ref)
+        lon, lat = derive_lon(k), derive_lat(k)
+        dx = lon[:, None] - ix[None, :]
+        dy = lat[:, None] - iy[None, :]
+        d2 = dx * dx + dy * dy
+        within = d2 <= 0.01
+        out_id, out_n, out_min, out_max = [], [], [], []
+        for j in range(len(iids)):
+            m = within[:, j]
+            if not m.any():
+                continue
+            d = np.sqrt(d2[m, j])
+            out_id.append(iids[j])
+            out_n.append(int(m.sum()))
+            out_min.append(float(d.min()))
+            out_max.append(float(d.max()))
+        return pa.table(
+            {
+                "centroid_id": pa.array(out_id, pa.int64()),
+                "n_within": pa.array(out_n, pa.int64()),
+                "min_dist": pa.array(out_min, pa.float64()),
+                "max_dist": pa.array(out_max, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("centroid_id", as_index=False).agg(
+        n_within=("n_within", "sum"), min_dist=("min_dist", "min"),
+        max_dist=("max_dist", "max"),
+    )
+    return out.sort_values("centroid_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------ set ops
+
+_SETOPS_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+@register("except_urgent_not_finished", _SETOPS_SQL)
+def except_urgent_not_finished(sf_dir: str):
+    """Set difference (EXCEPT): customers with an urgent order minus
+    customers with any finished order — the size-gated anti-join over two
+    filtered scans of the same table."""
+    from demeter_ray.pipelines.relational import gated_semi_join
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_orderstatus"])
+    urgent = ds.filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    finished = ds.filter(expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
+    out = gated_semi_join(urgent, "o_custkey", finished, "o_custkey", anti=True)
+    res = out.to_pandas().drop_duplicates()
+    if res.empty:  # empty Dataset -> schemaless frame; pin the contract
+        res = pd.DataFrame({"o_custkey": pd.Series(dtype="int64")})
+    return res.sort_values("o_custkey").reset_index(drop=True)
+
+
+_INTERSECT_SQL = """
+SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+INTERSECT
+SELECT l_partkey FROM lineitem WHERE l_discount = 0
+ORDER BY l_partkey
+"""
+
+
+@register("intersect_bulk_nodiscount_parts", _INTERSECT_SQL)
+def intersect_bulk_nodiscount_parts(sf_dir: str):
+    """Set intersection (INTERSECT): parts shipped in bulk that also shipped
+    undiscounted — the size-gated semi-join."""
+    from demeter_ray.pipelines.relational import gated_semi_join
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_discount"])
+    bulk = ds.filter(expr="l_quantity >= 45").select_columns(["l_partkey"])
+    nodisc = ds.filter(expr="l_discount == 0").select_columns(["l_partkey"])
+    out = gated_semi_join(bulk, "l_partkey", nodisc, "l_partkey")
+    res = out.to_pandas().drop_duplicates()
+    return res.sort_values("l_partkey").reset_index(drop=True)
+
+
+# ------------------------------------------------- text normalization
+
+_NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("normalize_docs", _NORMALIZE_SQL)
+def normalize_docs(sf_dir: str):
+    """Text normalization for training corpora: lowercase, strip
+    non-alphanumerics, collapse whitespace, trim — vectorized pandas .str
+    ops per batch, byte-identical to the SQL regexp chain (ASCII corpus)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            b["text"].str.lower()
+            .str.replace(r"[^a-z0-9 ]+", " ", regex=True)
+            .str.replace(r" +", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "norm_text": norm,
+                "n_tokens": norm.str.split(" ").str.len().astype(np.int64),
+            }
+        )
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------- deterministic hash sampling
+
+def _hash_sample_sql() -> str:
+    h = sha256_hash64_sql(
+        "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         ({h} % 100)::BIGINT AS bucket
+  FROM lineitem
+)
+SELECT COUNT(*) AS n_sampled,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey
+FROM keyed WHERE bucket < 10
+"""
+
+
+@register("hash_sample_lineitems", _hash_sample_sql())
+def hash_sample_lineitems(sf_dir: str):
+    """Deterministic hash sampling (10% Bernoulli by content key) — the
+    reproducible train/eval subsetting primitive.  stable_hash64 of the
+    row key mod 100 < 10; the oracle recomputes the identical sha256
+    arithmetic in SQL, so the sample membership itself is driver-checked."""
+    from demeter_ray.functions.hashing import stable_hash64
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = (
+            b["l_orderkey"].astype(str) + "_" + b["l_linenumber"].astype(str)
+        ).to_numpy()
+        buckets = np.fromiter(
+            (stable_hash64(k) % 100 for k in keys), dtype=np.int64, count=len(keys)
+        )
+        m = buckets < 10
+        if not m.any():
+            return pd.DataFrame(
+                {"n_sampled": [0], "sum_qty": [0], "min_okey": [np.iinfo(np.int64).max],
+                 "max_okey": [np.iinfo(np.int64).min]}
+            )
+        ok = b["l_orderkey"].to_numpy()[m]
+        return pd.DataFrame(
+            {
+                "n_sampled": [int(m.sum())],
+                "sum_qty": [int(np.rint(b["l_quantity"].to_numpy()[m].sum()))],
+                "min_okey": [int(ok.min())],
+                "max_okey": [int(ok.max())],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_sampled": [int(parts["n_sampled"].sum())],
+            "sum_qty": [int(parts["sum_qty"].sum())],
+            "min_okey": [int(parts["min_okey"].min())],
+            "max_okey": [int(parts["max_okey"].max())],
+        }
+    )
