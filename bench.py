@@ -112,6 +112,12 @@ def run_benchmarks() -> dict:
         "image_decode_stats",
         "video_frame_sample",
         "sliding_window_events",
+        "rank_customers_by_balance",
+        "lag_delta_events",
+        "normalize_docs",
+        "hash_sample_lineitems",
+        "range_join_events_centroids",
+        "pivot_event_types",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

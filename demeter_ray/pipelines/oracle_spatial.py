@@ -116,7 +116,7 @@ def cell_prefix_shuffle_agg(sf_dir: str):
         g = df.groupby(["px", "py"], as_index=False).agg(
             n_points=("lon", "size"), lon_sum=("lon", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = (
         partial_combine(ds, partial, batch_format="pyarrow")
@@ -491,7 +491,7 @@ def mosaic_merge_reduce(sf_dir: str):
             v_min=("l_quantity", "min"),
             v_max=("l_quantity", "max"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = (
         partial_combine(ds, partial, batch_format="pyarrow")

@@ -56,34 +56,33 @@ ORDER BY c_nationkey, rn
 """
 
 
-@register("rank_customers_by_balance", _RANK_SQL)
-def rank_customers_by_balance(sf_dir: str):
-    """row_number / rank / dense_rank per nation ordered by balance desc.
+def ranked_window(ds, part_col: str, val_col: str, key_col: str) -> pd.DataFrame:
+    """row_number / rank / dense_rank per ``part_col`` ordered by
+    (``val_col`` DESC, ``key_col``).
 
-    One global ``Dataset.sort`` on (nation, -balance, custkey), vectorized
-    block partials (per (block, nation): row count, distinct-value count,
-    boundary values), an ordered driver combine carrying (rows-before,
-    distinct-before, last value, last value's rank) across blocks, then a
-    second vectorized pass adding the carried bases.  The carry state is
-    O(blocks x nations) — scale-safe at any customer cardinality."""
+    One global ``Dataset.sort``, vectorized block partials (per (block,
+    partition): row count, distinct-value count, boundary values), an
+    ordered driver combine carrying (rows-before, distinct-before, last
+    value, last value's run start) across blocks, then a second vectorized
+    pass over the SAME materialized blocks adding the carried bases.  Carry
+    state is O(blocks x partitions) — scale-safe at any row cardinality."""
     import ray as _ray
 
-    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
     sorted_ds = ds.sort(
-        ["c_nationkey", "c_acctbal", "c_custkey"], descending=[False, True, False]
+        [part_col, val_col, key_col], descending=[False, True, False]
     ).materialize()
 
     def _segments(batch: pa.Table):
-        nat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
-        key = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        nat = batch[part_col].to_numpy(zero_copy_only=False)
+        bal = batch[val_col].to_numpy(zero_copy_only=False)
+        key = batch[key_col].to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
         ends = np.r_[starts[1:], len(nat)]
         return nat, bal, key, starts, ends
 
     def seg_partial(batch: pa.Table) -> pa.Table:
         empty = {
-            "nation": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
             "first_bal": pa.array([], pa.float64()),
             "first_key": pa.array([], pa.int64()),
             "last_bal": pa.array([], pa.float64()),
@@ -103,7 +102,7 @@ def rank_customers_by_balance(sf_dir: str):
         last_run_len = (ends - 1) - run_start[ends - 1] + 1
         return pa.table(
             {
-                "nation": pa.array(nat[starts], pa.int64()),
+                "part": pa.array(nat[starts], pa.int64()),
                 "first_bal": pa.array(bal[starts], pa.float64()),
                 "first_key": pa.array(key[starts], pa.int64()),
                 "last_bal": pa.array(bal[ends - 1], pa.float64()),
@@ -119,48 +118,46 @@ def rank_customers_by_balance(sf_dir: str):
     )
     # order partials the same way the global sort ordered rows
     parts = parts.sort_values(
-        ["nation", "first_bal", "first_key"], ascending=[True, False, True]
+        ["part", "first_bal", "first_key"], ascending=[True, False, True]
     ).reset_index(drop=True)
 
     # ordered carry per (block segment): rows/distinct before it, plus the
-    # previous segment's boundary value and that value's rank/dense anchors
-    offsets: dict[tuple[int, int, int], tuple[int, int, float, int, int]] = {}
+    # previous segment's boundary value and that value's run-start row
+    offsets: dict[tuple[int, int], tuple[int, int, float, int]] = {}
     rows_before = distinct_before = 0
-    prev_nation = None
-    prev_last_bal = 0.0
+    prev_part = None
+    prev_last_bal = np.nan
     prev_run_before = 0  # rows before the trailing run of prev segment
     for row in parts.itertuples(index=False):
-        if row.nation != prev_nation:
+        if row.part != prev_part:
             rows_before = distinct_before = 0
             prev_last_bal = np.nan
             prev_run_before = 0
-        offsets[(int(row.nation), int(row.first_key), 0)] = (
+        offsets[(int(row.part), int(row.first_key))] = (
             rows_before,
             distinct_before,
             prev_last_bal,
             prev_run_before,
-            0,
         )
         boundary_merge = (
-            prev_nation == row.nation and row.first_bal == prev_last_bal
+            prev_part == row.part and row.first_bal == prev_last_bal
         )
         seg_distinct = int(row.n_distinct) - (1 if boundary_merge else 0)
-        if boundary_merge and int(row.n_distinct) == 1:
-            # whole segment continues the previous run
-            prev_run_before = prev_run_before
-        else:
+        if not (boundary_merge and int(row.n_distinct) == 1):
+            # a run ends inside this segment; otherwise the whole segment
+            # continues the previous run and the carried start stands
             prev_run_before = rows_before + int(row.n_rows) - int(row.last_run_len)
         rows_before += int(row.n_rows)
         distinct_before += seg_distinct
-        prev_nation = row.nation
+        prev_part = row.part
         prev_last_bal = row.last_bal
     ref = _ray.put(offsets)
 
     def apply_ranks(batch: pa.Table, off) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
-                {"c_nationkey": pa.array([], pa.int64()),
-                 "c_custkey": pa.array([], pa.int64()),
+                {part_col: pa.array([], pa.int64()),
+                 key_col: pa.array([], pa.int64()),
                  "rn": pa.array([], pa.int64()),
                  "rnk": pa.array([], pa.int64()),
                  "drnk": pa.array([], pa.int64())}
@@ -171,7 +168,6 @@ def rank_customers_by_balance(sf_dir: str):
         pos = np.arange(n)
         within_rn = pos - starts[seg_id] + 1
         new_val = np.r_[True, (bal[1:] != bal[:-1]) | (nat[1:] != nat[:-1])]
-        # within-block dense rank and within-block value-run start row
         cum_new = np.cumsum(new_val)
         within_dense = cum_new - (cum_new[starts[seg_id]] - 1)
         run_start = np.maximum.accumulate(np.where(new_val, pos, 0))
@@ -179,27 +175,25 @@ def rank_customers_by_balance(sf_dir: str):
         rnk = np.empty(n, dtype=np.int64)
         drnk = np.empty(n, dtype=np.int64)
         for s, e in zip(starts, ends):
-            nation = int(nat[s])
-            rows_before, distinct_before, prev_bal, prev_run_before, _ = off[
-                (nation, int(key[s]), 0)
+            rows_before, distinct_before, prev_bal, prev_run_before = off[
+                (int(nat[s]), int(key[s]))
             ]
             merge = bal[s] == prev_bal
             rn[s:e] = within_rn[s:e] + rows_before
-            d = within_dense[s:e] + distinct_before - (1 if merge else 0)
-            drnk[s:e] = d
-            # rank = row number of the value-run's first row; runs that
-            # start inside this block anchor locally, the boundary run
-            # anchors at the carried run start
+            drnk[s:e] = within_dense[s:e] + distinct_before - (1 if merge else 0)
+            # rank = row number of the value-run's first row; runs starting
+            # inside this block anchor locally, the boundary-continuation
+            # run anchors at the carried run start
             local_anchor = run_start[s:e] - s + 1 + rows_before
-            in_boundary_run = (bal[s:e] == bal[s]) & (run_start[s:e] == run_start[s])
             if merge:
+                in_boundary_run = run_start[s:e] == s
                 rnk[s:e] = np.where(in_boundary_run, prev_run_before + 1, local_anchor)
             else:
                 rnk[s:e] = local_anchor
         return pa.table(
             {
-                "c_nationkey": pa.array(nat, pa.int64()),
-                "c_custkey": pa.array(key, pa.int64()),
+                part_col: pa.array(nat, pa.int64()),
+                key_col: pa.array(key, pa.int64()),
                 "rn": pa.array(rn, pa.int64()),
                 "rnk": pa.array(rnk, pa.int64()),
                 "drnk": pa.array(drnk, pa.int64()),
@@ -211,7 +205,15 @@ def rank_customers_by_balance(sf_dir: str):
         batch_format="pyarrow",
         batch_size=None,
     ).to_pandas()
-    return out.sort_values(["c_nationkey", "rn"]).reset_index(drop=True)
+    return out.sort_values([part_col, "rn"]).reset_index(drop=True)
+
+
+@register("rank_customers_by_balance", _RANK_SQL)
+def rank_customers_by_balance(sf_dir: str):
+    """row_number / rank / dense_rank per nation ordered by balance desc —
+    the distributed ranked_window over the customer table."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    return ranked_window(ds, "c_nationkey", "c_acctbal", "c_custkey")
 
 
 # ------------------------------------------------------------------- lag
@@ -225,33 +227,38 @@ ORDER BY user_id, ts, event_id
 """
 
 
-@register("lag_delta_events", _LAG_SQL)
-def lag_delta_events(sf_dir: str):
-    """LAG window function: per-user time delta between consecutive events.
-    Sessionize shape: one sort, per-block vectorized diffs, the cross-block
-    boundary delta carried via an O(blocks x users) driver map, second pass
-    over the same blocks."""
+def lag_delta_window(ds, part_col: str, ts_col: str, id_col: str) -> pd.DataFrame:
+    """LAG window function: per-partition delta between consecutive ordered
+    timestamps.  Sessionize shape: one sort, per-block vectorized diffs, the
+    cross-block boundary delta carried via an O(blocks x partitions) driver
+    map, second pass over the same materialized blocks."""
     import ray as _ray
 
-    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    sorted_ds = ds.sort(["user_id", "ts", "event_id"]).materialize()
+    sorted_ds = ds.sort([part_col, ts_col, id_col]).materialize()
+
+    def _cols(batch: pa.Table):
+        uid = batch[part_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        us = ts.to_numpy(zero_copy_only=False)
+        eid = batch[id_col].to_numpy(zero_copy_only=False)
+        return uid, us, eid
 
     def seg_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
-                {"user_id": pa.array([], pa.int64()),
+                {"part": pa.array([], pa.int64()),
                  "first_ts": pa.array([], pa.int64()),
                  "first_eid": pa.array([], pa.int64()),
                  "last_ts": pa.array([], pa.int64())}
             )
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid, us, eid = _cols(batch)
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
         ends = np.r_[starts[1:], len(uid)]
         return pa.table(
             {
-                "user_id": pa.array(uid[starts], pa.int64()),
+                "part": pa.array(uid[starts], pa.int64()),
                 "first_ts": pa.array(us[starts], pa.int64()),
                 "first_eid": pa.array(eid[starts], pa.int64()),
                 "last_ts": pa.array(us[ends - 1], pa.int64()),
@@ -261,14 +268,14 @@ def lag_delta_events(sf_dir: str):
     parts = (
         sorted_ds.map_batches(seg_partial, batch_format="pyarrow", batch_size=None)
         .to_pandas()
-        .sort_values(["user_id", "first_ts", "first_eid"])
+        .sort_values(["part", "first_ts", "first_eid"])
         .reset_index(drop=True)
     )
-    prev_last = parts.groupby("user_id")["last_ts"].shift(1)
+    prev_last = parts.groupby("part")["last_ts"].shift(1)
     carry = {
         (int(u), int(t), int(e)): (None if pd.isna(p) else int(p))
         for u, t, e, p in zip(
-            parts["user_id"], parts["first_ts"], parts["first_eid"], prev_last
+            parts["part"], parts["first_ts"], parts["first_eid"], prev_last
         )
     }
     ref = _ray.put(carry)
@@ -276,17 +283,16 @@ def lag_delta_events(sf_dir: str):
     def apply_lag(batch: pa.Table, off) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
-                {"event_id": pa.array([], pa.int64()),
-                 "user_id": pa.array([], pa.int64()),
-                 "delta_us": pa.array([], pa.int64())}
+                {id_col: pa.array([], pa.int64()),
+                 part_col: pa.array([], pa.int64()),
+                 "delta_us": pa.array([], pa.float64())}
             )
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid, us, eid = _cols(batch)
         n = len(uid)
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
-        # float64 carrier: NaN marks LAG's NULL on the first event per user,
-        # matching how the oracle's BIGINT-with-NULL lands in pandas
+        # float64 carrier: NaN marks LAG's NULL on the first row per
+        # partition, matching how the oracle's BIGINT-with-NULL lands in
+        # pandas
         delta = np.empty(n, dtype=np.float64)
         delta[1:] = us[1:] - us[:-1]
         for s in starts:
@@ -294,16 +300,23 @@ def lag_delta_events(sf_dir: str):
             delta[s] = np.nan if prev is None else us[s] - prev
         return pa.table(
             {
-                "event_id": pa.array(eid, pa.int64()),
-                "user_id": pa.array(uid, pa.int64()),
+                id_col: pa.array(eid, pa.int64()),
+                part_col: pa.array(uid, pa.int64()),
                 "delta_us": pa.array(delta, pa.float64()),
             }
         )
 
-    out = sorted_ds.map_batches(
+    return sorted_ds.map_batches(
         lambda b: apply_lag(b, _ray.get(ref)), batch_format="pyarrow", batch_size=None
     ).to_pandas()
-    return out
+
+
+@register("lag_delta_events", _LAG_SQL)
+def lag_delta_events(sf_dir: str):
+    """LAG window function: per-user time delta between consecutive events
+    — the distributed lag_delta_window over the events table."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return lag_delta_window(ds, "user_id", "ts", "event_id")
 
 
 # ---------------------------------------------------------------- rollup

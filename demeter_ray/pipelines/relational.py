@@ -201,7 +201,7 @@ def q1_pricing_summary(sf_dir: str):
             sum_disc=("l_discount", "sum"),
             n=("l_quantity", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = (
         partial_combine(ds, partial, batch_format="pyarrow")
@@ -264,7 +264,7 @@ def weighted_avg_price(sf_dir: str):
         g = df.groupby("l_returnflag", as_index=False).agg(
             pq=("pq", "sum"), q=("l_quantity", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = (
         partial_combine(ds, partial, batch_format="pyarrow")
@@ -333,7 +333,7 @@ def grouped_top1_with_ties(sf_dir: str):
     def partial_max(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby("o_custkey", as_index=False)["o_totalprice"].max()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     maxes = (
         partial_combine(ds, partial_max, batch_format="pyarrow")
@@ -630,7 +630,7 @@ def tumbling_window_events(sf_dir: str):
         g = df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = partial_shuffle_combine(
         ds, partial, ["user_id", "hour_bucket"], ["n_events", "sum_value"]
@@ -982,7 +982,7 @@ def sliding_window_events(sf_dir: str):
         g = both.groupby(["user_id", "window_start_hour"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = partial_shuffle_combine(
         ds, partial, ["user_id", "window_start_hour"], ["n_events", "sum_value"]

@@ -1,0 +1,83 @@
+"""Window operators (oracle_window): cross-block carry correctness.
+
+The rank/lag operators stitch per-block partials across block boundaries;
+these tests force MANY tiny blocks with duplicate order-values spanning
+boundaries — the case the sf-table oracle check may never exercise — and
+compare against a pandas groundtruth.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from demeter_ray.pipelines.oracle_window import lag_delta_window, ranked_window
+
+
+def _rank_truth(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out["rn"] = (
+        out.sort_values(["val", "key"], ascending=[False, True])
+        .groupby("part")
+        .cumcount()
+        + 1
+    )
+    out["rnk"] = (
+        out.groupby("part")["val"].rank(method="min", ascending=False).astype(np.int64)
+    )
+    out["drnk"] = (
+        out.groupby("part")["val"].rank(method="dense", ascending=False).astype(np.int64)
+    )
+    return out.sort_values(["part", "rn"]).reset_index(drop=True)[
+        ["part", "key", "rn", "rnk", "drnk"]
+    ]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_ranked_window_duplicate_runs_across_blocks(ray_session, n_blocks):
+    # heavy duplication: 3 partitions x 40 rows drawn from only 5 distinct
+    # values — every block boundary lands inside some equal-value run
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "part": np.repeat([1, 2, 3], 40),
+            "val": rng.choice([10.0, 20.0, 30.0, 40.0, 50.0], size=120),
+            "key": np.arange(120),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(n_blocks)
+    got = ranked_window(ds, "part", "val", "key")
+    got.columns = ["part", "key", "rn", "rnk", "drnk"]
+    pd.testing.assert_frame_equal(got, _rank_truth(df))
+
+
+def test_ranked_window_single_value_partition(ray_session):
+    # one partition, ONE distinct value, many blocks: the whole partition is
+    # one run crossing every boundary (the n_distinct==1 carry branch)
+    df = pd.DataFrame({"part": 1, "val": 7.0, "key": np.arange(30)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = ranked_window(ds, "part", "val", "key")
+    got.columns = ["part", "key", "rn", "rnk", "drnk"]
+    assert (got["rnk"] == 1).all()
+    assert (got["drnk"] == 1).all()
+    assert list(got["rn"]) == list(range(1, 31))
+
+
+def test_lag_delta_window_across_blocks(ray_session):
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "part": np.repeat([1, 2], 50),
+            "ts": np.concatenate(
+                [np.cumsum(rng.randint(1, 100, 50)) for _ in range(2)]
+            ).astype(np.int64),
+            "id": np.arange(100),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = lag_delta_window(ds, "part", "ts", "id")
+    truth = df.sort_values(["part", "ts", "id"]).reset_index(drop=True)
+    expect = truth.groupby("part")["ts"].diff().to_numpy()
+    got = got.set_index("id").loc[truth["id"]]
+    a, b = got["delta_us"].to_numpy(), expect
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
