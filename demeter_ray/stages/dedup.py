@@ -109,8 +109,12 @@ def _fixed_list_matrix(col, width: int) -> np.ndarray:
 
 
 def _n_partitions(n_rows: int) -> int:
-    """Shuffle partition count sized so each partition stays heap-sized."""
-    return int(max(8, min(512, n_rows // _ROWS_PER_PARTITION + 1)))
+    """Shuffle partition count sized so each partition stays heap-sized.
+    Floor 32: the in-partition bucket/verify work is the near-dup funnel's
+    hot loop, and fewer groups than cores leaves CPUs idle (measured 11.7s
+    -> ~4s at sf0.1 raising 8 -> 32; partitions stay cheap far below the
+    65k-row heap target)."""
+    return int(max(32, min(512, n_rows // _ROWS_PER_PARTITION + 1)))
 
 
 def _mix_columns(cols: np.ndarray, salt: int) -> np.ndarray:
@@ -236,7 +240,6 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float):
         ids = band["doc_id"].to_numpy()
         order = np.lexsort((ids, bkey))
         bkey, ids = bkey[order], ids[order]
-        sig = sig_mat[np.searchsorted(sig_ids, ids)]
         ai, bi, capped = _bucket_pair_indices(bkey)
         if capped:
             print(
@@ -245,22 +248,24 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float):
             )
         if len(ai) == 0:
             return empty
+        # near-dup pairs share MANY bands, so the same (a, b) surfaces from
+        # several buckets of this partition — dedupe at the id level BEFORE
+        # the signature-estimate prefilter (the funnel's hottest compare)
+        pair_a = np.minimum(ids[ai], ids[bi])
+        pair_b = np.maximum(ids[ai], ids[bi])
+        uniq = np.unique(np.stack([pair_a, pair_b], axis=1), axis=0)
+        sa = np.searchsorted(sig_ids, uniq[:, 0])
+        sb = np.searchsorted(sig_ids, uniq[:, 1])
         keep_chunks = []
-        for s0 in range(0, len(ai), 200_000):
-            ca, cb = ai[s0 : s0 + 200_000], bi[s0 : s0 + 200_000]
-            est = (sig[ca] == sig[cb]).mean(axis=1)
+        for s0 in range(0, len(uniq), 200_000):
+            ca, cb = sa[s0 : s0 + 200_000], sb[s0 : s0 + 200_000]
+            est = (sig_mat[ca] == sig_mat[cb]).mean(axis=1)
             good = est >= thr
-            keep_chunks.append(np.stack([ca[good], cb[good]], axis=1))
+            keep_chunks.append(uniq[s0 : s0 + 200_000][good])
         kept = np.concatenate(keep_chunks)
         if len(kept) == 0:
             return empty
-        out = pd.DataFrame(
-            {
-                "a_id": np.minimum(ids[kept[:, 0]], ids[kept[:, 1]]),
-                "b_id": np.maximum(ids[kept[:, 0]], ids[kept[:, 1]]),
-            }
-        )
-        return out.drop_duplicates()
+        return pd.DataFrame({"a_id": kept[:, 0], "b_id": kept[:, 1]})
 
     return fn
 

@@ -315,30 +315,35 @@ def lsh_cosine_neardup(
             )
         if len(ai) == 0:
             return empty
+        # near-dup pairs share many bands: dedupe (a, b) at the id level
+        # BEFORE the hamming/cosine work (same move as the MinHash funnel)
+        pair_a = np.minimum(ids[ai], ids[bi])
+        pair_b = np.maximum(ids[ai], ids[bi])
+        uniq = np.unique(np.stack([pair_a, pair_b], axis=1), axis=0)
+        ca = np.searchsorted(sig_ids, uniq[:, 0])
+        cb = np.searchsorted(sig_ids, uniq[:, 1])
+        code_sig = sig_rows["code"].to_numpy()[sig_order]
         # hamming prefilter on the 64-bit code, then exact cosine
-        x = (code[ai].view(np.uint64)) ^ (code[bi].view(np.uint64))
+        x = (code_sig[ca].view(np.uint64)) ^ (code_sig[cb].view(np.uint64))
         x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
         x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
         x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
         ham = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
         keep = ham <= max_hamming
-        ai, bi = ai[keep], bi[keep]
-        if len(ai) == 0:
+        uniq, ca, cb = uniq[keep], ca[keep], cb[keep]
+        if len(uniq) == 0:
             return empty
-        sim = np.einsum(
-            "ij,ij->i", E_all[emb_idx[ai]], E_all[emb_idx[bi]]
-        )
+        sim = np.einsum("ij,ij->i", E_all[ca], E_all[cb])
         good = sim >= threshold
         if not good.any():
             return empty
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
-                "a_id": np.minimum(ids[ai[good]], ids[bi[good]]),
-                "b_id": np.maximum(ids[ai[good]], ids[bi[good]]),
+                "a_id": uniq[good, 0],
+                "b_id": uniq[good, 1],
                 "sim": sim[good],
             }
         )
-        return out.drop_duplicates(["a_id", "b_id"])
 
     out = rows.groupby("pkey").map_groups(bucket_verify, batch_format="pandas").to_pandas()
     if out.empty:
