@@ -129,6 +129,23 @@ def phash64_batch(pixels4d: np.ndarray) -> np.ndarray:
     return np.frombuffer(packed.tobytes(), dtype=">i8").astype(np.int64)
 
 
+def dhash56_batch(pixels4d: np.ndarray) -> np.ndarray:
+    """Integer-exact difference hash over (N,16,16,3) -> int64 (56 bits).
+
+    Luma = 299R + 587G + 114B (integer, no division), 2x2 block SUMS
+    (8x8 grid), bit(by,bx) = block(bx+1,by) > block(bx,by) packed at
+    position by*7+bx.  Every step is integer arithmetic so a DuckDB oracle
+    can recompute the hash bit-for-bit (pipelines/oracle_window.py)."""
+    assert pixels4d.shape[1:] == (16, 16, 3), pixels4d.shape
+    w = np.array([299, 587, 114], dtype=np.int64)
+    lum = (pixels4d.astype(np.int64) * w).sum(axis=3)  # (N,16,16) y,x
+    blocks = lum.reshape(-1, 8, 2, 8, 2).sum(axis=(2, 4))  # (N,by,bx)
+    bits = blocks[:, :, 1:] > blocks[:, :, :-1]  # (N,8,7)
+    pos = (np.arange(8)[:, None] * 7 + np.arange(7)[None, :]).astype(np.uint64)
+    vals = (bits.astype(np.uint64) << pos[None]).sum(axis=(1, 2))
+    return vals.astype(np.int64)
+
+
 def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Per-row PSNR over (N,h,w,C) pairs; inf where identical."""
     diff = a.astype(np.float64) - b.astype(np.float64)

@@ -560,6 +560,84 @@ def normalize_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ---------------------------------------- image perceptual-hash dedup
+
+_PHASH_SQL = """
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y, c.c,
+         ((d.doc_id * 97 + x.x * 31 + y.y * 17 + c.c * 11) % 256) AS v
+  FROM documents d,
+       generate_series(0, 15) AS x(x),
+       generate_series(0, 15) AS y(y),
+       generate_series(0, 2) AS c(c)
+),
+lum AS (
+  SELECT doc_id, x, y,
+         SUM(CASE c WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v ELSE 114 * v END) AS l
+  FROM px GROUP BY doc_id, x, y
+),
+blk AS (
+  SELECT doc_id, x // 2 AS bx, y // 2 AS by, SUM(l) AS s
+  FROM lum GROUP BY doc_id, x // 2, y // 2
+),
+bits AS (
+  SELECT a.doc_id, (a.by * 7 + a.bx) AS pos,
+         CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+  FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+  WHERE a.bx < 7
+),
+ph AS (
+  SELECT doc_id, SUM(bit * (1::BIGINT << pos::INT))::BIGINT AS dhash
+  FROM bits GROUP BY doc_id
+)
+SELECT dhash, COUNT(*) AS n_images, MIN(doc_id) AS min_doc
+FROM ph GROUP BY dhash HAVING COUNT(*) >= 2 ORDER BY dhash
+"""
+
+
+@register("image_phash_dedup", _PHASH_SQL)
+def image_phash_dedup(sf_dir: str):
+    """Image near-dup detection by perceptual hash: encode -> decode the
+    binary image column (real codec round trip), integer-exact dHash per
+    image (codec.dhash56_batch), then hash-partitioned groupby — duplicate
+    groups (n >= 2) with their canonical (min) doc.  The generator plants
+    true duplicates (doc_id and doc_id+256 render identical pixels), so the
+    groups are real.  The oracle recomputes pixels -> luma -> block sums ->
+    bits -> hash entirely in SQL.  Scale shape: per-batch partial
+    (hash, count, min) rows shuffle, never pixels."""
+    from demeter_ray.functions import codec
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = codec.encode_batch(codec.generate_pixels_batch(ids, 16, 16), "png")
+        px = codec.decode_batch(blobs, 16, 16)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dhash": pa.array(codec.dhash56_batch(px), pa.int64()),
+            }
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow", batch_size=512)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("dhash", as_index=False).agg(
+            n_images=("doc_id", "size"), min_doc=("doc_id", "min")
+        )
+        return g
+
+    out = partial_shuffle_combine(
+        hashed, partial, ["dhash"], ["n_images", "min_doc"],
+        batch_format="pandas", agg={"n_images": "sum", "min_doc": "min"},
+    )
+    out = out[out["n_images"] >= 2]
+    out["n_images"] = out["n_images"].astype(np.int64)
+    out["min_doc"] = out["min_doc"].astype(np.int64)
+    return out.sort_values("dhash").reset_index(drop=True)
+
+
 # ------------------------------------------- deterministic hash sampling
 
 def _hash_sample_sql() -> str:

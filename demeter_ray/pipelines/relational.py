@@ -135,20 +135,25 @@ DRIVER_COMBINE_CAP = 200_000
 
 
 def partial_shuffle_combine(ds, partial_fn, keys, sums, batch_format="pyarrow",
-                            driver_cap: int = DRIVER_COMBINE_CAP, agg: str = "sum"):
+                            driver_cap: int = DRIVER_COMBINE_CAP, agg="sum"):
     """Two-level aggregation whose combine side is SIZE-GATED: per-batch
     partial rows either collect to the driver (small, under ``driver_cap``)
     or reduce through the real ``groupby(keys)`` hash shuffle so the driver
     only ever receives the final one-row-per-key result.  Use for keys
     whose cardinality scales with the data (windows, sessions).  ``agg``
     must be a reduction where combining partials with the same function is
-    exact (sum, min, max)."""
+    exact (sum, min, max) — one name for every column, or a
+    ``{column: name}`` dict for mixed reductions."""
     parts = ds.map_batches(partial_fn, batch_format=batch_format).materialize()
+    per_col = agg if isinstance(agg, dict) else {c: agg for c in sums}
     if parts.count() <= driver_cap:
         df = parts.to_pandas()
-        return getattr(df.groupby(keys, as_index=False)[sums], agg)()
-    agged = getattr(parts.groupby(keys), agg)(on=sums).to_pandas()
-    return agged.rename(columns={f"{agg}({c})": c for c in sums})
+        return df.groupby(keys, as_index=False).agg(per_col)
+    from ray.data.aggregate import Max, Min, Sum
+
+    mk = {"sum": Sum, "min": Min, "max": Max}
+    aggs = [mk[per_col[c]](c, alias_name=c) for c in sums]
+    return parts.groupby(keys).aggregate(*aggs).to_pandas()
 
 
 def register(name: str, sql: str | None = None):
