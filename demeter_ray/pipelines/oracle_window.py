@@ -638,6 +638,54 @@ def image_phash_dedup(sf_dir: str):
     return out.sort_values("dhash").reset_index(drop=True)
 
 
+# image near-dup by dHash hamming radius: pairs sharing >=1 exact 14-bit
+# chunk (the Charikar bucketing the engine shuffles on) AND hamming <= 3 —
+# both conditions recomputed in SQL from the dHash CTE, so the oracle
+# reproduces the engine's recall shape exactly (same argument as
+# simhash_neardup_docs).
+_PHASH_PAIRS_SQL = _PHASH_SQL[: _PHASH_SQL.index("SELECT dhash, COUNT(*)")] + """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+  AND (((a.dhash >> 0)  & 16383) = ((b.dhash >> 0)  & 16383)
+    OR ((a.dhash >> 14) & 16383) = ((b.dhash >> 14) & 16383)
+    OR ((a.dhash >> 28) & 16383) = ((b.dhash >> 28) & 16383)
+    OR ((a.dhash >> 42) & 16383) = ((b.dhash >> 42) & 16383))
+ORDER BY a_id, b_id
+"""
+
+
+@register("image_dhash_neardup", _PHASH_PAIRS_SQL)
+def image_dhash_neardup(sf_dir: str):
+    """Image near-dup pairs within dHash Hamming <= 3: decode + integer
+    dHash per image, then the distributed SimHash chunk funnel over 14-bit
+    chunks (any pair within Hamming <= 3 of a 4-chunk 56-bit code shares an
+    exact chunk — Charikar guarantee) with in-bucket vectorized Hamming
+    verify inside the shuffle partition."""
+    from demeter_ray.functions import codec
+    from demeter_ray.stages.dedup import _hamming_chunk_neardup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = codec.encode_batch(codec.generate_pixels_batch(ids, 16, 16), "png")
+        px = codec.decode_batch(blobs, 16, 16)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "code": pa.array(codec.dhash56_batch(px), pa.int64()),
+            }
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow", batch_size=512)
+    return _hamming_chunk_neardup(
+        hashed, id_col="doc_id", code_col="code", n_chunks=4, chunk_bits=14,
+        max_hamming=3,
+    )
+
+
 # ------------------------------------------- deterministic hash sampling
 
 def _hash_sample_sql() -> str:

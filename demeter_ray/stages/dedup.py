@@ -389,32 +389,6 @@ def simhash_column(ds_docs: ray.data.Dataset) -> ray.data.Dataset:
     return ds_docs.map_batches(SimhashActor(), batch_format="pyarrow", batch_size=1024)
 
 
-def _make_simhash_emitter(n_partitions: int):
-    """map_batches fn: one (pkey, bkey, doc_id, simhash) row per doc per
-    16-bit chunk (Charikar chunking — any pair within Hamming<=3 shares an
-    exact chunk; wider radii get best-effort recall)."""
-
-    def emit(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
-        u = sh.view(np.uint64)
-        keys = np.empty((4, len(ids)), dtype=np.int64)
-        for chunk in range(4):
-            val16 = (u >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
-            keys[chunk] = (val16 | np.uint64(chunk << 16)).astype(np.int64)
-        bkey = keys.ravel()
-        return pa.table(
-            {
-                "pkey": pa.array(bkey % n_partitions, pa.int64()),
-                "bkey": pa.array(bkey, pa.int64()),
-                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
-                "simhash": pa.array(np.tile(sh, 4), pa.int64()),
-            }
-        )
-
-    return emit
-
-
 _HAM_SCHEMA = {"a_id": "int64", "b_id": "int64", "hamming": "int64"}
 
 
@@ -453,23 +427,49 @@ def _make_simhash_partition(max_hamming: int):
     return fn
 
 
-def simhash_neardup(ds_docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
-    """SimHash near-dup, distributed: simhash (actor pool) -> chunk-key rows
-    -> ``groupby(pkey)`` shuffle -> partition-local capped bucketing + exact
-    Hamming verify inside the partition task.  The driver only materializes
-    verified pairs (output-bounded), never the corpus."""
+def _hamming_chunk_neardup(
+    hashed: ray.data.Dataset,
+    id_col: str,
+    code_col: str,
+    n_chunks: int,
+    chunk_bits: int,
+    max_hamming: int,
+) -> pd.DataFrame:
+    """Generic distributed Hamming near-dup over an integer code column:
+    per-row (pkey, bkey=chunk value | chunk index, id, code) emission ->
+    ``groupby(pkey)`` shuffle -> partition-local capped bucketing + exact
+    Hamming verify.  Any pair within Hamming <= n_chunks-1 shares an exact
+    chunk (Charikar); wider radii get best-effort recall.  Driver only
+    materializes verified pairs.  Backs both SimHash text near-dup (4x16-bit
+    chunks of a 64-bit code) and image dHash near-dup (4x14-bit chunks of a
+    56-bit code)."""
     empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _HAM_SCHEMA.items()})
-    # partition count needs the corpus size; count() after materialize is a
-    # metadata read, and the materialized hashes feed the emitter directly
-    hashed = simhash_column(ds_docs).materialize()
-    n_docs = hashed.count()
-    if n_docs < 2:
+    hashed = hashed.materialize()
+    n_rows = hashed.count()
+    if n_rows < 2:
         return empty
-    rows = hashed.map_batches(
-        _make_simhash_emitter(_n_partitions(n_docs * 4)),
-        batch_format="pyarrow",
-        batch_size=1024,
-    )
+    npart = _n_partitions(n_rows * n_chunks)
+    mask = np.uint64((1 << chunk_bits) - 1)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = batch[code_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sh.view(np.uint64)
+        keys = np.empty((n_chunks, len(ids)), dtype=np.int64)
+        for chunk in range(n_chunks):
+            val = (u >> np.uint64(chunk_bits * chunk)) & mask
+            keys[chunk] = (val | np.uint64(chunk << chunk_bits)).astype(np.int64)
+        bkey = keys.ravel()
+        return pa.table(
+            {
+                "pkey": pa.array(bkey % npart, pa.int64()),
+                "bkey": pa.array(bkey, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, n_chunks), pa.int64()),
+                "simhash": pa.array(np.tile(sh, n_chunks), pa.int64()),
+            }
+        )
+
+    rows = hashed.map_batches(emit, batch_format="pyarrow", batch_size=1024)
     out = (
         rows.groupby("pkey")
         .map_groups(_make_simhash_partition(max_hamming), batch_format="pandas")
@@ -479,6 +479,18 @@ def simhash_neardup(ds_docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataF
         return empty
     out = out.drop_duplicates(["a_id", "b_id"])
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+def simhash_neardup(ds_docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
+    """SimHash near-dup, distributed: simhash (actor pool) -> chunk-key rows
+    -> ``groupby(pkey)`` shuffle -> partition-local capped bucketing + exact
+    Hamming verify inside the partition task.  The driver only materializes
+    verified pairs (output-bounded), never the corpus."""
+    hashed = simhash_column(ds_docs)
+    return _hamming_chunk_neardup(
+        hashed, id_col="doc_id", code_col="simhash", n_chunks=4, chunk_bits=16,
+        max_hamming=max_hamming,
+    )
 
 
 def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
