@@ -118,6 +118,8 @@ def run_benchmarks() -> dict:
         "hash_sample_lineitems",
         "range_join_events_centroids",
         "pivot_event_types",
+        "image_phash_dedup",
+        "image_dhash_neardup",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
