@@ -560,6 +560,132 @@ def normalize_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ------------------------------------------------------------------ cube
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("cube_flag_status", _CUBE_SQL)
+def cube_flag_status(sf_dir: str):
+    """GROUP BY CUBE: all four grouping sets derived from ONE pass — the
+    finest level through the size-gated shuffle combine, the three
+    super-aggregate levels rolled up from the key-bounded leaf table."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), n_rows=("l_quantity", "size")
+        )
+
+    leaf = partial_shuffle_combine(
+        ds, partial, ["l_returnflag", "l_linestatus"], ["sum_qty", "n_rows"],
+        batch_format="pandas",
+    )
+    leaf["sum_qty"] = leaf["sum_qty"].astype(np.int64)
+    by_flag = leaf.groupby("l_returnflag", as_index=False)[["sum_qty", "n_rows"]].sum()
+    by_flag["l_linestatus"] = None
+    by_status = leaf.groupby("l_linestatus", as_index=False)[["sum_qty", "n_rows"]].sum()
+    by_status["l_returnflag"] = None
+    total = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None],
+         "sum_qty": [leaf["sum_qty"].sum()], "n_rows": [leaf["n_rows"].sum()]}
+    )
+    out = pd.concat([total, by_flag, by_status, leaf], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+    ]
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)
+
+
+# ------------------------------------------------------ full outer join
+
+_FULL_OUTER_SQL = """
+WITH om AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+sm AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month, COUNT(*) AS n_ships
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(om.month, sm.month) AS month,
+       om.n_orders::DOUBLE AS n_orders, sm.n_ships::DOUBLE AS n_ships
+FROM om FULL OUTER JOIN sm ON om.month = sm.month ORDER BY month
+"""
+
+
+@register("full_outer_month_activity", _FULL_OUTER_SQL)
+def full_outer_month_activity(sf_dir: str):
+    """FULL OUTER JOIN: order months vs ship months (shipping trails orders
+    by up to 3 months, so both one-sided cases are exercised).  Each side
+    pre-aggregates through the size-gated shuffle combine; the month-level
+    join runs through the real two-sided ``Dataset.join`` full_outer."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate"])
+    ships = read_table(sf_dir, "lineitem", columns=["l_shipdate"])
+
+    def month_partial(col: str, out: str):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.strftime(b[col], format="%Y-%m")
+            t = pa.table({"month": m})
+            g = t.group_by("month").aggregate([("month", "count")])
+            return g.rename_columns(["month", out])
+
+        return fn
+
+    om = partial_shuffle_combine(
+        orders, month_partial("o_orderdate", "n_orders"), ["month"], ["n_orders"]
+    )
+    sm = partial_shuffle_combine(
+        ships, month_partial("l_shipdate", "n_ships"), ["month"], ["n_ships"]
+    )
+    joined = ray.data.from_pandas(om).join(
+        ray.data.from_pandas(sm),
+        join_type="full_outer",
+        num_partitions=4,
+        on=("month",),
+    ).to_pandas()
+    out = joined.sort_values("month").reset_index(drop=True)
+    out["n_orders"] = out["n_orders"].astype(np.float64)
+    out["n_ships"] = out["n_ships"].astype(np.float64)
+    return out[["month", "n_orders", "n_ships"]]
+
+
+# ------------------------------------------------------------- unpivot
+
+_UNPIVOT_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+
+@register("unpivot_event_counts", _UNPIVOT_SQL)
+def unpivot_event_counts(sf_dir: str):
+    """UNPIVOT (wide -> long melt): the pivoted per-user count columns melt
+    back to (user_id, event_type, n) rows, dropping structural zeros —
+    round-tripping the pivot operator's output shape."""
+    wide = pivot_event_types(sf_dir)
+    long = wide.melt(
+        id_vars=["user_id"], var_name="event_type", value_name="n"
+    )
+    long["event_type"] = long["event_type"].str.removeprefix("n_")
+    long = long[long["n"] > 0].copy()
+    long["n"] = long["n"].astype(np.int64)
+    return long.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
 # ---------------------------------------- image perceptual-hash dedup
 
 _PHASH_SQL = """

@@ -1018,34 +1018,68 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
     )
     both = a_tag.union(b_tag)
 
-    def merge_group(t: pa.Table) -> pa.Table:
-        # pure-Arrow merge: the right-side columns keep their exact types
-        # with misses as real nulls — a float64 carrier would silently lose
-        # precision for int64 values above 2^53
+    def merge_partition(t: pa.Table) -> pa.Table:
+        """Vectorized MULTI-key as-of merge over one hash partition: sort
+        the partition by (key, ts, b-before-a), forward-fill the last
+        right-row position with key-segment resets — one numpy pass for
+        every key in the partition, no per-key Python.  Pure-Arrow column
+        takes keep right-side types exact with misses as real nulls (a
+        float64 carrier would silently lose precision above 2^53)."""
+        drop = ["__side"] + [c for c in b_cols if c in t.column_names]
+        if "__pkey" in t.column_names:
+            drop.append("__pkey")
         side = t["__side"].to_numpy(zero_copy_only=False)
         ts = t[ts_col].to_numpy(zero_copy_only=False)
-        a_idx = np.flatnonzero(side == 0)
-        b_idx = np.flatnonzero(side == 1)
-        a_order = a_idx[np.argsort(ts[a_idx], kind="mergesort")]
-        b_order = b_idx[np.argsort(ts[b_idx], kind="mergesort")]
-        drop = ["__side"] + [c for c in b_cols if c in t.column_names]
-        a_tbl = t.drop_columns(drop).take(pa.array(a_order, pa.int64()))
-        if len(b_order) == 0:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        n = len(side)
+        if n == 0:
+            return t.drop_columns(drop)
+        # b rows sort before a rows at equal ts (inclusive as-of match)
+        order = np.lexsort((1 - side, ts, keys))
+        k_s, side_s = keys[order], side[order]
+        is_b = side_s == 1
+        pos = np.arange(n)
+        last_b = np.maximum.accumulate(np.where(is_b, pos, -1))
+        new_key = np.r_[True, k_s[1:] != k_s[:-1]]
+        seg_starts = np.flatnonzero(new_key)
+        seg_id = np.cumsum(new_key.astype(np.int64)) - 1
+        hit = last_b >= seg_starts[seg_id]
+        a_pos = np.flatnonzero(~is_b)
+        orig_a = order[a_pos]
+        a_tbl = t.drop_columns(drop).take(pa.array(orig_a, pa.int64()))
+        if not is_b.any():
             for c in b_cols:
                 a_tbl = a_tbl.append_column(
-                    suffix + c, pa.nulls(len(a_order), type=t.schema.field(c).type)
+                    suffix + c, pa.nulls(len(orig_a), type=t.schema.field(c).type)
                 )
             return a_tbl
-        pos = np.searchsorted(ts[b_order], ts[a_order], side="right") - 1
-        hit = pos >= 0
-        take_idx = b_order[np.clip(pos, 0, None)]
+        orig_b = order[np.clip(last_b[a_pos], 0, None)]
+        hit_a = hit[a_pos]
         for c in b_cols:
-            col = t[c].take(pa.array(take_idx, pa.int64())).combine_chunks()
-            col = pc.if_else(pa.array(hit), col, pa.nulls(len(hit), type=col.type))
+            col = t[c].take(pa.array(orig_b, pa.int64())).combine_chunks()
+            col = pc.if_else(pa.array(hit_a), col, pa.nulls(len(hit_a), type=col.type))
             a_tbl = a_tbl.append_column(suffix + c, col)
         return a_tbl
 
-    return both.groupby(key).map_groups(merge_group, batch_format="pyarrow")
+    s = a_ds.schema()
+    key_type = dict(zip(s.names, s.types))[key]
+    if pa.types.is_integer(key_type):
+        # hash-partition on the key: each partition task merges MANY keys in
+        # one vectorized pass — O(partitions) Python calls, not O(keys)
+        nparts = 64
+
+        def add_pkey(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column("__pkey", pa.array(k % nparts, pa.int64()))
+
+        return (
+            both.map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("__pkey")
+            .map_groups(merge_partition, batch_format="pyarrow")
+        )
+    # non-integer keys: per-key groups (same vectorized merge body — a
+    # single-key partition is just the degenerate case)
+    return both.groupby(key).map_groups(merge_partition, batch_format="pyarrow")
 
 
 _ASOF_SQL = """
