@@ -560,6 +560,80 @@ def normalize_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ----------------------------------------------------------------- ntile
+
+_NTILE_SQL = """
+SELECT c_nationkey, c_custkey,
+       NTILE(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey) AS tile
+FROM customer ORDER BY c_nationkey, c_custkey
+"""
+
+
+@register("ntile_customers_by_balance", _NTILE_SQL)
+def ntile_customers_by_balance(sf_dir: str):
+    """NTILE(4) per nation: derived arithmetically from the distributed
+    ranked_window's row_number plus per-partition counts — SQL's rule gives
+    the first ``cnt % 4`` tiles one extra row, so tile is pure integer math
+    of (rn-1, cnt) with no extra pass over the data."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    ranked = ranked_window(ds, "c_nationkey", "c_acctbal", "c_custkey")
+    cnt = ranked.groupby("c_nationkey")["rn"].transform("max").to_numpy()
+    rn0 = ranked["rn"].to_numpy() - 1
+    base, extra = cnt // 4, cnt % 4
+    big = (base + 1) * extra  # rows covered by the extra-sized leading tiles
+    tile = np.where(
+        rn0 < big,
+        rn0 // np.maximum(base + 1, 1),
+        np.where(base > 0, extra + (rn0 - big) // np.maximum(base, 1), extra),
+    ) + 1
+    out = pd.DataFrame(
+        {
+            "c_nationkey": ranked["c_nationkey"],
+            "c_custkey": ranked["c_custkey"],
+            "tile": tile.astype(np.int64),
+        }
+    )
+    return out.sort_values(["c_nationkey", "c_custkey"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ mode
+
+_MODE_SQL = """
+SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n_rows FROM (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY COUNT(*) DESC, l_quantity) AS rn
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+) WHERE rn = 1 ORDER BY l_returnflag
+"""
+
+
+@register("mode_quantity_by_flag", _MODE_SQL)
+def mode_quantity_by_flag(sf_dir: str):
+    """Per-group MODE (most frequent value, smallest-value tiebreak):
+    partial (flag, qty, count) rows through the size-gated shuffle combine,
+    then the deterministic argmax over the key-bounded count table."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["l_returnflag", "l_quantity"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    counts = partial_shuffle_combine(
+        ds, partial, ["l_returnflag", "l_quantity"], ["cnt"], batch_format="pandas"
+    )
+    counts = counts.sort_values(
+        ["l_returnflag", "cnt", "l_quantity"], ascending=[True, False, True]
+    )
+    out = counts.groupby("l_returnflag", as_index=False).first()
+    out = out.rename(columns={"l_quantity": "mode_qty", "cnt": "n_rows"})
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out[["l_returnflag", "mode_qty", "n_rows"]].sort_values(
+        "l_returnflag"
+    ).reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ cube
 
 _CUBE_SQL = """
