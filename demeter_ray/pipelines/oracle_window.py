@@ -560,6 +560,28 @@ def normalize_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ------------------------------------------- sorted exact quantiles
+
+_SORTED_QUANTILES_SQL = """
+SELECT round(QUANTILE_CONT(l_extendedprice, 0.5), 4)  AS q50,
+       round(QUANTILE_CONT(l_extendedprice, 0.9), 4)  AS q90,
+       round(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS q99
+FROM lineitem
+"""
+
+
+@register("sorted_quantiles_price", _SORTED_QUANTILES_SQL)
+def sorted_quantiles_price(sf_dir: str):
+    """Exact quantiles over a CONTINUOUS domain (where the count-histogram
+    sketch of quantiles_quantity_by_flag would blow up): one distributed
+    sort + per-block counts + a targeted fetch of the <= 2k order
+    statistics — stages/sketches.sorted_quantiles."""
+    from demeter_ray.stages.sketches import sorted_quantiles
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return sorted_quantiles(ds, "l_extendedprice", [0.5, 0.9, 0.99])
+
+
 # ----------------------------------------------------------------- ntile
 
 _NTILE_SQL = """

@@ -114,6 +114,86 @@ def approx_distinct_tokens(ds_docs: ray.data.Dataset, p: int = 12) -> float:
     return hll_estimate(merged)
 
 
+def sorted_quantiles(ds, val: str, qs, round_to: int = 4):
+    """EXACT quantiles for CONTINUOUS / unbounded value domains (the
+    count-histogram sketch below assumes a bounded domain): one
+    range-partitioned ``Dataset.sort`` on the value, per-block row counts
+    (O(blocks) to the driver), then a second targeted pass that fetches only
+    the <= 2*len(qs) globally-indexed order statistics each block owns.
+    QUANTILE_CONT interpolation h=(n-1)q — no full materialization at any
+    point; the network moves the sort plus a handful of scalars."""
+    import ray as _ray
+
+    from demeter_ray.pipelines.relational import duck_round
+
+    sorted_ds = ds.select_columns([val]).sort(val).materialize()
+    parts = sorted_ds.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([t.num_rows], pa.int64()),
+             "first_v": pa.array(
+                 [t[val][0].as_py() if t.num_rows else None], pa.float64()),
+             "last_v": pa.array(
+                 [t[val][-1].as_py() if t.num_rows else None], pa.float64())}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()
+    parts = parts[parts["n"] > 0]
+    # block order must follow the global sort: order partials by first value
+    parts = parts.sort_values(
+        ["first_v", "last_v"], kind="mergesort"
+    ).reset_index(drop=True)
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pd.DataFrame({f"q{int(q * 100)}": [np.nan] for q in qs})
+    targets = sorted(
+        {int(np.floor((n - 1) * q)) for q in qs}
+        | {min(int(np.floor((n - 1) * q)) + 1, n - 1) for q in qs}
+    )
+    ref = _ray.put((np.array(targets, dtype=np.int64),))
+    block_starts = np.r_[0, np.cumsum(parts["n"].to_numpy())[:-1]]
+    start_by_ident = {
+        (float(f), float(l), int(c)): int(s)
+        for f, l, c, s in zip(
+            parts["first_v"], parts["last_v"], parts["n"], block_starts
+        )
+    }
+    if len(start_by_ident) != len(parts):
+        raise ValueError(
+            "sorted_quantiles: block identity (first, last, count) collided "
+            "— the value distribution is too degenerate for the targeted "
+            "fetch; use grouped_exact_quantiles (bounded-domain histogram)"
+        )
+    sref = _ray.put(start_by_ident)
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        (tgts,) = _ray.get(ref)
+        starts = _ray.get(sref)
+        v0 = float(t[val][0].as_py())
+        v1 = float(t[val][-1].as_py())
+        start = starts[(v0, v1, t.num_rows)]
+        local = tgts[(tgts >= start) & (tgts < start + t.num_rows)] - start
+        vals = t[val].take(pa.array(local, pa.int64()))
+        return pa.table({"idx": pa.array(local + start, pa.int64()),
+                         "v": vals.combine_chunks().cast(pa.float64())})
+
+    got = sorted_ds.map_batches(pick, batch_format="pyarrow", batch_size=None).to_pandas()
+    vmap = dict(zip(got["idx"], got["v"]))
+    row = {}
+    for q in qs:
+        h = (n - 1) * q
+        lo = vmap[int(np.floor(h))]
+        hi = vmap[min(int(np.floor(h)) + 1, n - 1)]
+        row[f"q{int(q * 100)}"] = float(lo + (h - np.floor(h)) * (hi - lo))
+    out = pd.DataFrame([row])
+    for q in qs:
+        out[f"q{int(q * 100)}"] = duck_round(out[f"q{int(q * 100)}"], round_to)
+    return out
+
+
 def grouped_exact_quantiles(ds, key: str, val: str, qs, round_to: int = 4):
     """EXACT distributed quantiles for low-cardinality value domains: the
     sketch is a per-(key, value) count histogram — mergeable by summation,

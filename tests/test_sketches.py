@@ -68,3 +68,34 @@ def test_grouped_exact_quantiles_matches_numpy(ray_session):
         assert r["q50"] == pytest.approx(np.percentile(vals, 50), abs=1e-4)
         assert r["q90"] == pytest.approx(np.percentile(vals, 90), abs=1e-4)
     assert out[out["k"] == "d"]["q50"].iloc[0] == 4.0
+
+
+def test_sorted_quantiles_matches_numpy(ray_session):
+    import ray.data
+    from demeter_ray.stages.sketches import sorted_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = rng.lognormal(4.0, 1.0, size=5000)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(11)
+    out = sorted_quantiles(ds, "v", [0.5, 0.9, 0.99])
+    for q, col in [(50, "q50"), (90, "q90"), (99, "q99")]:
+        expect = round(float(np.percentile(vals, q)), 4)
+        assert abs(out[col].iloc[0] - expect) < 1e-9, (col, out[col].iloc[0], expect)
+
+
+def test_sorted_quantiles_degenerate_correct_or_loud(ray_session):
+    """All-equal values: either the range sort collapses the run into one
+    block (answer exact) or block identities collide (loud ValueError) —
+    never a silent wrong answer."""
+    import pytest as _pytest
+    import ray.data
+    from demeter_ray.stages.sketches import sorted_quantiles
+
+    df = pd.DataFrame({"v": np.full(4000, 7.0)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    try:
+        out = sorted_quantiles(ds, "v", [0.5])
+    except ValueError as e:
+        assert "degenerate" in str(e)
+    else:
+        assert out["q50"].iloc[0] == 7.0
