@@ -619,6 +619,33 @@ def ntile_customers_by_balance(sf_dir: str):
     return out.sort_values(["c_nationkey", "c_custkey"]).reset_index(drop=True)
 
 
+# -------------------------------------------------------- heavy hitters
+
+_HEAVY_SQL = """
+SELECT user_id, n FROM (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+) ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+@register("heavy_hitters_users", _HEAVY_SQL)
+def heavy_hitters_users(sf_dir: str):
+    """Top-k frequent keys (exact heavy hitters): per-batch count partials
+    through the size-gated shuffle combine, then the deterministic
+    (count DESC, key ASC) top-10 over the key-bounded count table — the
+    exact baseline a Misra-Gries sketch would approximate at open-domain
+    scale."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", as_index=False).size().rename(columns={"size": "n"})
+
+    counts = partial_shuffle_combine(ds, partial, ["user_id"], ["n"], batch_format="pandas")
+    counts["n"] = counts["n"].astype(np.int64)
+    out = counts.sort_values(["n", "user_id"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ mode
 
 _MODE_SQL = """
@@ -747,8 +774,13 @@ def full_outer_month_activity(sf_dir: str):
     sm = partial_shuffle_combine(
         ships, month_partial("l_shipdate", "n_ships"), ["month"], ["n_ships"]
     )
-    joined = ray.data.from_pandas(om).join(
-        ray.data.from_pandas(sm),
+    def _arrow_ds(df):
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        )
+
+    joined = _arrow_ds(om).join(
+        _arrow_ds(sm),
         join_type="full_outer",
         num_partitions=4,
         on=("month",),

@@ -997,15 +997,19 @@ def sliding_window_events(sf_dir: str):
 
 
 def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
-                      suffix: str = "asof_"):
+                      suffix: str = "asof_", direction: str = "backward"):
     """As-of join: for every left row, the right row with the LARGEST
-    ``ts_col`` <= the left row's, within the same ``key`` partition — the
-    point-in-time lookup streaming engines call ASOF JOIN.  Both sides
-    shuffle once on the key; within each group the match is one vectorized
-    ``searchsorted`` against the sorted right side (no per-row Python).
+    ``ts_col`` <= the left row's (``direction="backward"``, the default) or
+    the SMALLEST ``ts_col`` >= it (``"forward"``), within the same ``key``
+    partition — the point-in-time lookup streaming engines call ASOF JOIN.
+    Both sides shuffle once on the key; within each partition the match is
+    one vectorized forward-fill over the merged sort (forward direction =
+    the same merge on negated timestamps).
 
     Right-side rows must be unique per (key, ts) — pre-aggregate ties
     before calling (the oracle's determinism requirement too)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     import ray.data  # noqa: F401
 
     a_tag = a_ds.map_batches(
@@ -1030,6 +1034,8 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
             drop.append("__pkey")
         side = t["__side"].to_numpy(zero_copy_only=False)
         ts = t[ts_col].to_numpy(zero_copy_only=False)
+        if direction == "forward":  # forward = backward over negated time
+            ts = -ts.astype(np.int64)
         keys = t[key].to_numpy(zero_copy_only=False)
         n = len(side)
         if n == 0:
@@ -1095,6 +1101,50 @@ ORDER BY a.event_id
 """
 
 
+_ASOF_FWD_SQL = """
+WITH b AS (
+  SELECT user_id, ts, MAX(event_id) AS b_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT a.event_id, a.user_id,
+       CAST(COALESCE(b.b_event_id, -1) AS BIGINT) AS asof_b_event_id
+FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts <= b.ts
+ORDER BY a.event_id
+"""
+
+
+@register("asof_forward_view_purchase", _ASOF_FWD_SQL)
+def asof_forward_view_purchase(sf_dir: str):
+    """FORWARD as-of: each view event joined to the same user's NEXT
+    purchase at or after it (direction='forward' = the backward merge over
+    negated timestamps)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    a = ds.filter(expr="event_type == 'view'").drop_columns(["event_type"])
+    b_raw = ds.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+
+    def b_partial(t: pd.DataFrame) -> pd.DataFrame:
+        return t.groupby(["user_id", "ts"], as_index=False).agg(
+            b_event_id=("event_id", "max")
+        )
+
+    b_df = partial_shuffle_combine(
+        b_raw, b_partial, ["user_id", "ts"], ["b_event_id"],
+        batch_format="pandas", agg="max",
+    )
+    b_ds = ray.data.from_arrow(
+        pa.Table.from_pandas(b_df, preserve_index=False).replace_schema_metadata(None)
+    )
+    out = asof_join_grouped(
+        a, b_ds, key="user_id", ts_col="ts", b_cols=["b_event_id"],
+        direction="forward",
+    ).to_pandas()
+    out["asof_b_event_id"] = out.pop("asof_b_event_id").fillna(-1).astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "asof_b_event_id"]
+    ]
+
+
 @register("asof_join_purchase_view", _ASOF_SQL)
 def asof_join_purchase_view(sf_dir: str):
     """Each purchase event joined to the same user's latest view event at or
@@ -1112,9 +1162,9 @@ def asof_join_purchase_view(sf_dir: str):
         b_raw, b_partial, ["user_id", "ts"], ["b_event_id"],
         batch_format="pandas", agg="max",
     )
-    import ray.data as rd
-
-    b = rd.from_pandas(b_df)
+    b = ray.data.from_arrow(
+        pa.Table.from_pandas(b_df, preserve_index=False).replace_schema_metadata(None)
+    )
     out = asof_join_grouped(a, b, "user_id", "ts", ["b_event_id"]).to_pandas()
     # misses -> -1 (both sides) so the column stays plain int64 for hashing
     out["asof_b_event_id"] = (
