@@ -940,6 +940,105 @@ def image_dhash_neardup(sf_dir: str):
     )
 
 
+# ---------------------------- image embedding cosine near-dup (integer)
+
+# cosine >= 0.99999 tested EXACTLY in integer arithmetic:
+# dot > 0 AND 10^10 * dot^2 >= 99999^2 * |a|^2 * |b|^2  (HUGEINT in SQL,
+# Python ints engine-side) — no float ever enters the decision.
+_BLOCKMEAN_SQL = """
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y,
+         ((d.doc_id * 97 + x.x * 31 + y.y * 17) % 256
+          + (d.doc_id * 97 + x.x * 31 + y.y * 17 + 11) % 256
+          + (d.doc_id * 97 + x.x * 31 + y.y * 17 + 22) % 256) AS g
+  FROM documents d,
+       generate_series(0, 15) AS x(x),
+       generate_series(0, 15) AS y(y)
+),
+blk AS (
+  SELECT doc_id, (y // 4) * 4 + (x // 4) AS j, SUM(g) // 16 AS s
+  FROM px GROUP BY doc_id, (y // 4) * 4 + (x // 4)
+),
+n2 AS (SELECT doc_id, SUM(s * s) AS nn FROM blk GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.s * b.s) AS dot
+  FROM blk a JOIN blk b ON a.j = b.j AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.a_id, d.b_id, d.dot::BIGINT AS dot
+FROM dots d JOIN n2 xa ON xa.doc_id = d.a_id JOIN n2 yb ON yb.doc_id = d.b_id
+WHERE d.dot > 0
+  AND 10000000000::HUGEINT * d.dot * d.dot >= 9999800001::HUGEINT * xa.nn * yb.nn
+ORDER BY a_id, b_id
+"""
+
+
+@register("image_blockmean_neardup", _BLOCKMEAN_SQL)
+def image_blockmean_neardup(sf_dir: str):
+    """Embedding-cosine near-dup over IMAGE content with an exact integer
+    oracle: decode -> 4x4 grid of floored grayscale block means (a 16-dim
+    integer embedding), broadcast the full embedding matrix (the exact
+    O(N^2) validator shape of embedding_neardup_pairs; the LSH funnel is the
+    scale path), per-batch int64 matmul, and the cosine threshold decided in
+    EXACT rational arithmetic — a float prefilter narrows candidates, Python
+    ints confirm, so no IEEE boundary can flip a pair."""
+    from demeter_ray.functions import codec
+
+    NUM, DEN = 99999 * 99999, 10**10
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def vec_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = codec.encode_batch(codec.generate_pixels_batch(ids, 16, 16), "png")
+        px = codec.decode_batch(blobs, 16, 16).astype(np.int64)
+        gray = px.sum(axis=3)
+        V = (gray.reshape(-1, 4, 4, 4, 4).sum(axis=(2, 4)) // 16).reshape(-1, 16)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "vec": pa.array(list(V), pa.list_(pa.int64(), 16)),
+            }
+        )
+
+    import ray as _ray
+
+    vecs = ds.map_batches(vec_batch, batch_format="pyarrow", batch_size=512).to_pandas()
+    order = np.argsort(vecs["doc_id"].to_numpy())
+    ids_all = vecs["doc_id"].to_numpy()[order]
+    V_all = np.stack(vecs["vec"].to_numpy()[order]).astype(np.int64)
+    n2_all = (V_all * V_all).sum(axis=1)
+    ref = _ray.put((ids_all, V_all, n2_all))
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        iids, Vf, nf = _ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(iids, ids)
+        Vb, nb = Vf[idx], nf[idx]
+        D = Vb @ Vf.T
+        # float prefilter with margin, then exact integer confirmation
+        approx = (DEN * (D.astype(np.float64) ** 2)
+                  >= (NUM - 1e4) * np.outer(nb, nf).astype(np.float64))
+        cand = approx & (D > 0) & (ids[:, None] < iids[None, :])
+        r, c = np.nonzero(cand)
+        keep_a, keep_b, keep_d = [], [], []
+        for i, j in zip(r, c):
+            d = int(D[i, j])
+            if DEN * d * d >= NUM * int(nb[i]) * int(nf[j]):
+                keep_a.append(int(ids[i]))
+                keep_b.append(int(iids[j]))
+                keep_d.append(d)
+        return pa.table(
+            {
+                "a_id": pa.array(keep_a, pa.int64()),
+                "b_id": pa.array(keep_b, pa.int64()),
+                "dot": pa.array(keep_d, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(pairs_fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
 # ------------------------------------------- deterministic hash sampling
 
 def _hash_sample_sql() -> str:
