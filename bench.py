@@ -120,6 +120,12 @@ def run_benchmarks() -> dict:
         "pivot_event_types",
         "image_phash_dedup",
         "image_dhash_neardup",
+        "image_blockmean_neardup",
+        "heavy_hitters_users",
+        "sorted_quantiles_price",
+        "asof_forward_view_purchase",
+        "rollup_flag_status",
+        "full_outer_month_activity",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
