@@ -15,8 +15,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 @pytest.fixture(scope="module")
 def registry(ray_session):
+    import demeter_ray.pipelines.oracle_extra  # noqa: F401
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401
     import demeter_ray.pipelines.oracle_text  # noqa: F401
+    import demeter_ray.pipelines.oracle_window  # noqa: F401
     from demeter_ray.pipelines.relational import QUERIES
 
     return QUERIES
@@ -36,8 +38,10 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _names(registry=None):
+    import demeter_ray.pipelines.oracle_extra  # noqa: F401
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401
     import demeter_ray.pipelines.oracle_text  # noqa: F401
+    import demeter_ray.pipelines.oracle_window  # noqa: F401
     from demeter_ray.pipelines.relational import QUERIES
 
     return sorted(QUERIES)
