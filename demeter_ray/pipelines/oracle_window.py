@@ -36,6 +36,7 @@ from demeter_ray.pipelines.oracle_spatial import (
 )
 from demeter_ray.pipelines.oracle_text import sha256_hash64_sql
 from demeter_ray.pipelines.relational import (
+    duck_round,
     partial_shuffle_combine,
     register,
 )
@@ -319,6 +320,135 @@ def lag_delta_events(sf_dir: str):
     return lag_delta_window(ds, "user_id", "ts", "event_id")
 
 
+# ------------------------------------------------- rolling window frame
+
+_ROLLING_SQL = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS roll_avg
+FROM events ORDER BY user_id, ts, event_id
+"""
+
+
+@register("rolling_avg_events", _ROLLING_SQL)
+def rolling_avg_events(sf_dir: str):
+    """Rolling window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    sessionize shape — one sort, per-block vectorized rolling means, the
+    2-row cross-block overlap carried via an O(blocks x users) driver map.
+    The 3-term sum always adds in window order, so the float result is
+    bit-identical to the oracle's."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    sorted_ds = ds.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "first_ts": pa.array([], pa.int64()),
+                 "first_eid": pa.array([], pa.int64()),
+                 "tail1": pa.array([], pa.float64()),
+                 "tail2": pa.array([], pa.float64()),
+                 "seg_len": pa.array([], pa.int64())}
+            )
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        # last two values of each segment (NaN-padded), in order
+        # (second-to-last, last)
+        tail1 = np.where(ends - starts >= 2, val[np.maximum(ends - 2, 0)], np.nan)
+        tail2 = val[ends - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "first_ts": pa.array(us[starts], pa.int64()),
+                "first_eid": pa.array(eid[starts], pa.int64()),
+                "tail1": pa.array(tail1, pa.float64()),
+                "tail2": pa.array(tail2, pa.float64()),
+                "seg_len": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(seg_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["user_id", "first_ts", "first_eid"])
+        .reset_index(drop=True)
+    )
+    # carry: for each block-starting segment, the previous 1-2 values of the
+    # same user (window order).  Segments shorter than 2 pass through the
+    # carried values from the block before them.
+    carry: dict[tuple[int, int, int], tuple[float, float]] = {}
+    prev_user = None
+    p1 = p2 = np.nan  # (second-to-last, last) seen so far for prev_user
+    for row in parts.itertuples(index=False):
+        if row.user_id != prev_user:
+            p1 = p2 = np.nan
+        carry[(int(row.user_id), int(row.first_ts), int(row.first_eid))] = (p1, p2)
+        if row.seg_len >= 2:
+            p1, p2 = float(row.tail1), float(row.tail2)
+        elif row.seg_len == 1:
+            p1, p2 = p2, float(row.tail2)
+        prev_user = row.user_id
+    ref = _ray.put(carry)
+
+    def apply_roll(batch: pa.Table, off) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "roll_avg": pa.array([], pa.float64())}
+            )
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(uid)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], n]
+        seg_id = np.cumsum(np.r_[0, (uid[1:] != uid[:-1]).astype(np.int64)])
+        pos = np.arange(n) - starts[seg_id]  # 0-based position in segment
+        # lag arrays with the carried boundary values patched in
+        lag1 = np.empty(n)
+        lag2 = np.empty(n)
+        lag1[1:] = val[:-1]
+        lag2[2:] = val[:-2]
+        for s in starts:
+            c1, c2 = off[(int(uid[s]), int(us[s]), int(eid[s]))]
+            lag1[s] = c2
+            lag2[s] = c1
+            if s + 1 < n and seg_id[s + 1] == seg_id[s]:
+                lag2[s + 1] = c2
+        # window-order sum (lag2 + lag1) + val; availability of each
+        # preceding slot == its lag value is not NaN
+        a1 = ~np.isnan(lag1)
+        a2 = ~np.isnan(lag2)
+        total = np.where(a2, np.nan_to_num(lag2) + np.nan_to_num(lag1) + val,
+                         np.where(a1, np.nan_to_num(lag1) + val, val))
+        cnt = 1 + a1.astype(np.int64) + a2.astype(np.int64)
+        roll = total / cnt
+        # duck_round resolved at module import (never import demeter_ray at
+        # call time inside worker-executed bodies — pickle-by-value cannot
+        # cover call-time imports; caught by the /verify foreign-cwd drive)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "roll_avg": pa.array(duck_round(roll, 4), pa.float64()),
+            }
+        )
+
+    out = sorted_ds.map_batches(
+        lambda b: apply_roll(b, _ray.get(ref)), batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return out
+
+
 # ---------------------------------------------------------------- rollup
 
 _ROLLUP_SQL = """
@@ -580,6 +710,45 @@ def sorted_quantiles_price(sf_dir: str):
 
     ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
     return sorted_quantiles(ds, "l_extendedprice", [0.5, 0.9, 0.99])
+
+
+_GROUPED_QUANT_SQL = """
+SELECT l_returnflag,
+       round(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS q50,
+       round(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS q90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("grouped_quantiles_price_by_flag", _GROUPED_QUANT_SQL)
+def grouped_quantiles_price_by_flag(sf_dir: str):
+    """Per-group exact quantiles over a CONTINUOUS domain — the grouped
+    generalization of sorted_quantiles_price (stages/sketches.
+    grouped_sorted_quantiles): sort on (key, value), O(blocks + groups)
+    count partials, targeted per-group order-statistic fetch."""
+    from demeter_ray.stages.sketches import grouped_sorted_quantiles
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    # the engine core keys on int64; map the 3-value flag through a dense
+    # integer code and back (the general string-key path would hash-encode)
+    flags = {"A": 0, "N": 1, "R": 2}
+    inv = {v: k for k, v in flags.items()}
+
+    def code(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": b["l_returnflag"].map(flags).astype(np.int64),
+                "v": b["l_extendedprice"].astype(np.float64),
+            }
+        )
+
+    coded = ds.map_batches(code, batch_format="pandas")
+    out = grouped_sorted_quantiles(coded, "k", "v", [0.5, 0.9])
+    out["l_returnflag"] = out.pop("k").map(inv)
+    return out[["l_returnflag", "q50", "q90"]].sort_values(
+        "l_returnflag"
+    ).reset_index(drop=True)
 
 
 # ----------------------------------------------------------------- ntile

@@ -194,6 +194,133 @@ def sorted_quantiles(ds, val: str, qs, round_to: int = 4):
     return out
 
 
+def grouped_sorted_quantiles(ds, key: str, val: str, qs, round_to: int = 4):
+    """EXACT per-group quantiles for CONTINUOUS domains: one sort on
+    (key, val), per-(block, key-segment) count partials (O(blocks + groups)
+    driver rows), per-group targets located in the cumulative layout, then a
+    targeted second pass fetching only the <= 2*len(qs) order statistics
+    each group needs.  The grouped generalization of sorted_quantiles; the
+    count-histogram sketch (grouped_exact_quantiles) remains the
+    bounded-domain path."""
+    import ray as _ray
+
+    from demeter_ray.pipelines.relational import duck_round
+
+    sorted_ds = ds.select_columns([key, val]).sort([key, val]).materialize()
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        empty = {
+            "b_fk": pa.array([], pa.int64()), "b_fv": pa.array([], pa.float64()),
+            "b_lk": pa.array([], pa.int64()), "b_lv": pa.array([], pa.float64()),
+            "b_n": pa.array([], pa.int64()), "seg_idx": pa.array([], pa.int64()),
+            "seg_key": pa.array([], pa.int64()), "seg_n": pa.array([], pa.int64()),
+        }
+        if t.num_rows == 0:
+            return pa.table(empty)
+        k = t[key].to_numpy(zero_copy_only=False)
+        v = t[val].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        m = len(starts)
+        return pa.table(
+            {
+                "b_fk": pa.array(np.full(m, k[0]), pa.int64()),
+                "b_fv": pa.array(np.full(m, float(v[0])), pa.float64()),
+                "b_lk": pa.array(np.full(m, k[-1]), pa.int64()),
+                "b_lv": pa.array(np.full(m, float(v[-1])), pa.float64()),
+                "b_n": pa.array(np.full(m, len(k)), pa.int64()),
+                "seg_idx": pa.array(np.arange(m), pa.int64()),
+                "seg_key": pa.array(k[starts], pa.int64()),
+                "seg_n": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    parts = sorted_ds.map_batches(
+        seg_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({key: pd.Series(dtype="int64")})
+    ident_cols = ["b_fk", "b_fv", "b_lk", "b_lv", "b_n"]
+    grouped: dict[tuple, list[tuple[int, int, int]]] = {}
+    for row in parts.itertuples(index=False):
+        ident = (int(row.b_fk), float(row.b_fv), int(row.b_lk),
+                 float(row.b_lv), int(row.b_n))
+        grouped.setdefault(ident, []).append(
+            (int(row.seg_idx), int(row.seg_key), int(row.seg_n))
+        )
+    # global block order = content order of the sorted dataset; two distinct
+    # blocks sharing an identity tuple would fold together here — their
+    # seg_idx values collide, which we refuse loudly
+    idents = sorted(grouped)
+    for ident in idents:
+        sidx = [s for s, _, _ in grouped[ident]]
+        if len(sidx) != len(set(sidx)):
+            raise ValueError("grouped_sorted_quantiles: block identity collision")
+    # walk blocks in global order, assigning each segment its offset within
+    # its key and accumulating per-key totals
+    key_tot: dict[int, int] = {}
+    seg_off: dict[tuple, list[tuple[int, int]]] = {}
+    for ident in idents:
+        offs = []
+        for _, kk, sn in sorted(grouped[ident]):
+            off = key_tot.get(kk, 0)
+            offs.append((kk, off))
+            key_tot[kk] = off + sn
+        seg_off[ident] = offs
+    # per-key target global-in-key indices
+    targets: dict[int, set] = {}
+    for kk, n in key_tot.items():
+        t = set()
+        for q in qs:
+            h = (n - 1) * q
+            t.add(int(np.floor(h)))
+            t.add(min(int(np.floor(h)) + 1, n - 1))
+        targets[kk] = t
+    ref = _ray.put((seg_off, {k2: np.array(sorted(v2), dtype=np.int64)
+                              for k2, v2 in targets.items()}))
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        so, tg = _ray.get(ref)
+        k = t[key].to_numpy(zero_copy_only=False)
+        v = t[val].to_numpy(zero_copy_only=False)
+        ident = (int(k[0]), float(v[0]), int(k[-1]), float(v[-1]), len(k))
+        offs = so[ident]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        out_k, out_i, out_v = [], [], []
+        for (kk, off), s, e in zip(offs, starts, ends):
+            want = tg[kk]
+            local = want[(want >= off) & (want < off + (e - s))] - off
+            for li in local:
+                out_k.append(kk)
+                out_i.append(int(li) + off)
+                out_v.append(float(v[s + li]))
+        return pa.table({"k": pa.array(out_k, pa.int64()),
+                         "i": pa.array(out_i, pa.int64()),
+                         "v": pa.array(out_v, pa.float64())})
+
+    got = sorted_ds.map_batches(pick, batch_format="pyarrow", batch_size=None).to_pandas()
+    vmap = {(int(r.k), int(r.i)): float(r.v) for r in got.itertuples(index=False)}
+    rows = []
+    for kk in sorted(key_tot):
+        n = key_tot[kk]
+        row = {key: kk}
+        for q in qs:
+            h = (n - 1) * q
+            lo = vmap[(kk, int(np.floor(h)))]
+            hi = vmap[(kk, min(int(np.floor(h)) + 1, n - 1))]
+            row[f"q{int(q * 100)}"] = float(lo + (h - np.floor(h)) * (hi - lo))
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    for q in qs:
+        out[f"q{int(q * 100)}"] = duck_round(out[f"q{int(q * 100)}"], round_to)
+    return out.sort_values(key).reset_index(drop=True)
+
+
 def grouped_exact_quantiles(ds, key: str, val: str, qs, round_to: int = 4):
     """EXACT distributed quantiles for low-cardinality value domains: the
     sketch is a per-(key, value) count histogram — mergeable by summation,

@@ -99,3 +99,19 @@ def test_sorted_quantiles_degenerate_correct_or_loud(ray_session):
         assert "degenerate" in str(e)
     else:
         assert out["q50"].iloc[0] == 7.0
+
+
+def test_grouped_sorted_quantiles_matches_numpy(ray_session):
+    import ray.data
+    from demeter_ray.stages.sketches import grouped_sorted_quantiles
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {"k": rng.randint(0, 5, size=4000), "v": rng.lognormal(3, 1, size=4000)}
+    )
+    ds = ray.data.from_pandas(df).repartition(9)
+    out = grouped_sorted_quantiles(ds, "k", "v", [0.5, 0.9])
+    for kk, g in df.groupby("k"):
+        row = out[out["k"] == kk].iloc[0]
+        assert abs(row["q50"] - round(float(np.percentile(g["v"], 50)), 4)) < 1e-9
+        assert abs(row["q90"] - round(float(np.percentile(g["v"], 90)), 4)) < 1e-9
