@@ -56,6 +56,7 @@ def _registry() -> dict:
     import demeter_ray.pipelines.oracle_extra  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_text  # noqa: F401  (registers)
+    import demeter_ray.pipelines.oracle_tpch  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_window  # noqa: F401  (registers)
     from demeter_ray.pipelines.relational import QUERIES
 

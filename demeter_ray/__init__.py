@@ -57,7 +57,8 @@ def ship_code_to_workers() -> None:
         "demeter_ray.state.lineage",
         "demeter_ray.pipelines.flagship", "demeter_ray.pipelines.relational",
         "demeter_ray.pipelines.oracle_extra", "demeter_ray.pipelines.oracle_spatial",
-        "demeter_ray.pipelines.oracle_text", "demeter_ray.pipelines.oracle_window",
+        "demeter_ray.pipelines.oracle_text", "demeter_ray.pipelines.oracle_tpch",
+        "demeter_ray.pipelines.oracle_window",
         "demeter_ray.pipelines.point_data",
         "demeter_ray.pipelines.soiljoin",
     ):

@@ -114,6 +114,45 @@ def gated_semi_join(ds, key_col: str, keys_ds, keys_col: str, anti: bool = False
     )
 
 
+def gated_lookup_join(ds, key_col: str, dim_ds, dim_key: str, dim_cols: list[str],
+                      how: str = "inner", cap: int = BROADCAST_KEY_CAP,
+                      num_partitions: int = 8):
+    """Lookup (dimension-attach) join, SIZE-GATED — the generic form of the
+    broadcast dim joins (J2/J4/J6, ssurgo.py:33-41):
+
+    - small dim (<= ``cap`` rows): the dim ships once via ``ray.put`` as a
+      pandas index and every batch merges against it locally — no shuffle;
+    - large dim: both sides hash-partition through the real
+      ``Dataset.join`` (``num_partitions`` buckets), so neither side ever
+      materializes on one node.
+
+    ``dim_cols`` are appended to ``ds``'s columns; names must not collide.
+    ``how`` is "inner" or "left" (left keeps unmatched rows with nulls)."""
+    import ray as _ray
+
+    dim_ds = dim_ds.materialize()  # the gate's count() must not re-run the dim
+    if dim_ds.count() <= cap:
+        dimdf = dim_ds.to_pandas().set_index(dim_key)[dim_cols]
+
+        def attach(batch: pd.DataFrame, dim_tbl) -> pd.DataFrame:
+            return batch.merge(dim_tbl, left_on=key_col, right_index=True, how=how)
+
+        return ds.map_batches(bcast(_ray.put(dimdf), attach), batch_format="pandas")
+    joined = ds.join(
+        dim_ds.select_columns([dim_key] + dim_cols),
+        join_type="inner" if how == "inner" else "left_outer",
+        num_partitions=num_partitions,
+        on=(key_col,),
+        right_on=(dim_key,),
+    )
+    if dim_key != key_col:
+        joined = joined.map_batches(
+            lambda t, d=dim_key: t.drop_columns([d]) if d in t.column_names else t,
+            batch_format="pyarrow",
+        )
+    return joined
+
+
 def partial_combine(ds, partial_fn, batch_format="pandas"):
     """Two-level aggregation with a DRIVER-side combine: per-batch partials
     (one row per key per batch) collect to the driver, where pandas finishes

@@ -18,6 +18,7 @@ def registry(ray_session):
     import demeter_ray.pipelines.oracle_extra  # noqa: F401
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401
     import demeter_ray.pipelines.oracle_text  # noqa: F401
+    import demeter_ray.pipelines.oracle_tpch  # noqa: F401
     import demeter_ray.pipelines.oracle_window  # noqa: F401
     from demeter_ray.pipelines.relational import QUERIES
 
@@ -41,6 +42,7 @@ def _names(registry=None):
     import demeter_ray.pipelines.oracle_extra  # noqa: F401
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401
     import demeter_ray.pipelines.oracle_text  # noqa: F401
+    import demeter_ray.pipelines.oracle_tpch  # noqa: F401
     import demeter_ray.pipelines.oracle_window  # noqa: F401
     from demeter_ray.pipelines.relational import QUERIES
 
