@@ -110,3 +110,37 @@ def test_asof_join_grouped_int64_precision(ray_session):
     ).sort_values("aid")
     assert df["asof_bid"].tolist()[:2] == [big, big]
     assert pd.isna(df["asof_bid"].tolist()[2])
+
+
+def test_lookup_join_gate_parity_inner(sides):
+    left, _ = sides
+    dim = ray.data.from_pandas(pd.DataFrame({
+        "dk": np.arange(500, 1500, dtype=np.int64),
+        "attr": np.arange(500, 1500, dtype=np.int64) * 10,
+    }))
+    bcast = relational.gated_lookup_join(left, "k", dim, "dk", ["attr"], cap=10**9)
+    shuffled = relational.gated_lookup_join(left, "k", dim, "dk", ["attr"], cap=0)
+    a = _norm(bcast, ["k", "payload", "attr"])
+    b = _norm(shuffled, ["k", "payload", "attr"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) == 500 and (a["attr"] == a["k"] * 10).all()
+
+
+def test_lookup_join_gate_parity_left(sides):
+    left, _ = sides
+    dim = ray.data.from_pandas(pd.DataFrame({
+        "dk": np.arange(500, 1500, dtype=np.int64),
+        "attr": np.arange(500, 1500, dtype=np.int64) * 10,
+    }))
+    bcast = relational.gated_lookup_join(left, "k", dim, "dk", ["attr"],
+                                         how="left", cap=10**9)
+    shuffled = relational.gated_lookup_join(left, "k", dim, "dk", ["attr"],
+                                            how="left", cap=0)
+    a = _norm(bcast, ["k", "payload", "attr"])
+    b = _norm(shuffled, ["k", "payload", "attr"])
+    # unmatched rows keep nulls on both paths
+    assert a["attr"].isna().sum() == 500 == b["attr"].isna().sum()
+    matched_a = a.dropna(subset=["attr"]).reset_index(drop=True)
+    matched_b = b.dropna(subset=["attr"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(matched_a, matched_b, check_dtype=False)
+    assert len(a) == 1000 == len(b)
