@@ -1426,3 +1426,167 @@ def hash_sample_lineitems(sf_dir: str):
             "max_okey": [int(parts["max_okey"].max())],
         }
     )
+
+
+# ------------------------------------------------------- HAVING / gap fill
+
+_HAVING_SQL = """
+SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY l_orderkey
+HAVING SUM(l_quantity) > 150
+ORDER BY l_orderkey
+"""
+
+
+@register("having_large_orders", _HAVING_SQL)
+def having_large_orders(sf_dir: str):
+    """GROUP BY ... HAVING (TPC-H Q18 core): the aggregate filter runs
+    vectorized AFTER the size-gated combine — at scale only one row per
+    order reaches the predicate, never the lineitem rows."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+
+    agg = partial_shuffle_combine(ds, partial, ["l_orderkey"], ["l_quantity"],
+                                  batch_format="pandas")
+    agg = agg[agg["l_quantity"] > 150]
+    out = pd.DataFrame({
+        "l_orderkey": agg["l_orderkey"],
+        "total_qty": duck_round(agg["l_quantity"], 2),
+    })
+    return out.sort_values("l_orderkey").reset_index(drop=True)
+
+
+_GAPFILL_SQL = """
+WITH span AS (
+  SELECT user_id, MIN(epoch_us(ts) // 3600000000) AS h0,
+                  MAX(epoch_us(ts) // 3600000000) AS h1
+  FROM events GROUP BY user_id),
+hours AS (
+  SELECT s.user_id, s.h0 + g.x AS hour
+  FROM span s, LATERAL (SELECT UNNEST(generate_series(0, CAST(s.h1 - s.h0 AS BIGINT)))) AS g(x)),
+agg AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+  FROM events GROUP BY user_id, hour)
+SELECT h.user_id, h.hour, COALESCE(a.n, 0) AS n_events
+FROM hours h LEFT JOIN agg a ON a.user_id = h.user_id AND a.hour = h.hour
+ORDER BY h.user_id, h.hour
+"""
+
+# epoch hours through 2100 stay under 2^21; the composite join key packs
+# (user_id << 21) | hour into one int64 with a loud guard below
+_HOUR_BITS = 21
+
+
+@register("gap_fill_user_hours", _GAPFILL_SQL)
+def gap_fill_user_hours(sf_dir: str):
+    """Time-series resample / gap fill: every hour in each user's observed
+    span appears exactly once, zero-filled where no events landed.
+
+    Plan: per-user (min, max) hour via the gated combine; the hour rows
+    GENERATE distributed (span rows fan out via vectorized repeat/arange in
+    map_batches — the generated side never sits on the driver); the
+    per-(user, hour) counts attach through the size-gated lookup join on a
+    packed (user << 21 | hour) key; missing hours fill 0 vectorized."""
+    import ray as _ray
+    import ray.data as rd
+
+    from demeter_ray.pipelines.relational import gated_lookup_join
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def span_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["ts"].astype("int64") // 3_600_000_000).astype("int64")
+        g = b.assign(h0=h, h1=h).groupby("user_id", as_index=False).agg(
+            h0=("h0", "min"), h1=("h1", "max"))
+        return g
+
+    span = partial_shuffle_combine(
+        ds, span_partial, ["user_id"], ["h0", "h1"], batch_format="pandas",
+        agg={"h0": "min", "h1": "max"},
+    )
+    if (span["h1"] >= (1 << _HOUR_BITS)).any():
+        raise ValueError("gap_fill_user_hours: epoch hour exceeds the "
+                         f"{_HOUR_BITS}-bit pack range")
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["ts"].astype("int64") // 3_600_000_000).astype("int64")
+        key = (b["user_id"].to_numpy(dtype=np.int64) << _HOUR_BITS) | h.to_numpy()
+        return pd.DataFrame({"key": key, "n": 1}).groupby(
+            "key", as_index=False)["n"].sum()
+
+    counts = partial_shuffle_combine(ds, count_partial, ["key"], ["n"],
+                                     batch_format="pandas")
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        lens = (b["h1"] - b["h0"] + 1).to_numpy(dtype=np.int64)
+        uid = np.repeat(b["user_id"].to_numpy(dtype=np.int64), lens)
+        # per-row arange: global arange minus each segment's start offset
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        hour = np.repeat(b["h0"].to_numpy(dtype=np.int64), lens) + (
+            np.arange(lens.sum(), dtype=np.int64) - offs)
+        return pd.DataFrame({"user_id": uid, "hour": hour,
+                             "key": (uid << _HOUR_BITS) | hour})
+
+    # split the span across blocks so the fan-out parallelizes without a
+    # repartition barrier (ledger: Repartition measured ~17s of stall)
+    chunks = [c for c in np.array_split(span, 8) if len(c)]
+    hours = rd.from_pandas(chunks).map_batches(expand, batch_format="pandas")
+    joined = gated_lookup_join(
+        hours, "key", rd.from_pandas(counts), "key", ["n"], how="left")
+    out = joined.to_pandas()
+    out["n_events"] = out["n"].fillna(0).astype("int64")
+    out = out[["user_id", "hour", "n_events"]]
+    return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
+
+
+_FIRSTLAST_SQL = """
+SELECT event_id, user_id,
+       FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_val,
+       LAST_VALUE(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS last_val
+FROM events
+"""
+
+
+@register("first_last_value_events", _FIRSTLAST_SQL)
+def first_last_value_events(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over an unbounded frame — NO global sort
+    needed: per-batch argmin/argmax-by-(ts, event_id) partials (one row per
+    user per batch), a driver pick of the global extremes, then one
+    broadcast pass attaching the two scalars per user."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def extreme_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.assign(us=b["ts"].astype("int64")).sort_values(
+            ["user_id", "us", "event_id"], kind="mergesort")
+        g = s.groupby("user_id", as_index=False)
+        first = g.first()[["user_id", "us", "event_id", "value"]].rename(
+            columns={"us": "f_us", "event_id": "f_eid", "value": "f_val"})
+        last = g.last()[["us", "event_id", "value"]].rename(
+            columns={"us": "l_us", "event_id": "l_eid", "value": "l_val"})
+        return pd.concat([first, last], axis=1)
+
+    parts = ds.map_batches(extreme_partial, batch_format="pandas").to_pandas()
+    firsts = parts.sort_values(["user_id", "f_us", "f_eid"],
+                               kind="mergesort").groupby("user_id").first()
+    lasts = parts.sort_values(["user_id", "l_us", "l_eid"],
+                              kind="mergesort").groupby("user_id").last()
+    fmap = {int(u): (float(r.f_val), float(lasts.loc[u, "l_val"]))
+            for u, r in firsts.iterrows()}
+    ref = _ray.put(fmap)
+
+    def attach(b: pd.DataFrame, m) -> pd.DataFrame:
+        fv = b["user_id"].map(lambda u: m[int(u)][0])
+        lv = b["user_id"].map(lambda u: m[int(u)][1])
+        return pd.DataFrame({"event_id": b["event_id"], "user_id": b["user_id"],
+                             "first_val": fv, "last_val": lv})
+
+    from demeter_ray.pipelines.relational import bcast
+
+    return ds.map_batches(bcast(ref, attach), batch_format="pandas")

@@ -68,6 +68,7 @@ def main():
     import demeter_ray.pipelines.oracle_extra  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_text  # noqa: F401  (registers)
+    import demeter_ray.pipelines.oracle_tpch  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_window  # noqa: F401  (registers)
     from demeter_ray.pipelines.relational import QUERIES
 
