@@ -66,6 +66,7 @@ def run_benchmarks() -> dict:
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401
     import demeter_ray.pipelines.oracle_text  # noqa: F401
     import demeter_ray.pipelines.oracle_extra  # noqa: F401
+    import demeter_ray.pipelines.oracle_tpch  # noqa: F401
     import demeter_ray.pipelines.oracle_window  # noqa: F401
     from demeter_ray.pipelines import flagship
     from demeter_ray.pipelines.relational import QUERIES
@@ -126,6 +127,8 @@ def run_benchmarks() -> dict:
         "asof_forward_view_purchase",
         "rollup_flag_status",
         "full_outer_month_activity",
+        "q5_local_supplier_revenue",
+        "gap_fill_user_hours",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
