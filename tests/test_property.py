@@ -1,0 +1,181 @@
+"""Property-based tests (hypothesis) for the pure-function cores.
+
+These cover the invariants unit truth-tables can't sweep: random shapes,
+random payloads, random grids.  All targets are pure numpy functions — no
+Ray session needed — so examples stay millisecond-fast.
+"""
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from demeter_ray.functions import codec, geo
+from demeter_ray.pipelines.relational import duck_round
+from demeter_ray.stages.merge import merge_tiles
+
+SET = dict(max_examples=40, deadline=None)
+
+
+# ------------------------------------------------------------------ codec
+
+@given(idx=st.integers(0, 2**31), w=st.integers(1, 24), h=st.integers(1, 24),
+       q=st.integers(1, 16))
+@settings(**SET)
+def test_codec_roundtrip(idx, w, h, q):
+    px = codec.generate_pixels(idx, w, h)
+    # lossless: exact
+    assert np.array_equal(codec.decode(codec.encode(px, "png")), px)
+    # lossy: midpoint reconstruction error bounded by the quant step
+    rec = codec.decode(codec.encode(px, "jpeg", q=q))
+    err = np.abs(rec.astype(np.int64) - px.astype(np.int64))
+    assert err.max() <= (q + 1) // 2 + q // 2  # floor(v/q)*q + q//2 bound
+    assert codec.header_dims(codec.encode(px, "jpeg", q=q)) == (w, h)
+
+
+@given(idx=st.integers(0, 2**31), w=st.integers(8, 16), h=st.integers(8, 16))
+@settings(**SET)
+def test_codec_batch_matches_scalar(idx, w, h):
+    batch = codec.generate_pixels_batch(np.array([idx, idx + 1]), w, h)
+    assert np.array_equal(batch[0], codec.generate_pixels(idx, w, h))
+    blobs = codec.encode_batch(batch, "png")
+    dec = codec.decode_batch(blobs, w, h)
+    assert np.array_equal(dec, batch)
+
+
+# ------------------------------------------------------------------ geo
+
+@given(
+    lon=st.floats(12.0, 18.0), lat=st.floats(-70.0, 75.0),
+)
+@settings(**SET)
+def test_utm_roundtrip(lon, lat):
+    x, y = geo.crs_forward("EPSG:32633", np.array([lon]), np.array([lat]))
+    lon2, lat2 = geo.crs_inverse("EPSG:32633", x, y)
+    assert abs(lon2[0] - lon) < 1e-6 and abs(lat2[0] - lat) < 1e-6
+
+
+@given(lon=st.floats(-120.0, -75.0), lat=st.floats(25.0, 49.0))
+@settings(**SET)
+def test_albers_roundtrip(lon, lat):
+    x, y = geo.crs_forward("EPSG:5070", np.array([lon]), np.array([lat]))
+    lon2, lat2 = geo.crs_inverse("EPSG:5070", x, y)
+    assert abs(lon2[0] - lon) < 1e-6 and abs(lat2[0] - lat) < 1e-6
+
+
+@given(
+    minx=st.floats(-179.0, 178.0), miny=st.floats(-89.0, 88.0),
+    dx=st.floats(0.01, 5.0), dy=st.floats(0.01, 5.0),
+    fx=st.floats(0.0, 1.0), fy=st.floats(0.0, 1.0),
+    res=st.integers(2, 8),
+)
+@settings(**SET)
+def test_cover_bbox_contains_interior_points(minx, miny, dx, dy, fx, fy, res):
+    """Any point inside a bbox maps to a cell present in the bbox's cover."""
+    maxx, maxy = min(minx + dx, 179.9), min(miny + dy, 89.9)
+    px = minx + (maxx - minx) * fx
+    py = miny + (maxy - miny) * fy
+    cxs, cys = geo.cover_bbox(minx, miny, maxx, maxy, res)
+    cover = set(geo.cell_id_from_xy(cxs, cys).tolist())
+    cid = int(geo.cell_id(np.array([px]), np.array([py]), res)[0])
+    assert cid in cover
+
+
+@given(
+    n=st.integers(3, 10), seed=st.integers(0, 10**6),
+)
+@settings(**SET)
+def test_pip_convex_agreement(n, seed):
+    """Ray-crossing PIP agrees with the independent convex half-plane test
+    on random convex polygons (two implementations cross-validate)."""
+    rng = np.random.RandomState(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    if len(np.unique(ang)) < 3:
+        return
+    r = rng.uniform(0.5, 2.0)
+    vx, vy = r * np.cos(ang), r * np.sin(ang)
+    ring = np.c_[np.r_[vx, vx[:1]], np.r_[vy, vy[:1]]]
+    xs = rng.uniform(-2.5, 2.5, 200)
+    ys = rng.uniform(-2.5, 2.5, 200)
+    # stay clear of edges: boundary pixels may legitimately differ
+    d = np.min(np.hypot(xs[:, None] - ring[None, :-1, 0],
+                        ys[:, None] - ring[None, :-1, 1]), axis=1)
+    keep = d > 0.05
+    a = geo.points_in_ring(xs[keep], ys[keep], ring)
+    b = geo.points_in_convex_polygon(xs[keep], ys[keep], ring)
+    disagree = a != b
+    if disagree.any():
+        # tolerate only near-edge numerical disagreement
+        from demeter_ray.functions.geo import points_in_ring as pir
+        bad_x, bad_y = xs[keep][disagree], ys[keep][disagree]
+        for bx, by in zip(bad_x, bad_y):
+            eps = 1e-9
+            votes = [pir(np.array([bx + ex]), np.array([by + ey]), ring)[0]
+                     for ex in (-eps, eps) for ey in (-eps, eps)]
+            assert len(set(votes)) > 1, (bx, by)
+
+
+@given(seed=st.integers(0, 10**6), n=st.integers(1, 4))
+@settings(**SET)
+def test_wkb_roundtrip(seed, n):
+    rng = np.random.RandomState(seed)
+    polys = []
+    for _ in range(n):
+        k = rng.randint(3, 8)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        ring = np.c_[np.cos(ang), np.sin(ang)] * rng.uniform(0.5, 3.0)
+        ring = np.r_[ring, ring[:1]]
+        polys.append([ring])
+    buf = geo.wkb_from_polygons(polys)
+    parsed = geo.parse_wkb(buf)
+    assert len(parsed) == n
+    for orig, got in zip(polys, parsed):
+        assert np.allclose(orig[0], got[0])
+
+
+# ------------------------------------------------------------------ merge
+
+@given(seed=st.integers(0, 10**6),
+       method=st.sampled_from(["min", "max", "sum", "count", "mean"]))
+@settings(**SET)
+def test_merge_reduction_matches_numpy(seed, method):
+    """Stacked same-grid tiles reduce exactly like numpy masked reductions."""
+    rng = np.random.RandomState(seed)
+    h, w, k = rng.randint(2, 6), rng.randint(2, 6), rng.randint(2, 5)
+    nodata = -9999.0
+    stack = rng.uniform(0, 10, (k, h, w)).round(3)
+    mask = rng.rand(k, h, w) < 0.3
+    stack[mask] = nodata
+    transform = (1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = [(f"t{i}", stack[i], transform, nodata, (0.0, 0.0, float(w), float(h)))
+             for i in range(k)]
+    out, _, _ = merge_tiles(tiles, method=method)
+    ma = np.ma.masked_equal(stack, nodata)
+    want = {
+        "min": ma.min(axis=0), "max": ma.max(axis=0), "sum": ma.sum(axis=0),
+        "mean": ma.mean(axis=0),
+        "count": (~ma.mask).sum(axis=0),
+    }[method]
+    if method == "count":
+        assert np.array_equal(np.asarray(out.filled(0), dtype=np.int64),
+                              np.asarray(want, dtype=np.int64))
+    else:
+        want_f = np.ma.filled(want.astype(np.float64), np.nan)
+        got_f = np.where(out.mask, np.nan, np.asarray(out))
+        assert np.allclose(got_f, want_f, equal_nan=True, atol=1e-9)
+
+
+# ------------------------------------------------------------------ round
+
+@given(vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1,
+                     max_size=50),
+       k=st.integers(0, 4))
+@settings(max_examples=25, deadline=None)
+def test_duck_round_matches_duckdb(vals, k):
+    con = duckdb.connect()
+    got = duck_round(np.array(vals), k)
+    import pandas as pd
+    want = con.execute(
+        "SELECT ROUND(v, ?) AS r FROM (SELECT UNNEST(?) AS v)", [k, vals]
+    ).df()["r"].to_numpy()
+    assert np.allclose(got, want, rtol=0, atol=0, equal_nan=True)
