@@ -1536,10 +1536,18 @@ def gap_fill_user_hours(sf_dir: str):
     hours = rd.from_pandas(chunks).map_batches(expand, batch_format="pandas")
     joined = gated_lookup_join(
         hours, "key", rd.from_pandas(counts), "key", ["n"], how="left")
-    out = joined.to_pandas()
-    out["n_events"] = out["n"].fillna(0).astype("int64")
-    out = out[["user_id", "hour", "n_events"]]
-    return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
+
+    def zero_fill(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "hour": b["hour"].astype("int64"),
+            "n_events": b["n"].fillna(0).astype("int64"),
+        })
+
+    # returned as a streaming Dataset — the gap-filled table scales with
+    # (users x span) and must never materialize whole on the driver; the
+    # driver's compare is order-insensitive so no final sort is needed
+    return joined.map_batches(zero_fill, batch_format="pandas")
 
 
 _FIRSTLAST_SQL = """
