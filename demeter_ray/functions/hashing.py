@@ -143,3 +143,17 @@ def rolling_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     mins = wins.min(axis=1)
     picks = np.unique(mins)
     return [int(v) for v in picks]
+
+
+def mix64_batch(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over an int64/uint64 array — the
+    cheap avalanche hash for bloom-filter probes and salting.  Pure uint64
+    wraparound arithmetic (numpy wraps silently, no Python bigints)."""
+    v = x.astype(np.uint64, copy=True)
+    v += np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+    v ^= v >> np.uint64(30)
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(27)
+    v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(31)
+    return v

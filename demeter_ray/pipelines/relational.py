@@ -153,6 +153,66 @@ def gated_lookup_join(ds, key_col: str, dim_ds, dim_key: str, dim_cols: list[str
     return joined
 
 
+def bloom_semi_join(ds, key_col: str, keys_ds, keys_col: str,
+                    n_bits_log2: int = 23, k: int = 4, exact: bool = True,
+                    cap: int = BROADCAST_KEY_CAP):
+    """Semi-join with a BLOOM-FILTER broadcast prefilter — the scale path
+    for key sets too large to broadcast exactly but whose bitmap is tiny:
+    2^23 bits = 1 MiB regardless of key count (a 2M-key frozenset is
+    ~100x larger and pages every task).
+
+    Build: per-BLOCK packed bitmaps (``np.packbits``) OR-combine on the
+    driver — driver traffic is O(blocks x 2^n_bits_log2/8 bytes),
+    independent of key count.  Probe: k double-hashed positions per row,
+    fully vectorized.  False positives are possible (fpr ~ (1-e^{-kn/m})^k),
+    NEVER false negatives, so with ``exact=True`` (default) the survivors
+    run through the exact ``gated_semi_join`` and the result is identical to
+    the plain semi-join — the bloom only shrinks what reaches the shuffle."""
+    import ray as _ray
+
+    from demeter_ray.functions.hashing import mix64_batch
+
+    keys_ds = keys_ds.materialize()  # consumed twice: bloom build + exact verify
+    m = 1 << n_bits_log2
+    mask = np.uint64(m - 1)
+
+    def _positions(vals: np.ndarray):
+        h1 = mix64_batch(vals, seed=1)
+        h2 = mix64_batch(vals, seed=2) | np.uint64(1)  # odd -> full cycle
+        return [(h1 + np.uint64(i) * h2) & mask for i in range(k)]
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m, dtype=bool)
+        vals = t[keys_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        for pos in _positions(vals):
+            bits[pos] = True
+        return pa.table({"bits": pa.array(
+            [np.packbits(bits, bitorder="little").tobytes()], pa.binary())})
+
+    parts = keys_ds.select_columns([keys_col]).map_batches(
+        build_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    packed = np.zeros(m // 8, dtype=np.uint8)
+    for blob in parts["bits"]:
+        packed |= np.frombuffer(blob, dtype=np.uint8)
+    ref = _ray.put(packed)
+
+    def prefilter(t: pa.Table, bits: np.ndarray) -> pa.Table:
+        vals = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        member = np.ones(len(vals), dtype=bool)
+        for pos in _positions(vals):
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            member &= ((byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1) > 0
+        return t.filter(pa.array(member))
+
+    survivors = ds.map_batches(
+        lambda t: prefilter(t, _ray.get(ref)), batch_format="pyarrow"
+    )
+    if not exact:
+        return survivors
+    return gated_semi_join(survivors, key_col, keys_ds, keys_col, cap=cap)
+
+
 def partial_combine(ds, partial_fn, batch_format="pandas"):
     """Two-level aggregation with a DRIVER-side combine: per-batch partials
     (one row per key per batch) collect to the driver, where pandas finishes

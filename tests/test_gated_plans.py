@@ -144,3 +144,19 @@ def test_lookup_join_gate_parity_left(sides):
     matched_b = b.dropna(subset=["attr"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(matched_a, matched_b, check_dtype=False)
     assert len(a) == 1000 == len(b)
+
+
+def test_bloom_semi_join_parity(sides):
+    """Bloom-prefiltered semi-join is exactly the plain semi-join, even with
+    a tiny bitmap forcing a high false-positive rate (exact verify removes
+    them); the prefilter alone never drops a true member."""
+    left, keys = sides
+    plain = _norm(relational.gated_semi_join(left, "k", keys, "fk"),
+                  ["k", "payload"])
+    bloom = _norm(relational.bloom_semi_join(left, "k", keys, "fk",
+                                             n_bits_log2=16), ["k", "payload"])
+    pd.testing.assert_frame_equal(plain, bloom)
+    # 256-bit bitmap: huge fpr, but the prefilter must keep all true members
+    pre = relational.bloom_semi_join(left, "k", keys, "fk", n_bits_log2=8,
+                                     exact=False).to_pandas()
+    assert set(plain["k"]).issubset(set(pre["k"]))
