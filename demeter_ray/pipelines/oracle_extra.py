@@ -806,3 +806,30 @@ def reproject_merge_zones_q(sf_dir: str):
             }
         )
     return pd.DataFrame(rows)
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in ("l_quantity", "l_discount", "l_tax", "l_extendedprice"):
+        parts.append(f"""
+SELECT '{c}' AS col, COUNT({c}) AS n, COUNT(*) - COUNT({c}) AS n_null,
+       ROUND(MIN({c}), 4) AS vmin, ROUND(MAX({c}), 4) AS vmax,
+       COUNT(DISTINCT {c}) AS ndv
+FROM lineitem""")
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
+@register("profile_lineitem_columns", _profile_sql())
+def profile_lineitem_columns(sf_dir: str):
+    """Table-statistics collection (the engine's ANALYZE): one streaming
+    pass for count/nulls/min/max + size-gated EXACT distinct counts
+    (driver union under ndv_cap, distributed groupby-count shuffle above —
+    both branches parity-tested in tests/test_sketches.py)."""
+    from demeter_ray.stages.sketches import profile_numeric_columns
+
+    cols = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
+    ds = read_table(sf_dir, "lineitem", columns=cols)
+    out = profile_numeric_columns(ds, cols)
+    out["vmin"] = duck_round(out["vmin"], 4)
+    out["vmax"] = duck_round(out["vmax"], 4)
+    return out.sort_values("col").reset_index(drop=True)

@@ -357,3 +357,73 @@ def grouped_exact_quantiles(ds, key: str, val: str, qs, round_to: int = 4):
     for q in qs:
         out[f"q{int(q * 100)}"] = duck_round(out[f"q{int(q * 100)}"], round_to)
     return out.sort_values(key).reset_index(drop=True)
+
+
+def profile_numeric_columns(ds, cols, ndv_cap: int = 1_000_000):
+    """Table statistics collection: one streaming pass computes per column
+    (n non-null, n_null, min, max) plus EXACT distinct counts, size-gated:
+
+    - per-batch partials carry each column's batch-local unique values
+      (bounded by the batch's row count, usually far less);
+    - the driver unions the uniques while their running count stays under
+      ``ndv_cap``; a column that overflows the cap falls back to the
+      distributed ``groupby(col).count()`` shuffle (one row per distinct
+      value, never materialized on the driver beyond its count).
+
+    Returns a pandas DataFrame (col, n, n_null, vmin, vmax, ndv) — always
+    O(len(cols)) rows.  The reference profiles columns ad hoc via pandas
+    describe-style introspection; this is the distributed equivalent.
+    """
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = b[c]
+            nn = v.notna()
+            uniq = v.dropna().unique()
+            rows.append({
+                "col": c,
+                "n": int(nn.sum()),
+                "n_null": int((~nn).sum()),
+                "vmin": float(v.min()) if nn.any() else np.nan,
+                "vmax": float(v.max()) if nn.any() else np.nan,
+                # a batch already past the cap ships a sentinel, not values
+                "uniq": None if len(uniq) > ndv_cap else uniq.tolist(),
+            })
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for c in cols:
+        p = parts[parts["col"] == c]
+        seen: set = set()
+        overflow = False
+        for u in p["uniq"]:
+            if u is None:
+                overflow = True
+                break
+            seen.update(u)
+            if len(seen) > ndv_cap:
+                overflow = True
+                break
+        if overflow:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            nonnull = ds.select_columns([c]).map_batches(
+                lambda t, col=c: t.filter(pc.is_valid(t[col])),
+                batch_format="pyarrow",
+            )
+            ndv = int(nonnull.groupby(c).count().count())
+        else:
+            ndv = len(seen)
+        out.append({
+            "col": c,
+            "n": int(p["n"].sum()),
+            "n_null": int(p["n_null"].sum()),
+            "vmin": float(np.nanmin(p["vmin"].to_numpy())),
+            "vmax": float(np.nanmax(p["vmax"].to_numpy())),
+            "ndv": ndv,
+        })
+    return pd.DataFrame(out)

@@ -115,3 +115,27 @@ def test_grouped_sorted_quantiles_matches_numpy(ray_session):
         row = out[out["k"] == kk].iloc[0]
         assert abs(row["q50"] - round(float(np.percentile(g["v"], 50)), 4)) < 1e-9
         assert abs(row["q90"] - round(float(np.percentile(g["v"], 90)), 4)) < 1e-9
+
+
+def test_profile_columns_gate_parity(ray_session):
+    """Both NDV branches (driver union vs groupby-count shuffle) agree."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from demeter_ray.stages.sketches import profile_numeric_columns
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "a": rng.randint(0, 37, 5000).astype(np.int64),
+        "b": rng.uniform(0, 1, 5000).round(6),
+    })
+    df.loc[df.index[:100], "b"] = np.nan
+    ds = ray.data.from_pandas([c for c in np.array_split(df, 6)])
+    big = profile_numeric_columns(ds, ["a", "b"], ndv_cap=10**6)
+    small = profile_numeric_columns(ds, ["a", "b"], ndv_cap=10)  # force shuffle
+    pd.testing.assert_frame_equal(big, small)
+    row_a = big[big["col"] == "a"].iloc[0]
+    assert row_a["ndv"] == df["a"].nunique() and row_a["n_null"] == 0
+    row_b = big[big["col"] == "b"].iloc[0]
+    assert row_b["n_null"] == 100 and row_b["ndv"] == df["b"].nunique()
