@@ -473,3 +473,358 @@ def bloom_semi_join_urgent_lineitems(sf_dir: str):
         "quantity": duck_round(out["l_quantity"], 2),
     })
     return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q13: left-join count distribution (zero-preserving two-level grouping)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _gated_group_sum_ds(ds, partial_fn, keys, sums,
+                        driver_cap: int = None):
+    """Like ``partial_shuffle_combine`` but stays a Dataset above the gate:
+    the driver never holds the per-key rows when key cardinality scales
+    with data — downstream stages keep reducing distributively."""
+    import ray.data as rd
+
+    from demeter_ray.pipelines.relational import DRIVER_COMBINE_CAP
+
+    cap = DRIVER_COMBINE_CAP if driver_cap is None else driver_cap
+    parts = ds.map_batches(partial_fn, batch_format="pandas").materialize()
+    if parts.count() <= cap:
+        df = parts.to_pandas().groupby(keys, as_index=False)[sums].sum()
+        return rd.from_pandas(df)
+    from ray.data.aggregate import Sum
+
+    return parts.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in sums])
+
+
+@register("q13_customer_order_distribution", _Q13_SQL)
+def q13_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: zero-preserving left-join count + distribution of
+    the counts.  Per-customer order counts reduce through the size-gated
+    combine and STAY distributed; the second grouping (count -> number of
+    customers) is tiny-cardinality, so per-batch value_counts partials
+    combine on the driver.  Customers with no orders never join — their
+    bucket is (total customers - customers seen), two metadata counts."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["o_orderpriority"], "1-URGENT")))
+        .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", as_index=False).agg(
+            c_count=("o_custkey", "size"))
+
+    per_cust = _gated_group_sum_ds(orders, count_partial, ["o_custkey"], ["c_count"])
+
+    def dist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_count", as_index=False).agg(
+            custdist=("c_count", "size"))
+
+    dist = partial_combine(per_cust, dist_partial)
+    dist = dist.groupby("c_count", as_index=False)["custdist"].sum()
+    n_total = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+    n_zero = n_total - int(dist["custdist"].sum())
+    if n_zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [n_zero]})],
+            ignore_index=True,
+        )
+    dist = dist.astype({"c_count": "int64", "custdist": "int64"})
+    return dist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q18: HAVING-gated semi-join over a high-cardinality rollup
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS totalprice,
+       ROUND(s.sum_qty, 2) AS sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250) s ON s.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume_customers", _Q18_SQL)
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape: per-order quantity rollup -> HAVING filter WHILE
+    STILL DISTRIBUTED (the filter runs as a Dataset op above the combine
+    gate, so the driver only ever receives qualifying orders — output-
+    bounded), then the Q10 late-attach trick for order/customer columns."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_orderkey", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"))
+
+    per_order = _gated_group_sum_ds(li, qty_partial, ["l_orderkey"], ["sum_qty"])
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"], 250.0)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if big.empty:
+        return pd.DataFrame({
+            "c_name": pd.Series(dtype="object"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "totalprice": pd.Series(dtype="float64"),
+            "sum_qty": pd.Series(dtype="float64"),
+        })
+
+    okeys = pa.array(big["l_orderkey"].tolist(), pa.int64())
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(
+        lambda t, ks=okeys: t.filter(pc.is_in(t["o_orderkey"], value_set=ks)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    ckeys = pa.array(sorted(set(orders["o_custkey"].tolist())), pa.int64())
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        lambda t, ks=ckeys: t.filter(pc.is_in(t["c_custkey"], value_set=ks)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey")
+    out["totalprice"] = duck_round(out["o_totalprice"], 2)
+    out["sum_qty"] = duck_round(out["sum_qty"], 2)
+    out = out[["c_name", "o_orderkey", "o_orderdate", "totalprice", "sum_qty"]]
+    out = out.sort_values(["totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(100)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q17: correlated per-key scalar average as a broadcast threshold
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("q17_small_quantity_revenue", _Q17_SQL)
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: correlated per-part AVG decorrelated into one
+    grouped (sum, count) pass over the brand-pruned lineitems, broadcast as
+    a threshold lookup, then a second vectorized filtered-sum pass.  The
+    average is computed from an INTEGER quantity sum so the float threshold
+    is identical regardless of batch/combine order (sum-of-doubles ulps
+    can't flip the boundary compare)."""
+    import ray as _ray
+
+    part_keys = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], "Brand#23")).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li = gated_semi_join(li, "l_partkey", part_keys, "p_partkey").materialize()
+
+    def avg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        q100 = np.rint(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        g = b.assign(q100=q100).groupby("l_partkey", as_index=False).agg(
+            q100=("q100", "sum"), cnt=("q100", "size"))
+        return g
+
+    stats = partial_shuffle_combine(li, avg_partial, ["l_partkey"],
+                                    ["q100", "cnt"], batch_format="pandas")
+    # threshold = 0.2 * avg(qty) = q100_sum / (500 * cnt), exact in double
+    thresh = {int(k): (q / 100.0 / c) * 0.2
+              for k, q, c in zip(stats["l_partkey"], stats["q100"], stats["cnt"])}
+    ref = _ray.put(thresh)
+
+    def filtered_sum(b: pd.DataFrame) -> pd.DataFrame:
+        th = _ray.get(ref)
+        lim = b["l_partkey"].map(th)
+        m = b["l_quantity"] < lim
+        return pd.DataFrame({"s": [float(b.loc[m, "l_extendedprice"].sum())]})
+
+    total = partial_combine(li, filtered_sum)["s"].sum()
+    return pd.DataFrame({"avg_yearly": duck_round([total / 7.0], 2)})
+
+
+# ---------------------------------------------------------------------------
+# Q8: market share — widest join in the suite (7 tables, year buckets)
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = """
+SELECT year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_6' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (SELECT EXTRACT(year FROM o.o_orderdate) AS year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY') t
+GROUP BY year
+ORDER BY year
+"""
+
+
+@register("q8_market_share", _Q8_SQL)
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: seven-table market-share query.  Dims resolve on the
+    driver (nation/region are 25/5 rows); customers prune to the region and
+    become a semi-join key set; orders carry the year; part prunes by type
+    BEFORE the fact join; the (year, supplier-nation) rollup is <= years x
+    25 rows -> driver combine; the share division is the last driver step."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    amer = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    amer = amer[amer["r_name"] == "AMERICA"]
+    nkeys = frozenset(amer["n_nationkey"].tolist())
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b, ks=nkeys: b[b["c_nationkey"].isin(ks)][["c_custkey"]],
+        batch_format="pandas",
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = gated_semi_join(orders, "o_custkey", cust, "c_custkey")
+    orders = orders.map_batches(
+        lambda b: pd.DataFrame({"o_orderkey": b["o_orderkey"],
+                                "year": b["o_orderdate"].dt.year.astype("int64")}),
+        batch_format="pandas",
+    )
+
+    part_keys = read_table(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], "ECONOMY")).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = gated_semi_join(li, "l_partkey", part_keys, "p_partkey")
+    li = gated_lookup_join(li, "l_orderkey", orders, "o_orderkey", ["year"])
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = gated_lookup_join(li, "l_suppkey", supp, "s_suppkey", ["s_nationkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vol = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b.assign(volume=vol).groupby(
+            ["year", "s_nationkey"], as_index=False)["volume"].sum()
+
+    out = partial_combine(li, partial)
+    if out.empty:
+        return pd.DataFrame({"year": pd.Series(dtype="int64"),
+                             "mkt_share": pd.Series(dtype="float64")})
+    out = out.groupby(["year", "s_nationkey"], as_index=False)["volume"].sum()
+    target_key = int(nation.loc[nation["n_name"] == "NATION_6", "n_nationkey"].iloc[0])
+    by_year = out.groupby("year")["volume"].sum()
+    target = out[out["s_nationkey"] == target_key].set_index("year")["volume"]
+    share = (target.reindex(by_year.index, fill_value=0.0) / by_year).reset_index()
+    share.columns = ["year", "mkt_share"]
+    share["mkt_share"] = duck_round(share["mkt_share"], 4)
+    return share.sort_values("year").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q22: anti join + exact-rational global scalar gate + substring grouping
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+WITH avg_bal AS (SELECT AVG(c_acctbal) AS a, COUNT(*) AS n
+                 FROM customer WHERE c_acctbal > 0.0)
+SELECT SUBSTRING(c.c_name, 18, 1) AS name_digit,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY name_digit
+ORDER BY name_digit
+"""
+
+
+@register("q22_idle_customer_balance", _Q22_SQL)
+def q22_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22 shape: global scalar subquery + anti join + substring
+    grouping.  The positive-balance average combines from integer-cent
+    (sum, count) partials and the 'above average' gate is decided in exact
+    rational arithmetic (cents * n > sum_cents * 100 as Python ints), so no
+    float-order ulp can flip a boundary row vs the oracle.  The urgent-order
+    key set prunes via the size-gated anti join; the digit rollup is <= 10
+    keys -> driver combine."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def bal_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pos = b.loc[b["c_acctbal"] > 0.0, "c_acctbal"]
+        cents = np.rint(pos.to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"sum_cents": [int(cents.sum())], "n": [len(cents)]})
+
+    bal = partial_combine(cust, bal_partial)
+    sum_cents, n_pos = int(bal["sum_cents"].sum()), int(bal["n"].sum())
+
+    urgent = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    idle = gated_semi_join(cust, "c_custkey", urgent, "o_custkey", anti=True)
+
+    def digit_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        # exact rational compare: acctbal > sum/(100*n) <=> cents*n > sum_cents
+        keep = (cents.astype(object) * n_pos) > sum_cents
+        k = b[np.asarray(keep, dtype=bool)]
+        if k.empty:
+            return pd.DataFrame({"name_digit": pd.Series(dtype="object"),
+                                 "numcust": pd.Series(dtype="int64"),
+                                 "cents": pd.Series(dtype="int64")})
+        kc = np.rint(k["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return k.assign(
+            name_digit=k["c_name"].str.slice(17, 18), cents=kc
+        ).groupby("name_digit", as_index=False).agg(
+            numcust=("name_digit", "size"), cents=("cents", "sum"))
+
+    out = partial_combine(idle, digit_partial)
+    if out.empty:
+        return pd.DataFrame({"name_digit": pd.Series(dtype="object"),
+                             "numcust": pd.Series(dtype="int64"),
+                             "totacctbal": pd.Series(dtype="float64")})
+    out = out.groupby("name_digit", as_index=False).agg(
+        numcust=("numcust", "sum"), cents=("cents", "sum"))
+    out["totacctbal"] = duck_round(out["cents"] / 100.0, 2)
+    out["numcust"] = out["numcust"].astype("int64")
+    return out[["name_digit", "numcust", "totacctbal"]].sort_values(
+        "name_digit").reset_index(drop=True)
