@@ -18,7 +18,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from demeter_ray.functions import codec, hashing, text as textfns
-from demeter_ray.pipelines.relational import duck_round, partial_combine, partial_shuffle_combine, register
+from demeter_ray.pipelines.relational import duck_round, gated_group_sum_ds, partial_combine, partial_shuffle_combine, register
 from demeter_ray.sources.tables import read_table
 from demeter_ray.stages.simsearch import _emb_matrix
 
@@ -709,3 +709,119 @@ def stratified_split_docs(sf_dir: str):
         ds, partial, ["lang", "split"], ["n_docs"], batch_format="pandas"
     )
     return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+# ---------------- image exposure / contrast quality gate (image axis)
+
+_IMG_EXPOSURE_SQL = """
+WITH luma AS (
+  SELECT d.doc_id,
+         299 * ((d.doc_id * 97 + x.x * 31 + y.y * 17) % 256)
+       + 587 * ((d.doc_id * 97 + x.x * 31 + y.y * 17 + 11) % 256)
+       + 114 * ((d.doc_id * 97 + x.x * 31 + y.y * 17 + 22) % 256) AS l1000
+  FROM documents d,
+       generate_series(0, 15) AS x(x),
+       generate_series(0, 15) AS y(y)
+),
+stats AS (
+  SELECT doc_id, SUM(l1000) AS s, MAX(l1000) - MIN(l1000) AS r
+  FROM luma GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(s / 256000.0, 3) AS mean_luma,
+       ROUND(r / 1000.0, 3) AS luma_range
+FROM stats
+WHERE s BETWEEN 32500000 AND 32650000 AND r >= 232000
+ORDER BY doc_id
+"""
+
+
+@register("image_exposure_filter", _IMG_EXPOSURE_SQL)
+def image_exposure_filter(sf_dir: str):
+    """Image quality gate (the image-axis analog of doc_quality_score): a
+    real encode->decode round trip through the binary column, integer
+    Rec.601 luma (299r+587g+114b, x1000 fixed point), then an exposure +
+    contrast filter whose compares all happen in the INTEGER domain (the
+    thresholds sit INSIDE the generator's narrow luma spread so the gate
+    genuinely splits the corpus) — no float-order ulp can flip a row vs the
+    oracle's recompute of the generator formula.  Streams: per-batch decode
+    + filter, output bounded by kept rows."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def encode_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = codec.encode_batch(codec.generate_pixels_batch(ids, 16, 16), "png")
+        return pa.table({"doc_id": batch["doc_id"], "bytes": pa.array(blobs, pa.binary())})
+
+    def gate(batch: pa.Table) -> pa.Table:
+        px = codec.decode_batch(batch["bytes"].to_pylist(), 16, 16).astype(np.int64)
+        l1000 = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]  # (N,16,16)
+        flat = l1000.reshape(len(px), -1)
+        s = flat.sum(axis=1)
+        r = flat.max(axis=1) - flat.min(axis=1)
+        keep = (s >= 32_500_000) & (s <= 32_650_000) & (r >= 232_000)
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "mean_luma": pa.array(duck_round(s[keep] / 256000.0, 3)),
+            "luma_range": pa.array(duck_round(r[keep] / 1000.0, 3)),
+        })
+
+    out = (
+        ds.map_batches(encode_batch, batch_format="pyarrow", batch_size=512)
+        .map_batches(gate, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------- vocabulary statistics: document frequency + IDF (tf-idf core)
+
+_VOCAB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token,
+       COUNT(DISTINCT doc_id) AS df,
+       COUNT(*) AS tf,
+       ROUND(LN(n.n_docs / COUNT(DISTINCT doc_id)), 6) AS idf
+FROM clean, n
+GROUP BY token, n.n_docs
+ORDER BY df DESC, token
+LIMIT 50
+"""
+
+
+@register("vocab_df_idf_top50", _VOCAB_SQL)
+def vocab_df_idf_top50(sf_dir: str):
+    """Corpus vocabulary statistics — the TF-IDF building block every
+    training-data pipeline needs.  One row per document means within-row
+    token dedup IS exact distinct-doc counting, so the per-batch partials
+    (token, df, tf) are slim and the vocabulary-cardinality combine routes
+    through the size gate; above the gate each token lands in exactly one
+    block, so per-block local top-k bounds what the driver sees.  Token
+    rule (lower + single-space split, empty dropped) matches the SQL's
+    string_split exactly."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].str.lower().str.split(" ")
+        e = b[["doc_id"]].join(s.rename("token")).explode("token")
+        e = e[(e["token"].notna()) & (e["token"] != "")]
+        tf = e.groupby("token", as_index=False).agg(tf=("token", "size"))
+        df = e.drop_duplicates(["doc_id", "token"]).groupby(
+            "token", as_index=False).agg(df=("token", "size"))
+        return df.merge(tf, on="token")
+
+    counts = gated_group_sum_ds(ds, tok_partial, ["token"], ["df", "tf"])
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["df", "token"], ascending=[False, True]).head(50)
+
+    top = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["df", "token"], ascending=[False, True]).head(50)
+    top["idf"] = duck_round(np.log(n_docs / top["df"].to_numpy(dtype=np.float64)), 6)
+    top = top.astype({"df": "int64", "tf": "int64"})
+    return top[["token", "df", "tf", "idf"]].reset_index(drop=True)

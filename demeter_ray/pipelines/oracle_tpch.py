@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 
 from demeter_ray.pipelines.relational import (
     bcast,
+    gated_group_sum_ds,
     duck_round,
     gated_lookup_join,
     gated_semi_join,
@@ -490,25 +491,6 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
-def _gated_group_sum_ds(ds, partial_fn, keys, sums,
-                        driver_cap: int = None):
-    """Like ``partial_shuffle_combine`` but stays a Dataset above the gate:
-    the driver never holds the per-key rows when key cardinality scales
-    with data — downstream stages keep reducing distributively."""
-    import ray.data as rd
-
-    from demeter_ray.pipelines.relational import DRIVER_COMBINE_CAP
-
-    cap = DRIVER_COMBINE_CAP if driver_cap is None else driver_cap
-    parts = ds.map_batches(partial_fn, batch_format="pandas").materialize()
-    if parts.count() <= cap:
-        df = parts.to_pandas().groupby(keys, as_index=False)[sums].sum()
-        return rd.from_pandas(df)
-    from ray.data.aggregate import Sum
-
-    return parts.groupby(keys).aggregate(
-        *[Sum(c, alias_name=c) for c in sums])
-
 
 @register("q13_customer_order_distribution", _Q13_SQL)
 def q13_customer_order_distribution(sf_dir: str):
@@ -530,7 +512,7 @@ def q13_customer_order_distribution(sf_dir: str):
         return b.groupby("o_custkey", as_index=False).agg(
             c_count=("o_custkey", "size"))
 
-    per_cust = _gated_group_sum_ds(orders, count_partial, ["o_custkey"], ["c_count"])
+    per_cust = gated_group_sum_ds(orders, count_partial, ["o_custkey"], ["c_count"])
 
     def dist_partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("c_count", as_index=False).agg(
@@ -580,7 +562,7 @@ def q18_large_volume_customers(sf_dir: str):
         return b.groupby("l_orderkey", as_index=False).agg(
             sum_qty=("l_quantity", "sum"))
 
-    per_order = _gated_group_sum_ds(li, qty_partial, ["l_orderkey"], ["sum_qty"])
+    per_order = gated_group_sum_ds(li, qty_partial, ["l_orderkey"], ["sum_qty"])
     big = per_order.map_batches(
         lambda t: t.filter(pc.greater(t["sum_qty"], 250.0)),
         batch_format="pyarrow",

@@ -255,6 +255,24 @@ def partial_shuffle_combine(ds, partial_fn, keys, sums, batch_format="pyarrow",
     return parts.groupby(keys).aggregate(*aggs).to_pandas()
 
 
+def gated_group_sum_ds(ds, partial_fn, keys, sums,
+                        driver_cap: int = None):
+    """Like ``partial_shuffle_combine`` but stays a Dataset above the gate:
+    the driver never holds the per-key rows when key cardinality scales
+    with data — downstream stages keep reducing distributively."""
+    import ray.data as rd
+
+    cap = DRIVER_COMBINE_CAP if driver_cap is None else driver_cap
+    parts = ds.map_batches(partial_fn, batch_format="pandas").materialize()
+    if parts.count() <= cap:
+        df = parts.to_pandas().groupby(keys, as_index=False)[sums].sum()
+        return rd.from_pandas(df)
+    from ray.data.aggregate import Sum
+
+    return parts.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in sums])
+
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = (fn, sql)
