@@ -506,3 +506,74 @@ def mosaic_merge_reduce(sf_dir: str):
     out["v_mean"] = duck_round(out["v_sum"] / out["v_count"], 4)
     out["v_sum"] = duck_round(out["v_sum"], 2)
     return out.sort_values(["tile", "pixel"]).reset_index(drop=True)
+
+
+# --------------------------------------------- IDW spatial interpolation
+
+def _idw_sql() -> str:
+    values = ", ".join(
+        f"({i}, {x}, {y}, {10.0 * i + 5.0})" for i, x, y in ORACLE_CENTROIDS
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat
+  FROM events
+)
+SELECT p.event_id, ROUND(SUM(t.v / t.d2) / SUM(1.0 / t.d2), 4) AS idw_value
+FROM pts p CROSS JOIN LATERAL (
+  SELECT c.v,
+         (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy)
+           + 1e-12 AS d2
+  FROM (VALUES {values}) AS c(id, cx, cy, v)
+  ORDER BY d2 ASC, c.id ASC
+  LIMIT 3
+) t
+GROUP BY p.event_id
+ORDER BY p.event_id
+"""
+
+
+@register("idw_interpolate_events", _idw_sql())
+def idw_interpolate_events(sf_dir: str):
+    """Inverse-distance-weighted spatial interpolation (k=3 nearest
+    centroids, weight 1/d^2): the classic raster-from-scatter geostatistics
+    operator.  One broadcast of the tiny centroid matrix, per-batch
+    vectorized distance matrix + stable argsort (id-ascending tiebreak
+    matches the SQL's ORDER BY d2, id), weighted average accumulated in
+    neighbor-rank order so the float op order is identical on both sides."""
+    import ray as _ray
+
+    ids = np.array([c[0] for c in ORACLE_CENTROIDS], dtype=np.int64)
+    cx = np.array([c[1] for c in ORACLE_CENTROIDS], dtype=np.float64)
+    cy = np.array([c[2] for c in ORACLE_CENTROIDS], dtype=np.float64)
+    cv = 10.0 * ids + 5.0
+    ref = _ray.put((cx, cy, cv))
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x, y, v = _ray.get(ref)
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive_lon(k), derive_lat(k)
+        d2 = (lon[:, None] - x[None, :]) * (lon[:, None] - x[None, :]) + (
+            lat[:, None] - y[None, :]
+        ) * (lat[:, None] - y[None, :]) + 1e-12
+        # centroid array is id-ascending, so a stable sort on d2 reproduces
+        # the SQL's (d2 ASC, id ASC) neighbor order exactly
+        nn = np.argsort(d2, axis=1, kind="stable")[:, :3]
+        rows = np.arange(len(k))[:, None]
+        dn = d2[rows, nn]
+        vn = v[nn]
+        # accumulate in neighbor-rank order (matches SUM over the LIMIT 3
+        # subquery rows): num = v1/d1 + v2/d2 + v3/d3, den likewise
+        num = vn[:, 0] / dn[:, 0] + vn[:, 1] / dn[:, 1] + vn[:, 2] / dn[:, 2]
+        den = 1.0 / dn[:, 0] + 1.0 / dn[:, 1] + 1.0 / dn[:, 2]
+        return pa.table({
+            "event_id": batch["event_id"],
+            "idw_value": pa.array(duck_round(num / den, 4)),
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
