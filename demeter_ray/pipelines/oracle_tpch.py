@@ -810,3 +810,78 @@ def q22_idle_customer_balance(sf_dir: str):
     out["numcust"] = out["numcust"].astype("int64")
     return out[["name_digit", "numcust", "totacctbal"]].sort_values(
         "name_digit").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q21-analog: correlated per-group max + multi-supplier EXISTS
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_shipdate = (SELECT MAX(l2.l_shipdate) FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey)
+  AND EXISTS (SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
+@register("q21_latest_shipper_suppliers", _Q21_SQL)
+def q21_latest_shipper_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: two correlated subqueries decorrelated into one
+    per-order profile — (max shipdate, count of distinct suppliers) — built
+    from slim partials: per-batch (order, max_ship) maxes plus per-batch
+    deduped (order, supplier) pairs whose exact distinct count comes from a
+    second-level dedup-then-count combine.  The profile attaches back via
+    the size-gated lookup join and both predicates become one vectorized
+    int64 mask; only the <=10-row name attach touches strings."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def max_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(max_ship=b["l_shipdate"].astype("int64")).groupby(
+            "l_orderkey", as_index=False)["max_ship"].max()
+        return g
+
+    maxship = gated_group_sum_ds(li, max_partial, ["l_orderkey"], ["max_ship"],
+                                 agg="max")
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["l_orderkey", "l_suppkey"]].drop_duplicates()
+
+    # exact distinct-supplier count per order: dedup (order, supplier) pairs
+    # through a min-reduction (idempotent), then count pairs per order
+    pairs = gated_group_sum_ds(
+        li.map_batches(pair_partial, batch_format="pandas")
+        .map_batches(lambda b: b.assign(one=1), batch_format="pandas"),
+        lambda b: b.groupby(["l_orderkey", "l_suppkey"], as_index=False)["one"].min(),
+        ["l_orderkey", "l_suppkey"], ["one"], agg="min",
+    )
+    nsupp = gated_group_sum_ds(
+        pairs,
+        lambda b: b.groupby("l_orderkey", as_index=False).agg(nsupp=("one", "size")),
+        ["l_orderkey"], ["nsupp"],
+    )
+
+    li2 = gated_lookup_join(li, "l_orderkey", maxship, "l_orderkey", ["max_ship"])
+    li2 = gated_lookup_join(li2, "l_orderkey", nsupp, "l_orderkey", ["nsupp"])
+
+    def wait_partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["l_shipdate"].astype("int64") == b["max_ship"]) & (b["nsupp"] > 1)
+        k = b.loc[m]
+        return k.groupby("l_suppkey", as_index=False).agg(
+            numwait=("l_suppkey", "size"))
+
+    waits = partial_shuffle_combine(li2, wait_partial, ["l_suppkey"],
+                                    ["numwait"], batch_format="pandas")
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = waits.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.groupby("s_name", as_index=False)["numwait"].sum()
+    out["numwait"] = out["numwait"].astype("int64")
+    return out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True]).head(10).reset_index(drop=True)

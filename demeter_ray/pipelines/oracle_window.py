@@ -1598,3 +1598,41 @@ def first_last_value_events(sf_dir: str):
     from demeter_ray.pipelines.relational import bcast
 
     return ds.map_batches(bcast(ref, attach), batch_format="pandas")
+
+
+# ------------------------------------------------ ordered-event funnel
+
+_FUNNEL_SQL = """
+SELECT user_id FROM events
+GROUP BY user_id
+HAVING MIN(CASE WHEN event_type = 'view' THEN ts END)
+     < MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+ORDER BY user_id
+"""
+
+
+@register("funnel_view_then_purchase", _FUNNEL_SQL)
+def funnel_view_then_purchase(sf_dir: str):
+    """Ordered-sequence funnel (did a 'view' precede a 'purchase'?) without
+    any per-user ordering work: EXISTS(view.ts < purchase.ts) is exactly
+    MIN(view ts) < MAX(purchase ts), so the whole funnel reduces to two
+    sentinel-coded int64 extremes that combine associatively through the
+    size-gated shuffle — no sort, no session reconstruction, no per-user
+    Python at any cardinality."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    HI, LO = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].astype("int64")
+        mv = ts.where(b["event_type"] == "view", HI)
+        mp = ts.where(b["event_type"] == "purchase", LO)
+        g = pd.DataFrame({"user_id": b["user_id"], "min_view": mv, "max_pur": mp})
+        return g.groupby("user_id", as_index=False).agg(
+            min_view=("min_view", "min"), max_pur=("max_pur", "max"))
+
+    agg = partial_shuffle_combine(
+        ds, partial, ["user_id"], ["min_view", "max_pur"],
+        batch_format="pandas", agg={"min_view": "min", "max_pur": "max"},
+    )
+    out = agg.loc[agg["min_view"] < agg["max_pur"], ["user_id"]]
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -256,21 +256,27 @@ def partial_shuffle_combine(ds, partial_fn, keys, sums, batch_format="pyarrow",
 
 
 def gated_group_sum_ds(ds, partial_fn, keys, sums,
-                        driver_cap: int = None):
+                        driver_cap: int = None, agg="sum"):
     """Like ``partial_shuffle_combine`` but stays a Dataset above the gate:
     the driver never holds the per-key rows when key cardinality scales
-    with data — downstream stages keep reducing distributively."""
+    with data — downstream stages keep reducing distributively.  ``agg``
+    follows partial_shuffle_combine: one name for every column or a
+    ``{column: name}`` dict; each must be exact under re-combination
+    (sum, min, max)."""
     import ray.data as rd
 
     cap = DRIVER_COMBINE_CAP if driver_cap is None else driver_cap
+    per_col = agg if isinstance(agg, dict) else {c: agg for c in sums}
     parts = ds.map_batches(partial_fn, batch_format="pandas").materialize()
     if parts.count() <= cap:
-        df = parts.to_pandas().groupby(keys, as_index=False)[sums].sum()
+        df = parts.to_pandas().groupby(keys, as_index=False).agg(
+            {c: per_col[c] for c in sums})
         return rd.from_pandas(df)
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
+    mk = {"sum": Sum, "min": Min, "max": Max}
     return parts.groupby(keys).aggregate(
-        *[Sum(c, alias_name=c) for c in sums])
+        *[mk[per_col[c]](c, alias_name=c) for c in sums])
 
 
 def register(name: str, sql: str | None = None):
