@@ -46,13 +46,19 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 @register("q6_revenue_forecast", _Q6_SQL)
 def q6_revenue_forecast(sf_dir: str):
     """TPC-H Q6 shape: highly selective scan + single global sum.  Columns
-    pruned at the read; per-batch vectorized mask + scalar partial, one
-    float per batch to the driver."""
+    AND the date-range predicate pruned at the read (pyarrow dataset
+    expression -> row-group statistics pruning); the vectorized residual
+    mask stays as the correctness boundary; one float per batch to the
+    driver."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
     ds = read_table(
         sf_dir, "lineitem",
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(pads.field("l_shipdate") >= lo.to_datetime64())
+        & (pads.field("l_shipdate") < hi.to_datetime64()),
     )
-    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         m = (

@@ -32,15 +32,24 @@ def _stripped_schema(path: str, columns=None):
     return sch.remove_metadata()
 
 
-def read_table(sf_dir: str, name: str, columns=None, blocks: int | None = None) -> ray.data.Dataset:
+def read_table(sf_dir: str, name: str, columns=None, blocks: int | None = None,
+               filter=None) -> ray.data.Dataset:
     """Read one driver table.  Ray auto-splits even single-row-group files
     into parallel blocks (ReadParquet->SplitBlocks), so no repartition is
     needed — an explicit Repartition operator is an all-to-all barrier that
     measured ~17s of stall on this Ray build.  ``blocks`` remains available
-    for callers that genuinely need a specific block count."""
+    for callers that genuinely need a specific block count.
+
+    ``filter`` is an optional ``pyarrow.dataset`` expression pushed into the
+    parquet scan (row-group / page pruning at the read — at 100 TB a
+    selective predicate evaluated post-read still pays the full scan; pushed
+    down it prunes whole row groups by statistics).  Callers keep their
+    vectorized residual mask — the pushdown is a bandwidth optimization,
+    never the correctness boundary."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     ds = ray.data.read_parquet(
-        path, columns=columns, schema=_stripped_schema(path, columns)
+        path, columns=columns, schema=_stripped_schema(path, columns),
+        filter=filter,
     )
     if blocks:
         ds = ds.repartition(blocks)
