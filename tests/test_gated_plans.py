@@ -160,3 +160,42 @@ def test_bloom_semi_join_parity(sides):
     pre = relational.bloom_semi_join(left, "k", keys, "fk", n_bits_log2=8,
                                      exact=False).to_pandas()
     assert set(plain["k"]).issubset(set(pre["k"]))
+
+
+def test_gated_group_sum_ds_parity(ray_session):
+    """Both branches of gated_group_sum_ds (driver combine vs native
+    groupby.aggregate) agree for sum and for mixed min/max reductions."""
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 50, 2000).astype(np.int64),
+        "a": rng.randint(-1000, 1000, 2000).astype(np.int64),
+        "b": rng.randint(0, 10**6, 2000).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+
+    def partial(b):
+        return b.groupby("k", as_index=False).agg(a=("a", "sum"), b=("b", "sum"))
+
+    lo = _norm(relational.gated_group_sum_ds(ds, partial, ["k"], ["a", "b"],
+                                             driver_cap=10**9), ["k", "a", "b"])
+    hi = _norm(relational.gated_group_sum_ds(ds, partial, ["k"], ["a", "b"],
+                                             driver_cap=0), ["k", "a", "b"])
+    pd.testing.assert_frame_equal(lo, hi, check_dtype=False)
+    ref = df.groupby("k", as_index=False).agg(a=("a", "sum"), b=("b", "sum"))
+    pd.testing.assert_frame_equal(lo, _norm(ref, ["k", "a", "b"]),
+                                  check_dtype=False)
+
+    def mm_partial(b):
+        return b.groupby("k", as_index=False).agg(a=("a", "min"), b=("b", "max"))
+
+    agg = {"a": "min", "b": "max"}
+    lo = _norm(relational.gated_group_sum_ds(ds, mm_partial, ["k"], ["a", "b"],
+                                             driver_cap=10**9, agg=agg),
+               ["k", "a", "b"])
+    hi = _norm(relational.gated_group_sum_ds(ds, mm_partial, ["k"], ["a", "b"],
+                                             driver_cap=0, agg=agg),
+               ["k", "a", "b"])
+    pd.testing.assert_frame_equal(lo, hi, check_dtype=False)
+    ref = df.groupby("k", as_index=False).agg(a=("a", "min"), b=("b", "max"))
+    pd.testing.assert_frame_equal(lo, _norm(ref, ["k", "a", "b"]),
+                                  check_dtype=False)
