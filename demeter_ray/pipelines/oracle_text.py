@@ -825,3 +825,70 @@ def vocab_df_idf_top50(sf_dir: str):
     top["idf"] = duck_round(np.log(n_docs / top["df"].to_numpy(dtype=np.float64)), 6)
     top = top.astype({"df": "int64", "tf": "int64"})
     return top[["token", "df", "tf", "idf"]].reset_index(drop=True)
+
+
+# ---------------- per-document top TF-IDF keyword
+
+_TOP_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM clean GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM clean GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf * LN(n.n_docs / df.df) AS score
+  FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token AS top_term
+FROM (SELECT doc_id, token,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("doc_top_tfidf_term", _TOP_TFIDF_SQL)
+def doc_top_tfidf_term(sf_dir: str):
+    """Per-document keyword extraction: argmax of tf * idf with (score DESC,
+    token ASC) tie-break.  Document locality is structural (one row = one
+    doc), so tf and the argmax are batch-local and vectorized; the only
+    corpus-wide piece is the document-frequency map, built by the size-gated
+    distributed combine and broadcast once via ray.put (at vocabularies past
+    the broadcast cap the same plan swaps the broadcast for a token-key
+    lookup join + doc-key argmax shuffle — the documented partitioning
+    assumption)."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].str.lower().str.split(" ")
+        e = b[["doc_id"]].join(s.rename("token")).explode("token")
+        e = e[(e["token"].notna()) & (e["token"] != "")]
+        return e.drop_duplicates(["doc_id", "token"]).groupby(
+            "token", as_index=False).agg(df=("token", "size"))
+
+    df_map = gated_group_sum_ds(ds, df_partial, ["token"], ["df"]).to_pandas()
+    idf = dict(zip(df_map["token"], np.log(n_docs / df_map["df"].to_numpy(np.float64))))
+    ref = _ray.put(idf)
+
+    def top_term(b: pd.DataFrame) -> pd.DataFrame:
+        idfm = _ray.get(ref)
+        s = b["text"].str.lower().str.split(" ")
+        e = b[["doc_id"]].join(s.rename("token")).explode("token")
+        e = e[(e["token"].notna()) & (e["token"] != "")]
+        tf = e.groupby(["doc_id", "token"], as_index=False).agg(tf=("token", "size"))
+        tf["score"] = tf["tf"].to_numpy(np.float64) * tf["token"].map(idfm).to_numpy(np.float64)
+        tf = tf.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = tf.drop_duplicates("doc_id")
+        return pd.DataFrame({"doc_id": top["doc_id"],
+                             "top_term": top["token"]})
+
+    out = ds.map_batches(top_term, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
