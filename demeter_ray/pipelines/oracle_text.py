@@ -892,3 +892,38 @@ def doc_top_tfidf_term(sf_dir: str):
 
     out = ds.map_batches(top_term, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------- order-independent table checksum (data validation)
+
+_CHECKSUM_SQL = f"""
+SELECT COUNT(*) AS n_rows,
+       (SUM({sha256_hash64_sql(
+           "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+       )}) % 9007199254740881)::BIGINT AS key_checksum
+FROM lineitem
+"""
+
+
+@register("table_checksum_lineitem", _CHECKSUM_SQL)
+def table_checksum_lineitem(sf_dir: str):
+    """Order-independent table fingerprint — the cheap data-integrity
+    primitive a 100-TB pipeline runs after every copy/repartition/resume:
+    per-row sha256-derived key hash summed modulo a 53-bit prime (addition
+    commutes, so block order / parallelism never changes the answer; any
+    dropped or duplicated row does).  One (count, sum) pair per batch to the
+    driver; Python-int accumulation so the 63-bit hash sum never wraps."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    MOD = 9007199254740881  # largest prime < 2^53
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = (b["l_orderkey"].astype(str) + "|" + b["l_linenumber"].astype(str))
+        tot = 0
+        for k in keys:
+            tot += hashing.stable_hash64(k)
+        return pd.DataFrame({"n_rows": [len(b)], "ck": [tot % MOD]})
+
+    parts = partial_combine(ds, partial)
+    ck = int(sum(int(v) for v in parts["ck"]) % MOD)
+    return pd.DataFrame({"n_rows": pd.array([int(parts["n_rows"].sum())], dtype="int64"),
+                         "key_checksum": pd.array([ck], dtype="int64")})

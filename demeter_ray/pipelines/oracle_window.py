@@ -37,6 +37,7 @@ from demeter_ray.pipelines.oracle_spatial import (
 from demeter_ray.pipelines.oracle_text import sha256_hash64_sql
 from demeter_ray.pipelines.relational import (
     duck_round,
+    partial_combine,
     partial_shuffle_combine,
     register,
 )
@@ -1636,3 +1637,49 @@ def funnel_view_then_purchase(sf_dir: str):
     )
     out = agg.loc[agg["min_view"] < agg["max_pur"], ["user_id"]]
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ------------------------------------------ grouped correlation (moments)
+
+_CORR_SQL = """
+SELECT l_returnflag,
+       ROUND(CORR(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+       ROUND(COVAR_POP(l_extendedprice, l_quantity), 4) AS price_qty_covar
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("corr_price_quantity_by_flag", _CORR_SQL)
+def corr_price_quantity_by_flag(sf_dir: str):
+    """Grouped Pearson correlation + population covariance from MERGEABLE
+    MOMENTS: per-batch (n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) partials —
+    six floats per (group, batch) — combine associatively, so the statistic
+    never shuffles raw rows (the same sketch shape as the HLL/quantile
+    operators).  Rounding absorbs the naive-vs-stable accumulation ulps vs
+    DuckDB's one-pass algorithm."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_extendedprice"].to_numpy(np.float64)
+        y = b["l_quantity"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "n": 1.0, "sx": x, "sy": y, "sxy": x * y, "sx2": x * x, "sy2": y * y,
+        })
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    m = partial_combine(ds, partial).groupby("l_returnflag", as_index=False).sum()
+    n, sx, sy = m["n"], m["sx"], m["sy"]
+    cov = m["sxy"] / n - (sx / n) * (sy / n)
+    vx = m["sx2"] / n - (sx / n) ** 2
+    vy = m["sy2"] / n - (sy / n) ** 2
+    corr = cov / np.sqrt(vx * vy)
+    out = pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        "price_qty_corr": duck_round(corr, 6),
+        "price_qty_covar": duck_round(cov, 4),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
