@@ -129,6 +129,12 @@ def run_benchmarks() -> dict:
         "full_outer_month_activity",
         "q5_local_supplier_revenue",
         "gap_fill_user_hours",
+        "q8_market_share",
+        "q18_large_volume_customers",
+        "funnel_view_then_purchase",
+        "idw_interpolate_events",
+        "image_exposure_filter",
+        "vocab_df_idf_top50",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
