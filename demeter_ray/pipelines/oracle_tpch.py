@@ -558,10 +558,13 @@ LIMIT 100
 
 @register("q18_large_volume_customers", _Q18_SQL)
 def q18_large_volume_customers(sf_dir: str):
-    """TPC-H Q18 shape: per-order quantity rollup -> HAVING filter WHILE
-    STILL DISTRIBUTED (the filter runs as a Dataset op above the combine
-    gate, so the driver only ever receives qualifying orders — output-
-    bounded), then the Q10 late-attach trick for order/customer columns."""
+    """TPC-H Q18 shape: per-order quantity rollup -> HAVING filter ->
+    top-100, ALL distributed: the rollup stays a Dataset above the combine
+    gate, the HAVING filter runs as a Dataset op, qualifying orders attach
+    their order columns through the size-gated lookup join (hash-partitioned
+    above the cap — the qualifying set scales with data, so the driver never
+    holds it), and per-block local top-100s bound what the driver merges.
+    Only the <=100 winners ever look up customer names."""
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
     def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -572,8 +575,20 @@ def q18_large_volume_customers(sf_dir: str):
     big = per_order.map_batches(
         lambda t: t.filter(pc.greater(t["sum_qty"], 250.0)),
         batch_format="pyarrow",
-    ).to_pandas()
-    if big.empty:
+    )
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    joined = gated_lookup_join(orders, "o_orderkey", big, "l_orderkey",
+                               ["sum_qty"], how="inner")
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(100)
+
+    top = joined.map_batches(local_top, batch_format="pandas").to_pandas()
+    if top.empty:
         return pd.DataFrame({
             "c_name": pd.Series(dtype="object"),
             "o_orderkey": pd.Series(dtype="int64"),
@@ -581,22 +596,14 @@ def q18_large_volume_customers(sf_dir: str):
             "totalprice": pd.Series(dtype="float64"),
             "sum_qty": pd.Series(dtype="float64"),
         })
-
-    okeys = pa.array(big["l_orderkey"].tolist(), pa.int64())
-    orders = read_table(
-        sf_dir, "orders",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-    ).map_batches(
-        lambda t, ks=okeys: t.filter(pc.is_in(t["o_orderkey"], value_set=ks)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    ckeys = pa.array(sorted(set(orders["o_custkey"].tolist())), pa.int64())
+    top = top.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(100)
+    ckeys = pa.array(sorted(set(top["o_custkey"].tolist())), pa.int64())
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
         lambda t, ks=ckeys: t.filter(pc.is_in(t["c_custkey"], value_set=ks)),
         batch_format="pyarrow",
     ).to_pandas()
-    out = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
-        cust, left_on="o_custkey", right_on="c_custkey")
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
     out["totalprice"] = duck_round(out["o_totalprice"], 2)
     out["sum_qty"] = duck_round(out["sum_qty"], 2)
     out = out[["c_name", "o_orderkey", "o_orderdate", "totalprice", "sum_qty"]]
@@ -846,36 +853,41 @@ def q21_latest_shipper_suppliers(sf_dir: str):
     second-level dedup-then-count combine.  The profile attaches back via
     the size-gated lookup join and both predicates become one vectorized
     int64 mask; only the <=10-row name attach touches strings."""
+    import numpy as _np
+
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey", "l_shipdate"])
 
-    def max_partial(b: pd.DataFrame) -> pd.DataFrame:
+    # ONE scan builds the whole per-order profile: per-batch
+    # (order, supplier) -> max shipdate partials, bucketed on
+    # hash(orderkey) % 32 so every row of an order lands in one bucket,
+    # where one vectorized pass finishes BOTH reductions (order max and
+    # exact distinct-supplier count from the deduped pairs)
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.assign(max_ship=b["l_shipdate"].astype("int64")).groupby(
-            "l_orderkey", as_index=False)["max_ship"].max()
+            ["l_orderkey", "l_suppkey"], as_index=False)["max_ship"].max()
         return g
 
-    maxship = gated_group_sum_ds(li, max_partial, ["l_orderkey"], ["max_ship"],
-                                 agg="max")
+    parts = li.map_batches(pair_partial, batch_format="pandas")
 
-    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b[["l_orderkey", "l_suppkey"]].drop_duplicates()
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["l_orderkey"], index=False)
+        b = b.copy()
+        b["_pkey"] = (h.to_numpy(_np.uint64) % _np.uint64(32)).astype(_np.int64)
+        return b
 
-    # exact distinct-supplier count per order: dedup (order, supplier) pairs
-    # through a min-reduction (idempotent), then count pairs per order
-    pairs = gated_group_sum_ds(
-        li.map_batches(pair_partial, batch_format="pandas")
-        .map_batches(lambda b: b.assign(one=1), batch_format="pandas"),
-        lambda b: b.groupby(["l_orderkey", "l_suppkey"], as_index=False)["one"].min(),
-        ["l_orderkey", "l_suppkey"], ["one"], agg="min",
-    )
-    nsupp = gated_group_sum_ds(
-        pairs,
-        lambda b: b.groupby("l_orderkey", as_index=False).agg(nsupp=("one", "size")),
-        ["l_orderkey"], ["nsupp"],
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["l_orderkey", "l_suppkey"], as_index=False)["max_ship"].max()
+        return t.groupby("l_orderkey", as_index=False).agg(
+            max_ship=("max_ship", "max"), nsupp=("l_suppkey", "size"))
+
+    order_profile = (
+        parts.map_batches(bucket, batch_format="pandas")
+        .groupby("_pkey").map_groups(profile, batch_format="pandas")
     )
 
-    li2 = gated_lookup_join(li, "l_orderkey", maxship, "l_orderkey", ["max_ship"])
-    li2 = gated_lookup_join(li2, "l_orderkey", nsupp, "l_orderkey", ["nsupp"])
+    li2 = gated_lookup_join(li, "l_orderkey", order_profile, "l_orderkey",
+                            ["max_ship", "nsupp"])
 
     def wait_partial(b: pd.DataFrame) -> pd.DataFrame:
         m = (b["l_shipdate"].astype("int64") == b["max_ship"]) & (b["nsupp"] > 1)
@@ -883,10 +895,29 @@ def q21_latest_shipper_suppliers(sf_dir: str):
         return k.groupby("l_suppkey", as_index=False).agg(
             numwait=("l_suppkey", "size"))
 
-    waits = partial_shuffle_combine(li2, wait_partial, ["l_suppkey"],
-                                    ["numwait"], batch_format="pandas")
-    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
-    out = waits.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    waits = gated_group_sum_ds(li2, wait_partial, ["l_suppkey"], ["numwait"])
+    # exact distributed top-10 with a boundary-tie-safe threshold: per-block
+    # top-10 counts pick the global 10th-highest, then ONLY rows at or above
+    # it leave the cluster (ties included), so the name-ordered final sort is
+    # exact and the driver pull is bounded by the threshold's multiplicity
+    tops = waits.map_batches(
+        lambda b: b.sort_values("numwait", ascending=False).head(10),
+        batch_format="pandas",
+    ).to_pandas()
+    if tops.empty:
+        return pd.DataFrame({"s_name": pd.Series(dtype="object"),
+                             "numwait": pd.Series(dtype="int64")})
+    kth = int(tops["numwait"].sort_values(ascending=False).head(10).iloc[-1])
+    cand = waits.map_batches(
+        lambda t, k=kth: t.filter(pc.greater_equal(t["numwait"], k)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    skeys = pa.array(sorted(set(cand["l_suppkey"].tolist())), pa.int64())
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).map_batches(
+        lambda t, ks=skeys: t.filter(pc.is_in(t["s_suppkey"], value_set=ks)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = cand.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
     out = out.groupby("s_name", as_index=False)["numwait"].sum()
     out["numwait"] = out["numwait"].astype("int64")
     return out.sort_values(["numwait", "s_name"],

@@ -1631,11 +1631,18 @@ def funnel_view_then_purchase(sf_dir: str):
         return g.groupby("user_id", as_index=False).agg(
             min_view=("min_view", "min"), max_pur=("max_pur", "max"))
 
-    agg = partial_shuffle_combine(
+    from demeter_ray.pipelines.relational import gated_group_sum_ds
+
+    agg = gated_group_sum_ds(
         ds, partial, ["user_id"], ["min_view", "max_pur"],
-        batch_format="pandas", agg={"min_view": "min", "max_pur": "max"},
+        agg={"min_view": "min", "max_pur": "max"},
     )
-    out = agg.loc[agg["min_view"] < agg["max_pur"], ["user_id"]]
+    # the conversion filter runs distributively, so the driver pull is
+    # bounded by CONVERTED users, not all users
+    out = agg.map_batches(
+        lambda b: b.loc[b["min_view"] < b["max_pur"], ["user_id"]],
+        batch_format="pandas",
+    ).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 

@@ -233,11 +233,46 @@ def partial_combine(ds, partial_fn, batch_format="pandas"):
 DRIVER_COMBINE_CAP = 200_000
 
 
+# bucket count for the above-cap combine shuffle: the shuffle key is
+# hash(group key) % N_COMBINE_BUCKETS, so Ray moves ~32 groups regardless of
+# key cardinality.  Ray's native per-key groupby().aggregate() measured 103 s
+# on 581k partial rows / 147k keys where the bucketed map_groups combine
+# (identical output) took 6.9 s — the per-key shuffle is the cost, not the
+# data.  Same design as the dedup funnels' pkey shuffle (stages/dedup.py).
+N_COMBINE_BUCKETS = 32
+
+
+def _bucketed_group_combine(parts, keys, sums, per_col):
+    """Distributed exact combine of partial rows: low-cardinality bucket
+    shuffle + one vectorized pandas groupby per bucket.  Each group key lands
+    in exactly one bucket, so downstream per-block operations (local top-k,
+    filters) see fully combined rows.  Returns a Dataset."""
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # hash_pandas_object: deterministic per-row uint64 over the key
+        # columns (no per-process randomization), any key dtype
+        h = pd.util.hash_pandas_object(b[keys], index=False).to_numpy(np.uint64)
+        b = b.copy()
+        b["_pkey"] = (h % np.uint64(N_COMBINE_BUCKETS)).astype(np.int64)
+        return b
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(
+            {c: per_col[c] for c in sums})
+
+    return (
+        parts.map_batches(bucket, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def partial_shuffle_combine(ds, partial_fn, keys, sums, batch_format="pyarrow",
                             driver_cap: int = DRIVER_COMBINE_CAP, agg="sum"):
     """Two-level aggregation whose combine side is SIZE-GATED: per-batch
     partial rows either collect to the driver (small, under ``driver_cap``)
-    or reduce through the real ``groupby(keys)`` hash shuffle so the driver
+    or reduce through the bucketed distributed combine (hash(key) %
+    N_COMBINE_BUCKETS shuffle + vectorized per-bucket groupby) so the driver
     only ever receives the final one-row-per-key result.  Use for keys
     whose cardinality scales with the data (windows, sessions).  ``agg``
     must be a reduction where combining partials with the same function is
@@ -248,11 +283,7 @@ def partial_shuffle_combine(ds, partial_fn, keys, sums, batch_format="pyarrow",
     if parts.count() <= driver_cap:
         df = parts.to_pandas()
         return df.groupby(keys, as_index=False).agg(per_col)
-    from ray.data.aggregate import Max, Min, Sum
-
-    mk = {"sum": Sum, "min": Min, "max": Max}
-    aggs = [mk[per_col[c]](c, alias_name=c) for c in sums]
-    return parts.groupby(keys).aggregate(*aggs).to_pandas()
+    return _bucketed_group_combine(parts, keys, sums, per_col).to_pandas()
 
 
 def gated_group_sum_ds(ds, partial_fn, keys, sums,
@@ -272,11 +303,7 @@ def gated_group_sum_ds(ds, partial_fn, keys, sums,
         df = parts.to_pandas().groupby(keys, as_index=False).agg(
             {c: per_col[c] for c in sums})
         return rd.from_pandas(df)
-    from ray.data.aggregate import Max, Min, Sum
-
-    mk = {"sum": Sum, "min": Min, "max": Max}
-    return parts.groupby(keys).aggregate(
-        *[mk[per_col[c]](c, alias_name=c) for c in sums])
+    return _bucketed_group_combine(parts, keys, sums, per_col)
 
 
 def register(name: str, sql: str | None = None):
