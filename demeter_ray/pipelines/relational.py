@@ -242,18 +242,34 @@ DRIVER_COMBINE_CAP = 200_000
 N_COMBINE_BUCKETS = 32
 
 
+def _n_combine_buckets() -> int:
+    """Bucket count bounds the combine's parallelism: floor of 32 (this
+    box), scaled to the cluster's CPU budget when larger so a 256-node
+    cluster's combine isn't capped at 32 tasks.  Combine work per bucket is
+    one vectorized groupby over ~rows/buckets — tiny next to the scan."""
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return max(N_COMBINE_BUCKETS, cpus)
+
+
 def _bucketed_group_combine(parts, keys, sums, per_col):
     """Distributed exact combine of partial rows: low-cardinality bucket
     shuffle + one vectorized pandas groupby per bucket.  Each group key lands
     in exactly one bucket, so downstream per-block operations (local top-k,
     filters) see fully combined rows.  Returns a Dataset."""
 
+    nb = _n_combine_buckets()
+
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
         # hash_pandas_object: deterministic per-row uint64 over the key
         # columns (no per-process randomization), any key dtype
         h = pd.util.hash_pandas_object(b[keys], index=False).to_numpy(np.uint64)
         b = b.copy()
-        b["_pkey"] = (h % np.uint64(N_COMBINE_BUCKETS)).astype(np.int64)
+        b["_pkey"] = (h % np.uint64(nb)).astype(np.int64)
         return b
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
