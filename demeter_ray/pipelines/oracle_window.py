@@ -1690,3 +1690,81 @@ def corr_price_quantity_by_flag(sf_dir: str):
         "price_qty_covar": duck_round(cov, 4),
     })
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# ----------------------------------------- percent_rank / cume_dist
+
+_PCTRANK_SQL = """
+SELECT c_nationkey, c_custkey,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey), 6)
+         AS pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey), 6)
+         AS cume_dist
+FROM customer ORDER BY c_nationkey, c_custkey
+"""
+
+
+@register("percent_rank_customers", _PCTRANK_SQL)
+def percent_rank_customers(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST per partition, derived arithmetically from
+    the distributed ranked_window: pct = (rank-1)/(cnt-1); with a fully
+    deterministic ORDER BY (tie-broken by key) every frame is a distinct
+    peer group, so CUME_DIST's peer-count equals row_number — both are pure
+    integer ratios of columns the ranked pass already carries, no extra data
+    pass."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    ranked = ranked_window(ds, "c_nationkey", "c_acctbal", "c_custkey")
+    cnt = ranked.groupby("c_nationkey")["rn"].transform("max").to_numpy(np.float64)
+    rnk = ranked["rnk"].to_numpy(np.float64)
+    rn = ranked["rn"].to_numpy(np.float64)
+    pct = np.where(cnt > 1, (rnk - 1.0) / (cnt - 1.0), 0.0)
+    out = pd.DataFrame({
+        "c_nationkey": ranked["c_nationkey"],
+        "c_custkey": ranked["c_custkey"],
+        "pct_rank": duck_round(pct, 6),
+        "cume_dist": duck_round(rn / cnt, 6),
+    })
+    return out.sort_values(["c_nationkey", "c_custkey"]).reset_index(drop=True)
+
+
+# ----------------------------------------- first-seen (user acquisition)
+
+_FIRSTSEEN_SQL = """
+SELECT CAST(ts AS DATE) AS first_day, COUNT(*) AS new_users
+FROM (SELECT user_id, MIN(ts) AS ts FROM events GROUP BY user_id)
+GROUP BY first_day
+ORDER BY first_day
+"""
+
+
+@register("user_first_seen_histogram", _FIRSTSEEN_SQL)
+def user_first_seen_histogram(sf_dir: str):
+    """New-users-per-day acquisition curve: per-user MIN(ts) through the
+    size-gated combine (stays distributed at any user cardinality), then a
+    date histogram whose partials are one row per (day, block) — the classic
+    two-level rollup where the second key is tiny."""
+    from demeter_ray.pipelines.relational import gated_group_sum_ds
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(first_us=b["ts"].astype("int64")).groupby(
+            "user_id", as_index=False)["first_us"].min()
+        return g
+
+    first = gated_group_sum_ds(ds, min_partial, ["user_id"], ["first_us"],
+                               agg="min")
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(b["first_us"], unit="us").dt.normalize()
+        return pd.DataFrame({"first_day": day}).groupby(
+            "first_day", as_index=False).agg(new_users=("first_day", "size"))
+
+    out = partial_combine(first, day_partial)
+    out = out.groupby("first_day", as_index=False)["new_users"].sum()
+    # keep datetime64 (midnight-normalized) — DuckDB's DATE arrives as
+    # datetime64 through .df(), and the driver compares dtypes
+    out["new_users"] = out["new_users"].astype("int64")
+    return out.sort_values("first_day").reset_index(drop=True)
