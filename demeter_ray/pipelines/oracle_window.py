@@ -1768,3 +1768,165 @@ def user_first_seen_histogram(sf_dir: str):
     # datetime64 through .df(), and the driver compares dtypes
     out["new_users"] = out["new_users"].astype("int64")
     return out.sort_values("first_day").reset_index(drop=True)
+
+
+# -------------------------------------- exact COUNT(DISTINCT) per group
+
+_UNIQ_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("distinct_users_per_event_type", _UNIQ_USERS_SQL)
+def distinct_users_per_event_type(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group — the canonical two-level dedup:
+    per-batch (group, value) pair dedup, size-gated distributed pair
+    combine (each distinct pair survives exactly once at any cardinality),
+    then a per-batch count partial whose rows are bounded by group
+    cardinality.  No value set ever collects on one node."""
+    from demeter_ray.pipelines.relational import gated_group_sum_ds
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.drop_duplicates()
+        return p.assign(c=np.int64(1))
+
+    pairs = gated_group_sum_ds(ds, pair_partial, ["event_type", "user_id"],
+                               ["c"], agg="min")
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_type", as_index=False).agg(
+            uniq_users=("user_id", "size"))
+
+    out = partial_combine(pairs, count_partial)
+    out = out.groupby("event_type", as_index=False)["uniq_users"].sum()
+    out["uniq_users"] = out["uniq_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ------------------------------------------- LEAD: event transitions
+
+_TRANSITION_SQL = """
+SELECT event_type, next_type, COUNT(*) AS n
+FROM (SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+"""
+
+
+@register("event_transition_counts", _TRANSITION_SQL)
+def event_transition_counts(sf_dir: str):
+    """Markov transition matrix over per-user event sequences (LEAD window
+    + count).  One range-partitioned sort; within-block consecutive pairs
+    are counted vectorized; each block also emits its first/last row so the
+    O(blocks) boundary transitions are stitched on the driver — the lag
+    carry trick, but carrying categories instead of timestamps."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    sorted_ds = ds.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        typ = batch["event_type"].to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame({"event_type": typ[:-1][same],
+                           "next_type": typ[1:][same]})
+        g = df.groupby(["event_type", "next_type"], as_index=False).agg(
+            n=("event_type", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = partial_shuffle_combine(
+        sorted_ds, pair_partial, ["event_type", "next_type"], ["n"])
+
+    def boundary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_user": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.int64()),
+                             "first_eid": pa.array([], pa.int64()),
+                             "first_type": pa.array([], pa.string()),
+                             "last_user": pa.array([], pa.int64()),
+                             "last_type": pa.array([], pa.string())})
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        typ = batch["event_type"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"first_user": pa.array([uid[0]], pa.int64()),
+                         "first_ts": pa.array([ts[0]], pa.int64()),
+                         "first_eid": pa.array([eid[0]], pa.int64()),
+                         "first_type": pa.array([typ[0]], pa.string()),
+                         "last_user": pa.array([uid[-1]], pa.int64()),
+                         "last_type": pa.array([typ[-1]], pa.string())})
+
+    bnd = (sorted_ds.map_batches(boundary, batch_format="pyarrow",
+                                 batch_size=None)
+           .to_pandas()
+           .sort_values(["first_user", "first_ts", "first_eid"])
+           .reset_index(drop=True))
+    prev_last_user = bnd["last_user"].shift(1)
+    prev_last_type = bnd["last_type"].shift(1)
+    join = prev_last_user == bnd["first_user"]
+    extra = pd.DataFrame({"event_type": prev_last_type[join],
+                          "next_type": bnd["first_type"][join]})
+    if len(extra):
+        extra = extra.groupby(["event_type", "next_type"], as_index=False).agg(
+            n=("event_type", "size"))
+        counts = (pd.concat([counts, extra], ignore_index=True)
+                  .groupby(["event_type", "next_type"], as_index=False)["n"]
+                  .sum())
+    counts["n"] = counts["n"].astype("int64")
+    return counts.sort_values(["event_type", "next_type"]).reset_index(drop=True)
+
+
+# --------------------------------------- per-user event-type entropy
+
+_ENTROPY_SQL = """
+SELECT user_id,
+       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS type_entropy
+FROM (SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("user_event_entropy", _ENTROPY_SQL)
+def user_event_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution — a behavioral
+    diversity score.  Two gated combines, both vectorized: exact (user, type)
+    counts, then per-user sums of c and c*ln(c); entropy = ln(S) − Σc·ln(c)/S
+    needs only those two mergeable sums, so nothing per-user ever holds the
+    type set."""
+    from demeter_ray.pipelines.relational import gated_group_sum_ds
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["user_id", "event_type"], as_index=False).agg(
+            c=("user_id", "size"))
+        return g
+
+    counts = gated_group_sum_ds(ds, count_partial, ["user_id", "event_type"],
+                                ["c"], agg="sum")
+
+    def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.float64)
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "s": c, "clnc": c * np.log(c)}).groupby(
+            "user_id", as_index=False).sum()
+
+    m = partial_shuffle_combine(counts, moment_partial, ["user_id"],
+                                ["s", "clnc"], batch_format="pandas")
+    ent = np.log(m["s"].to_numpy(np.float64)) - m["clnc"].to_numpy(
+        np.float64) / m["s"].to_numpy(np.float64)
+    out = pd.DataFrame({"user_id": m["user_id"].astype("int64"),
+                        "type_entropy": duck_round(ent, 6)})
+    return out.sort_values("user_id").reset_index(drop=True)
