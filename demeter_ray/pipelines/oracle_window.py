@@ -1930,3 +1930,157 @@ def user_event_entropy(sf_dir: str):
     out = pd.DataFrame({"user_id": m["user_id"].astype("int64"),
                         "type_entropy": duck_round(ent, 6)})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ----------------------------------------------- cohort retention grid
+
+_RETENTION_SQL = """
+WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+           FROM events GROUP BY user_id),
+     a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events)
+SELECT f.cohort_day, DATEDIFF('day', f.cohort_day, a.act_day) AS day_offset,
+       COUNT(*) AS active_users
+FROM a JOIN f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+ORDER BY f.cohort_day, day_offset
+"""
+
+
+@register("cohort_retention_grid", _RETENTION_SQL)
+def cohort_retention_grid(sf_dir: str):
+    """Cohort retention: users grouped by first-seen day, counted once per
+    later active day.  Three mergeable passes — per-user MIN(ts) (gated
+    combine), distinct (user, day) pairs (gated dedup), a size-gated lookup
+    join attaching each user's cohort day — then a tiny (cohorts × offsets)
+    count.  Every stage stays distributed at full user cardinality."""
+    from demeter_ray.pipelines.relational import (
+        gated_group_sum_ds,
+        gated_lookup_join,
+    )
+
+    US_PER_DAY = 86_400_000_000
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(first_us=b["ts"].astype("int64")).groupby(
+            "user_id", as_index=False)["first_us"].min()
+
+    first = gated_group_sum_ds(ds, first_partial, ["user_id"], ["first_us"],
+                               agg="min")
+    first = first.map_batches(
+        lambda b: b.assign(
+            cohort_us=(b["first_us"] // US_PER_DAY) * US_PER_DAY
+        )[["user_id", "cohort_us"]],
+        batch_format="pandas")
+
+    def day_pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": b["user_id"],
+            "act_us": (b["ts"].astype("int64") // US_PER_DAY) * US_PER_DAY,
+        }).drop_duplicates()
+        return d.assign(c=np.int64(1))
+
+    pairs = gated_group_sum_ds(ds, day_pair_partial, ["user_id", "act_us"],
+                               ["c"], agg="min")
+
+    joined = gated_lookup_join(pairs, "user_id", first, "user_id",
+                               ["cohort_us"])
+
+    def grid_partial(b: pd.DataFrame) -> pd.DataFrame:
+        off = (b["act_us"] - b["cohort_us"]) // US_PER_DAY
+        return pd.DataFrame({"cohort_us": b["cohort_us"],
+                             "day_offset": off.astype("int64")}).groupby(
+            ["cohort_us", "day_offset"], as_index=False).agg(
+            active_users=("cohort_us", "size"))
+
+    out = partial_combine(joined, grid_partial)
+    out = out.groupby(["cohort_us", "day_offset"], as_index=False)[
+        "active_users"].sum()
+    out["cohort_day"] = pd.to_datetime(out.pop("cohort_us"), unit="us")
+    out["active_users"] = out["active_users"].astype("int64")
+    out = out[["cohort_day", "day_offset", "active_users"]]
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+# ------------------------------------------------ top-k bigram counts
+
+_BIGRAM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+SELECT bigram, COUNT(*) AS n FROM (
+  SELECT tk[i] || ' ' || tk[i + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+)
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25
+"""
+
+
+@register("top_bigrams_corpus", _BIGRAM_SQL)
+def top_bigrams_corpus(sf_dir: str):
+    """Corpus-wide top-25 bigram counts — the n-gram statistics classic.
+    Per-batch bigram count partials, size-gated distributed combine (each
+    bigram fully reduced in exactly one bucket), then per-block LOCAL top-25
+    (valid because blocks hold disjoint fully-combined keys) so only
+    blocks x 25 rows ever reach the driver at any vocabulary size."""
+    from demeter_ray.pipelines.relational import gated_group_sum_ds
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def bigram_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        grams = toks.map(
+            lambda t: [t[i] + " " + t[i + 1] for i in range(len(t) - 1)])
+        counts = grams.explode().dropna().value_counts()
+        return pd.DataFrame({"bigram": counts.index.to_numpy(),
+                             "n": counts.to_numpy(np.int64)})
+
+    combined = gated_group_sum_ds(ds, bigram_partial, ["bigram"], ["n"],
+                                  agg="sum")
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "bigram"],
+                             ascending=[False, True]).head(25)
+
+    out = partial_combine(combined, local_topk)
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["n", "bigram"], ascending=[False, True])
+            .head(25).reset_index(drop=True))
+
+
+# ------------------------------------- deterministic per-group sample
+
+_GROUP_SAMPLE_SQL = f"""
+SELECT c_nationkey, c_custkey FROM (
+  SELECT c_nationkey, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY {sha256_hash64_sql("c_custkey::VARCHAR")},
+                                     c_custkey) AS rn
+  FROM customer)
+WHERE rn <= 3 ORDER BY c_nationkey, c_custkey
+"""
+
+
+@register("group_sample_customers", _GROUP_SAMPLE_SQL)
+def group_sample_customers(sf_dir: str):
+    """Deterministic 3-per-group sample: order within each group by a stable
+    content hash (uniform, seedless, reproducible across runs/cluster sizes)
+    and keep the first 3.  Mergeable top-k — per-batch local top-3 per group,
+    then top-3-of-top-3s on the (groups x blocks x 3)-bounded partials — so
+    no global sort and no per-group window pass."""
+    from demeter_ray.functions.hashing import stable_hash64
+
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_custkey"])
+
+    def local_top3(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter((stable_hash64(str(k)) for k in b["c_custkey"]),
+                        dtype=np.uint64, count=len(b))
+        return (b.assign(_h=h)
+                .sort_values(["_h", "c_custkey"])
+                .groupby("c_nationkey", as_index=False).head(3))
+
+    parts = partial_combine(ds, local_top3)
+    out = (parts.sort_values(["_h", "c_custkey"])
+           .groupby("c_nationkey", as_index=False).head(3)
+           .drop(columns="_h"))
+    out = out.astype({"c_nationkey": "int64", "c_custkey": "int64"})
+    return out.sort_values(["c_nationkey", "c_custkey"]).reset_index(drop=True)
