@@ -2084,3 +2084,149 @@ def group_sample_customers(sf_dir: str):
            .drop(columns="_h"))
     out = out.astype({"c_nationkey": "int64", "c_custkey": "int64"})
     return out.sort_values(["c_nationkey", "c_custkey"]).reset_index(drop=True)
+
+
+# ---------------------------------- trailing time-interval window count
+
+_TRAILING_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                            AND CURRENT ROW) AS cnt_1h
+FROM events ORDER BY user_id, ts, event_id
+"""
+
+_HOUR_US = 3_600_000_000
+
+
+def interval_count_window(ds, part_col: str, ts_col: str, id_col: str,
+                          window_us: int) -> pd.DataFrame:
+    """COUNT(*) over a trailing time-RANGE frame (peers at the current
+    timestamp included, per SQL RANGE semantics).  One range-partitioned
+    sort; per-block counts are two searchsorted calls per partition segment;
+    cross-block context is bounded by construction — a block exports only
+    its last partition's trailing ``window_us`` of timestamps (rows needing
+    older context cannot exist under the sort order), and equal-timestamp
+    peer runs crossing block edges carry a single integer backward."""
+    import ray as _ray
+
+    sorted_ds = ds.sort([part_col, ts_col, id_col]).materialize()
+
+    def _cols(batch: pa.Table):
+        uid = batch[part_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        us = ts.to_numpy(zero_copy_only=False)
+        eid = batch[id_col].to_numpy(zero_copy_only=False)
+        return uid, us, eid
+
+    def boundary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "first_user": pa.array([], pa.int64()),
+                "first_ts": pa.array([], pa.int64()),
+                "first_eid": pa.array([], pa.int64()),
+                "last_user": pa.array([], pa.int64()),
+                "last_ts": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "n_lead_peers": pa.array([], pa.int64()),
+                "export": pa.array([], pa.list_(pa.int64())),
+            })
+        uid, us, eid = _cols(batch)
+        lead = int(np.argmax(~((uid == uid[0]) & (us == us[0])))) or (
+            len(uid) if (uid[-1] == uid[0] and us[-1] == us[0]) else 1)
+        tail_seg = (uid == uid[-1]) & (us >= us[-1] - window_us)
+        # trailing run of the last partition only (mask is contiguous there)
+        exp = us[len(us) - int(np.argmin(tail_seg[::-1]) or len(us)):]
+        return pa.table({
+            "first_user": pa.array([uid[0]], pa.int64()),
+            "first_ts": pa.array([us[0]], pa.int64()),
+            "first_eid": pa.array([eid[0]], pa.int64()),
+            "last_user": pa.array([uid[-1]], pa.int64()),
+            "last_ts": pa.array([us[-1]], pa.int64()),
+            "n_rows": pa.array([len(uid)], pa.int64()),
+            "n_lead_peers": pa.array([lead], pa.int64()),
+            "export": pa.array([exp.tolist()], pa.list_(pa.int64())),
+        })
+
+    bnd = (sorted_ds.map_batches(boundary, batch_format="pyarrow",
+                                 batch_size=None)
+           .to_pandas()
+           .sort_values(["first_user", "first_ts", "first_eid"])
+           .reset_index(drop=True))
+
+    nb = len(bnd)
+    ctx: dict[tuple, np.ndarray] = {}
+    fwd: dict[tuple, int] = {}
+    carry = np.array([], dtype=np.int64)
+    for i in range(nb):
+        key = (int(bnd["first_user"][i]), int(bnd["first_ts"][i]),
+               int(bnd["first_eid"][i]))
+        if i > 0 and int(bnd["last_user"][i - 1]) == int(bnd["first_user"][i]):
+            # chain older context only through single-user blocks: ctx[i-1]
+            # belongs to block i-1's FIRST user, the export to its LAST
+            single = int(bnd["first_user"][i - 1]) == int(bnd["last_user"][i - 1])
+            base = carry if single else np.array([], dtype=np.int64)
+            prev = np.concatenate(
+                [base, np.asarray(bnd["export"][i - 1], dtype=np.int64)])
+            ctx[key] = prev[prev >= int(bnd["first_ts"][i]) - window_us]
+        else:
+            ctx[key] = np.array([], dtype=np.int64)
+        carry = ctx[key]
+    acc = 0
+    for i in range(nb - 1, -1, -1):
+        key = (int(bnd["first_user"][i]), int(bnd["first_ts"][i]),
+               int(bnd["first_eid"][i]))
+        if (i + 1 < nb
+                and int(bnd["last_user"][i]) == int(bnd["first_user"][i + 1])
+                and int(bnd["last_ts"][i]) == int(bnd["first_ts"][i + 1])):
+            nxt = int(bnd["n_lead_peers"][i + 1])
+            whole = nxt == int(bnd["n_rows"][i + 1])
+            acc = nxt + (acc if whole else 0)
+        else:
+            acc = 0
+        fwd[key] = acc
+
+    ref = _ray.put((ctx, fwd))
+
+    def apply_count(batch: pa.Table, carries) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             part_col: pa.array([], pa.int64()),
+                             "cnt_1h": pa.array([], pa.int64())})
+        ctx_m, fwd_m = carries
+        uid, us, eid = _cols(batch)
+        n = len(uid)
+        key = (int(uid[0]), int(us[0]), int(eid[0]))
+        cnt = np.empty(n, dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            seg = us[s:e]
+            cnt[s:e] = (np.searchsorted(seg, seg, side="right")
+                        - np.searchsorted(seg, seg - window_us, side="left"))
+        pre = ctx_m[key]
+        if len(pre):
+            e0 = ends[0]
+            cnt[:e0] += len(pre) - np.searchsorted(
+                pre, us[:e0] - window_us, side="left")
+        peers_after = fwd_m[key]
+        if peers_after:
+            tail = (uid == uid[-1]) & (us == us[-1])
+            cnt[tail] += peers_after
+        return pa.table({id_col: pa.array(eid, pa.int64()),
+                         part_col: pa.array(uid, pa.int64()),
+                         "cnt_1h": pa.array(cnt, pa.int64())})
+
+    return sorted_ds.map_batches(
+        lambda b: apply_count(b, _ray.get(ref)),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+
+
+@register("trailing_hour_counts", _TRAILING_SQL)
+def trailing_hour_counts(sf_dir: str):
+    """Per-event trailing-1-hour activity count per user — the RANGE
+    INTERVAL window frame (velocity / rate-limit feature)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return interval_count_window(ds, "user_id", "ts", "event_id", _HOUR_US)

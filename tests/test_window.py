@@ -81,3 +81,34 @@ def test_lag_delta_window_across_blocks(ray_session):
     got = got.set_index("id").loc[truth["id"]]
     a, b = got["delta_us"].to_numpy(), expect
     assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+
+@pytest.mark.parametrize("n_blocks", [1, 5, 17])
+def test_interval_count_window_across_blocks(ray_session, n_blocks):
+    """Trailing RANGE-frame count vs a brute-force groundtruth, with tiny
+    blocks so user runs, equal-ts peer runs and sub-window block spans all
+    cross boundaries."""
+    from demeter_ray.pipelines.oracle_window import interval_count_window
+
+    rng = np.random.default_rng(7)
+    n = 240
+    W = 100
+    df = pd.DataFrame({
+        "part": rng.integers(0, 4, n),
+        # coarse grid => many exact ties, many rows inside one window
+        "ts": rng.integers(0, 30, n) * 20,
+        "key": np.arange(n, dtype=np.int64),
+    })
+    truth = []
+    for i in range(n):
+        u, t = df["part"][i], df["ts"][i]
+        truth.append(int(((df["part"] == u)
+                          & (df["ts"] >= t - W)
+                          & (df["ts"] <= t)).sum()))
+    df["want"] = truth
+
+    ds = ray.data.from_pandas(df[["part", "ts", "key"]]).repartition(n_blocks)
+    got = interval_count_window(ds, "part", "ts", "key", W)
+    merged = df.merge(got, on="key", suffixes=("", "_got"))
+    assert (merged["cnt_1h"] == merged["want"]).all(), merged[
+        merged["cnt_1h"] != merged["want"]].head()
