@@ -135,6 +135,9 @@ def run_benchmarks() -> dict:
         "idw_interpolate_events",
         "image_exposure_filter",
         "vocab_df_idf_top50",
+        "trailing_hour_counts",
+        "cohort_retention_grid",
+        "top_bigrams_corpus",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

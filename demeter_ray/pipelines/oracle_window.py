@@ -2230,3 +2230,48 @@ def trailing_hour_counts(sf_dir: str):
     INTERVAL window frame (velocity / rate-limit feature)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     return interval_count_window(ds, "user_id", "ts", "event_id", _HOUR_US)
+
+
+# ------------------------------------------------------ share of total
+
+_SHARE_SQL = """
+SELECT n.n_name,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue,
+       ROUND(SUM(o.o_totalprice) * 100.0 /
+             (SELECT SUM(o_totalprice) FROM orders), 4) AS pct_of_total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+@register("revenue_share_by_nation", _SHARE_SQL)
+def revenue_share_by_nation(sf_dir: str):
+    """Share-of-total report: grouped revenue normalized by the global sum.
+    The customer->nation dim attaches via the size-gated lookup join; one
+    partial-combine produces both the per-nation sums and (by summation of
+    the same partials) the denominator — no second pass over the fact
+    table."""
+    from demeter_ray.pipelines.relational import gated_lookup_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+
+    cust_nat = gated_lookup_join(cust, "c_nationkey", nation, "n_nationkey",
+                                 ["n_name"])
+    with_nat = gated_lookup_join(orders, "o_custkey", cust_nat, "c_custkey",
+                                 ["n_name"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"))
+
+    parts = partial_combine(with_nat, partial)
+    out = parts.groupby("n_name", as_index=False)["revenue"].sum()
+    total = out["revenue"].sum()
+    out["pct_of_total"] = duck_round(
+        out["revenue"].to_numpy(np.float64) * 100.0 / total, 4)
+    out["revenue"] = duck_round(out["revenue"].to_numpy(np.float64), 2)
+    return out.sort_values("n_name").reset_index(drop=True)
