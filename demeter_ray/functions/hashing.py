@@ -45,20 +45,32 @@ class TokenHasher:
         return out
 
 
+_PERM_CACHE: dict = {}
+
+
+def _perm_coeffs(num_perm: int, seed: int):
+    """Deterministic universal-hash coefficients (a split hi/lo for the
+    61-bit modular multiply, b), cached — they are per-(num_perm, seed)
+    constants, not per-document state."""
+    key = (num_perm, seed)
+    got = _PERM_CACHE.get(key)
+    if got is None:
+        rng = np.random.RandomState(seed)
+        a = rng.randint(1, MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
+        b = rng.randint(0, MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
+        got = _PERM_CACHE[key] = (a >> 31, a & np.uint64((1 << 31) - 1), b)
+    return got
+
+
 def minhash_signature(token_hashes: np.ndarray, num_perm: int, seed: int = 7) -> np.ndarray:
     """MinHash signature via universal hashing h_i(x) = (a_i*x + b_i) mod p.
     a_i/b_i derive deterministically from ``seed``.  Vectorized: one
     (num_perm x n_tokens) broadcast per document set."""
     if len(token_hashes) == 0:
         return np.full(num_perm, MERSENNE61, dtype=np.uint64)
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a_hi, a_lo, b = _perm_coeffs(num_perm, seed)
     x = token_hashes.astype(np.uint64)[None, :] % MERSENNE61
-    # 61-bit values: a*x overflows uint64, do it in python-object-free float?
-    # No — use modular mul via uint128 emulation: split a into hi/lo 31 bits.
-    a_hi = a >> 31
-    a_lo = a & np.uint64((1 << 31) - 1)
+    # a*x overflows uint64: modular mul via hi/lo 31-bit split of a
     prod = (((a_hi[:, None] * x) % MERSENNE61) << np.uint64(31)) % MERSENNE61
     prod = (prod + a_lo[:, None] * x) % MERSENNE61
     hashed = (prod + b[:, None]) % MERSENNE61
