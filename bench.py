@@ -57,6 +57,9 @@ def run_benchmarks() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # keep stdout to the contract's ONE JSON line: worker prints
+            # (cap warnings etc.) stay in the Ray session log, not stdout
+            log_to_driver=False,
         )
     from ray.data import DataContext
 
@@ -168,7 +171,8 @@ def run_flagship_only() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

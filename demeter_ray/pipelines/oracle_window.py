@@ -2099,18 +2099,21 @@ FROM events ORDER BY user_id, ts, event_id
 _HOUR_US = 3_600_000_000
 
 
-def interval_count_window(ds, part_col: str, ts_col: str, id_col: str,
-                          window_us: int) -> pd.DataFrame:
-    """COUNT(*) over a trailing time-RANGE frame (peers at the current
-    timestamp included, per SQL RANGE semantics).  One range-partitioned
-    sort; per-block counts are two searchsorted calls per partition segment;
+def interval_agg_window(ds, part_col: str, ts_col: str, id_col: str,
+                        window_us: int, val_col: str | None = None
+                        ) -> pd.DataFrame:
+    """COUNT(*) (``val_col=None``) or SUM(val_col) over a trailing
+    time-RANGE frame (peers at the current timestamp included, per SQL
+    RANGE semantics).  One range-partitioned sort; per-block results are
+    two searchsorted calls (+ one cumsum for SUM) per partition segment;
     cross-block context is bounded by construction — a block exports only
-    its last partition's trailing ``window_us`` of timestamps (rows needing
+    its last partition's trailing ``window_us`` of rows (rows needing
     older context cannot exist under the sort order), and equal-timestamp
-    peer runs crossing block edges carry a single integer backward."""
+    peer runs crossing block edges carry one scalar backward."""
     import ray as _ray
 
     sorted_ds = ds.sort([part_col, ts_col, id_col]).materialize()
+    out_col = "cnt_1h" if val_col is None else "sum_1h"
 
     def _cols(batch: pa.Table):
         uid = batch[part_col].to_numpy(zero_copy_only=False)
@@ -2119,7 +2122,9 @@ def interval_count_window(ds, part_col: str, ts_col: str, id_col: str,
             ts = ts.cast(pa.int64())
         us = ts.to_numpy(zero_copy_only=False)
         eid = batch[id_col].to_numpy(zero_copy_only=False)
-        return uid, us, eid
+        vals = (batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+                if val_col is not None else None)
+        return uid, us, eid, vals
 
     def boundary(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -2131,14 +2136,20 @@ def interval_count_window(ds, part_col: str, ts_col: str, id_col: str,
                 "last_ts": pa.array([], pa.int64()),
                 "n_rows": pa.array([], pa.int64()),
                 "n_lead_peers": pa.array([], pa.int64()),
+                "lead_peer_sum": pa.array([], pa.float64()),
                 "export": pa.array([], pa.list_(pa.int64())),
+                "export_val": pa.array([], pa.list_(pa.float64())),
             })
-        uid, us, eid = _cols(batch)
+        uid, us, eid, vals = _cols(batch)
         lead = int(np.argmax(~((uid == uid[0]) & (us == us[0])))) or (
             len(uid) if (uid[-1] == uid[0] and us[-1] == us[0]) else 1)
+        lead_sum = float(vals[:lead].sum()) if vals is not None else 0.0
         tail_seg = (uid == uid[-1]) & (us >= us[-1] - window_us)
         # trailing run of the last partition only (mask is contiguous there)
-        exp = us[len(us) - int(np.argmin(tail_seg[::-1]) or len(us)):]
+        cut = len(us) - int(np.argmin(tail_seg[::-1]) or len(us))
+        exp = us[cut:]
+        exp_val = (vals[cut:] if vals is not None
+                   else np.zeros(len(exp), np.float64))
         return pa.table({
             "first_user": pa.array([uid[0]], pa.int64()),
             "first_ts": pa.array([us[0]], pa.int64()),
@@ -2147,7 +2158,9 @@ def interval_count_window(ds, part_col: str, ts_col: str, id_col: str,
             "last_ts": pa.array([us[-1]], pa.int64()),
             "n_rows": pa.array([len(uid)], pa.int64()),
             "n_lead_peers": pa.array([lead], pa.int64()),
+            "lead_peer_sum": pa.array([lead_sum], pa.float64()),
             "export": pa.array([exp.tolist()], pa.list_(pa.int64())),
+            "export_val": pa.array([exp_val.tolist()], pa.list_(pa.float64())),
         })
 
     bnd = (sorted_ds.map_batches(boundary, batch_format="pyarrow",
@@ -2157,9 +2170,10 @@ def interval_count_window(ds, part_col: str, ts_col: str, id_col: str,
            .reset_index(drop=True))
 
     nb = len(bnd)
-    ctx: dict[tuple, np.ndarray] = {}
-    fwd: dict[tuple, int] = {}
-    carry = np.array([], dtype=np.int64)
+    ctx: dict[tuple, tuple] = {}
+    fwd: dict[tuple, tuple] = {}
+    carry_ts = np.array([], dtype=np.int64)
+    carry_val = np.array([], dtype=np.float64)
     for i in range(nb):
         key = (int(bnd["first_user"][i]), int(bnd["first_ts"][i]),
                int(bnd["first_eid"][i]))
@@ -2167,14 +2181,19 @@ def interval_count_window(ds, part_col: str, ts_col: str, id_col: str,
             # chain older context only through single-user blocks: ctx[i-1]
             # belongs to block i-1's FIRST user, the export to its LAST
             single = int(bnd["first_user"][i - 1]) == int(bnd["last_user"][i - 1])
-            base = carry if single else np.array([], dtype=np.int64)
-            prev = np.concatenate(
-                [base, np.asarray(bnd["export"][i - 1], dtype=np.int64)])
-            ctx[key] = prev[prev >= int(bnd["first_ts"][i]) - window_us]
+            base_ts = carry_ts if single else np.array([], dtype=np.int64)
+            base_val = carry_val if single else np.array([], dtype=np.float64)
+            prev_ts = np.concatenate(
+                [base_ts, np.asarray(bnd["export"][i - 1], dtype=np.int64)])
+            prev_val = np.concatenate(
+                [base_val, np.asarray(bnd["export_val"][i - 1], dtype=np.float64)])
+            keep = prev_ts >= int(bnd["first_ts"][i]) - window_us
+            ctx[key] = (prev_ts[keep], prev_val[keep])
         else:
-            ctx[key] = np.array([], dtype=np.int64)
-        carry = ctx[key]
-    acc = 0
+            ctx[key] = (np.array([], dtype=np.int64),
+                        np.array([], dtype=np.float64))
+        carry_ts, carry_val = ctx[key]
+    acc_n, acc_s = 0, 0.0
     for i in range(nb - 1, -1, -1):
         key = (int(bnd["first_user"][i]), int(bnd["first_ts"][i]),
                int(bnd["first_eid"][i]))
@@ -2183,45 +2202,62 @@ def interval_count_window(ds, part_col: str, ts_col: str, id_col: str,
                 and int(bnd["last_ts"][i]) == int(bnd["first_ts"][i + 1])):
             nxt = int(bnd["n_lead_peers"][i + 1])
             whole = nxt == int(bnd["n_rows"][i + 1])
-            acc = nxt + (acc if whole else 0)
+            acc_n = nxt + (acc_n if whole else 0)
+            acc_s = float(bnd["lead_peer_sum"][i + 1]) + (acc_s if whole else 0.0)
         else:
-            acc = 0
-        fwd[key] = acc
+            acc_n, acc_s = 0, 0.0
+        fwd[key] = (acc_n, acc_s)
 
     ref = _ray.put((ctx, fwd))
 
-    def apply_count(batch: pa.Table, carries) -> pa.Table:
+    def apply_agg(batch: pa.Table, carries) -> pa.Table:
+        res_type = pa.int64() if val_col is None else pa.float64()
         if batch.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              part_col: pa.array([], pa.int64()),
-                             "cnt_1h": pa.array([], pa.int64())})
+                             out_col: pa.array([], res_type)})
         ctx_m, fwd_m = carries
-        uid, us, eid = _cols(batch)
+        uid, us, eid, vals = _cols(batch)
         n = len(uid)
         key = (int(uid[0]), int(us[0]), int(eid[0]))
-        cnt = np.empty(n, dtype=np.int64)
+        out = np.empty(n, dtype=np.int64 if val_col is None else np.float64)
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
         ends = np.r_[starts[1:], n]
         for s, e in zip(starts, ends):
             seg = us[s:e]
-            cnt[s:e] = (np.searchsorted(seg, seg, side="right")
-                        - np.searchsorted(seg, seg - window_us, side="left"))
-        pre = ctx_m[key]
-        if len(pre):
+            r = np.searchsorted(seg, seg, side="right")
+            l = np.searchsorted(seg, seg - window_us, side="left")
+            if val_col is None:
+                out[s:e] = r - l
+            else:
+                pre_sum = np.r_[0.0, np.cumsum(vals[s:e])]
+                out[s:e] = pre_sum[r] - pre_sum[l]
+        pre_ts, pre_val = ctx_m[key]
+        if len(pre_ts):
             e0 = ends[0]
-            cnt[:e0] += len(pre) - np.searchsorted(
-                pre, us[:e0] - window_us, side="left")
-        peers_after = fwd_m[key]
-        if peers_after:
+            idx = np.searchsorted(pre_ts, us[:e0] - window_us, side="left")
+            if val_col is None:
+                out[:e0] += len(pre_ts) - idx
+            else:
+                cum = np.r_[0.0, np.cumsum(pre_val)]
+                out[:e0] += cum[-1] - cum[idx]
+        peers_n, peers_s = fwd_m[key]
+        if peers_n:
             tail = (uid == uid[-1]) & (us == us[-1])
-            cnt[tail] += peers_after
+            out[tail] += peers_n if val_col is None else peers_s
         return pa.table({id_col: pa.array(eid, pa.int64()),
                          part_col: pa.array(uid, pa.int64()),
-                         "cnt_1h": pa.array(cnt, pa.int64())})
+                         out_col: pa.array(out, res_type)})
 
     return sorted_ds.map_batches(
-        lambda b: apply_count(b, _ray.get(ref)),
+        lambda b: apply_agg(b, _ray.get(ref)),
         batch_format="pyarrow", batch_size=None).to_pandas()
+
+
+def interval_count_window(ds, part_col: str, ts_col: str, id_col: str,
+                          window_us: int) -> pd.DataFrame:
+    """Trailing time-RANGE COUNT(*) — see interval_agg_window."""
+    return interval_agg_window(ds, part_col, ts_col, id_col, window_us)
 
 
 @register("trailing_hour_counts", _TRAILING_SQL)
@@ -2275,3 +2311,76 @@ def revenue_share_by_nation(sf_dir: str):
         out["revenue"].to_numpy(np.float64) * 100.0 / total, 4)
     out["revenue"] = duck_round(out["revenue"].to_numpy(np.float64), 2)
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+_TRAILING_SUM_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                    AND CURRENT ROW), 4) AS sum_1h
+FROM events ORDER BY user_id, ts, event_id
+"""
+
+
+@register("trailing_hour_value_sum", _TRAILING_SUM_SQL)
+def trailing_hour_value_sum(sf_dir: str):
+    """Per-event trailing-1-hour value sum per user — the SUM form of the
+    RANGE INTERVAL frame (spend-velocity feature), via interval_agg_window's
+    segment prefix sums."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    out = interval_agg_window(ds, "user_id", "ts", "event_id", _HOUR_US,
+                              val_col="value")
+    out["sum_1h"] = duck_round(out["sum_1h"].to_numpy(np.float64), 4)
+    return out
+
+
+# ------------------------------------------- per-group standardization
+
+_ZSCORE_SQL = """
+SELECT event_id,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6)
+         AS zscore
+FROM events ORDER BY event_id
+"""
+
+
+@register("zscore_events_by_type", _ZSCORE_SQL)
+def zscore_events_by_type(sf_dir: str):
+    """Per-group z-score standardization (feature normalization): one
+    partial-moments pass (n, sum, sum-of-squares per group), tiny driver
+    combine, then a broadcast vectorized transform — two streaming passes,
+    no window machinery."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"]).materialize()
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(v2=b["value"] * b["value"]).groupby(
+            "event_type", as_index=False).agg(
+            n=("value", "size"), s=("value", "sum"), s2=("v2", "sum"))
+        return g
+
+    m = partial_combine(ds, moments)
+    m = m.groupby("event_type", as_index=False).sum()
+    n = m["n"].to_numpy(np.float64)
+    mean = m["s"].to_numpy(np.float64) / n
+    var = (m["s2"].to_numpy(np.float64) - n * mean * mean) / (n - 1.0)
+    stats = {t: (mu, np.sqrt(v))
+             for t, mu, v in zip(m["event_type"], mean, var)}
+    ref = _ray.put(stats)
+
+    def standardize(b: pd.DataFrame, st) -> pd.DataFrame:
+        mu = b["event_type"].map(lambda t: st[t][0]).to_numpy(np.float64)
+        sd = b["event_type"].map(lambda t: st[t][1]).to_numpy(np.float64)
+        z = (b["value"].to_numpy(np.float64) - mu) / sd
+        return pd.DataFrame({"event_id": b["event_id"].astype("int64"),
+                             "zscore": duck_round(z, 6)})
+
+    from demeter_ray.pipelines.relational import bcast
+
+    out = ds.map_batches(bcast(ref, standardize),
+                         batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -25,6 +25,8 @@ the candidate docs' token sets, both bounded by the capped candidate funnel
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -244,7 +246,8 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float):
         if capped:
             print(
                 f"[minhash_neardup] {capped} LSH buckets exceeded cap "
-                f"{BUCKET_CAP}; pair emission degraded to chains there"
+                f"{BUCKET_CAP}; pair emission degraded to chains there",
+                file=sys.stderr,
             )
         if len(ai) == 0:
             return empty
@@ -408,7 +411,8 @@ def _make_simhash_partition(max_hamming: int):
         bkey, ids, sh = bkey[order], ids[order], sh[order]
         ai, bi, capped = _bucket_pair_indices(bkey)
         if capped:
-            print(f"[simhash_neardup] {capped} buckets exceeded cap {BUCKET_CAP}")
+            print(f"[simhash_neardup] {capped} buckets exceeded cap {BUCKET_CAP}",
+                  file=sys.stderr)
         if len(ai) == 0:
             return empty
         ham = _popcount((sh[ai].view(np.uint64)) ^ (sh[bi].view(np.uint64)))

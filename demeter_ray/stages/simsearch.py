@@ -16,6 +16,8 @@ embedding column converted zero-copy-ish to a float64 matrix per batch.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -311,7 +313,8 @@ def lsh_cosine_neardup(
         if capped:
             print(
                 f"[lsh_cosine_neardup] {capped} LSH buckets exceeded cap; "
-                f"pair emission degraded to chains there"
+                f"pair emission degraded to chains there",
+                file=sys.stderr,
             )
         if len(ai) == 0:
             return empty

@@ -112,3 +112,30 @@ def test_interval_count_window_across_blocks(ray_session, n_blocks):
     merged = df.merge(got, on="key", suffixes=("", "_got"))
     assert (merged["cnt_1h"] == merged["want"]).all(), merged[
         merged["cnt_1h"] != merged["want"]].head()
+
+
+@pytest.mark.parametrize("n_blocks", [1, 9])
+def test_interval_sum_window_across_blocks(ray_session, n_blocks):
+    from demeter_ray.pipelines.oracle_window import interval_agg_window
+
+    rng = np.random.default_rng(11)
+    n = 200
+    W = 100
+    df = pd.DataFrame({
+        "part": rng.integers(0, 3, n),
+        "ts": rng.integers(0, 25, n) * 20,
+        "key": np.arange(n, dtype=np.int64),
+        "val": rng.normal(10.0, 3.0, n),
+    })
+    truth = []
+    for i in range(n):
+        u, t = df["part"][i], df["ts"][i]
+        m = (df["part"] == u) & (df["ts"] >= t - W) & (df["ts"] <= t)
+        truth.append(float(df.loc[m, "val"].sum()))
+    df["want"] = truth
+
+    ds = ray.data.from_pandas(df[["part", "ts", "key", "val"]]).repartition(n_blocks)
+    got = interval_agg_window(ds, "part", "ts", "key", W, val_col="val")
+    merged = df.merge(got, on="key")
+    assert np.allclose(merged["sum_1h"], merged["want"], atol=1e-9), merged[
+        ~np.isclose(merged["sum_1h"], merged["want"])].head()
