@@ -2368,15 +2368,15 @@ def zscore_events_by_type(sf_dir: str):
     n = m["n"].to_numpy(np.float64)
     mean = m["s"].to_numpy(np.float64) / n
     var = (m["s2"].to_numpy(np.float64) - n * mean * mean) / (n - 1.0)
-    stats = {t: (mu, np.sqrt(v))
-             for t, mu, v in zip(m["event_type"], mean, var)}
+    stats = pd.DataFrame({"event_type": m["event_type"],
+                          "mu": mean, "sd": np.sqrt(var)}).set_index("event_type")
     ref = _ray.put(stats)
 
     def standardize(b: pd.DataFrame, st) -> pd.DataFrame:
-        mu = b["event_type"].map(lambda t: st[t][0]).to_numpy(np.float64)
-        sd = b["event_type"].map(lambda t: st[t][1]).to_numpy(np.float64)
-        z = (b["value"].to_numpy(np.float64) - mu) / sd
-        return pd.DataFrame({"event_id": b["event_id"].astype("int64"),
+        j = b.merge(st, left_on="event_type", right_index=True, how="left")
+        z = ((j["value"].to_numpy(np.float64) - j["mu"].to_numpy(np.float64))
+             / j["sd"].to_numpy(np.float64))
+        return pd.DataFrame({"event_id": j["event_id"].astype("int64"),
                              "zscore": duck_round(z, 6)})
 
     from demeter_ray.pipelines.relational import bcast
