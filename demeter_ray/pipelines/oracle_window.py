@@ -2384,3 +2384,90 @@ def zscore_events_by_type(sf_dir: str):
     out = ds.map_batches(bcast(ref, standardize),
                          batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ------------------------------------------- ordered STRING_AGG per group
+
+_LISTAGG_SQL = """
+SELECT c_nationkey,
+       STRING_AGG(c_name, ',' ORDER BY c_custkey) AS names
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@register("listagg_customers_by_nation", _LISTAGG_SQL)
+def listagg_customers_by_nation(sf_dir: str):
+    """Ordered STRING_AGG (LISTAGG): one range-partitioned sort, per-block
+    segment concatenation (vectorized ','.join per contiguous group run),
+    then an O(blocks x groups) driver stitch in first-key order — the
+    sessionize shape applied to string reduction."""
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_nationkey", "c_custkey", "c_name"])
+    sorted_ds = ds.sort(["c_nationkey", "c_custkey"]).materialize()
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                             "first_key": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.string())})
+        nat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        key = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        names = batch["c_name"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        ends = np.r_[starts[1:], len(nat)]
+        return pa.table({
+            "c_nationkey": pa.array(nat[starts], pa.int64()),
+            "first_key": pa.array(key[starts], pa.int64()),
+            "part": pa.array([",".join(names[s:e]) for s, e in
+                              zip(starts, ends)], pa.string()),
+        })
+
+    parts = (sorted_ds.map_batches(seg_partial, batch_format="pyarrow",
+                                   batch_size=None)
+             .to_pandas()
+             .sort_values(["c_nationkey", "first_key"]))
+    out = parts.groupby("c_nationkey", as_index=False).agg(
+        names=("part", ",".join))
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+# --------------------------------------- per-dimension embedding statistics
+
+_EMBDIM_SQL = """
+SELECT i AS dim, ROUND(AVG(v), 6) AS mean_v, ROUND(STDDEV_SAMP(v), 6) AS std_v
+FROM (SELECT UNNEST(embedding) AS v,
+             UNNEST(range(1, len(embedding) + 1)) AS i
+      FROM embeddings)
+GROUP BY i ORDER BY i
+"""
+
+
+@register("embedding_dim_stats", _EMBDIM_SQL)
+def embedding_dim_stats(sf_dir: str):
+    """Column-wise mean/stddev over a list<float> embedding column — the
+    feature-drift monitor for vector corpora.  Each batch contributes one
+    (dim,)-shaped partial of n / sum / sum-of-squares (np.stack + axis-0
+    reductions); the driver combine is dim-bounded regardless of corpus
+    size."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "dim": pa.array(np.arange(1, m.shape[1] + 1), pa.int64()),
+            "n": pa.array(np.full(m.shape[1], m.shape[0]), pa.int64()),
+            "s": pa.array(m.sum(axis=0), pa.float64()),
+            "s2": pa.array((m * m).sum(axis=0), pa.float64()),
+        })
+
+    parts = partial_combine(ds, moments, batch_format="pyarrow")
+    g = parts.groupby("dim", as_index=False).sum()
+    n = g["n"].to_numpy(np.float64)
+    mean = g["s"].to_numpy(np.float64) / n
+    var = (g["s2"].to_numpy(np.float64) - n * mean * mean) / (n - 1.0)
+    return pd.DataFrame({
+        "dim": g["dim"].astype("int64"),
+        "mean_v": duck_round(mean, 6),
+        "std_v": duck_round(np.sqrt(var), 6),
+    }).sort_values("dim").reset_index(drop=True)
