@@ -2471,3 +2471,51 @@ def embedding_dim_stats(sf_dir: str):
         "mean_v": duck_round(mean, 6),
         "std_v": duck_round(np.sqrt(var), 6),
     }).sort_values("dim").reset_index(drop=True)
+
+
+# ------------------------------------------- grouped linear regression
+
+_REGR_SQL = """
+SELECT l_returnflag,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS price_qty_slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4)
+         AS price_qty_intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS price_qty_r2
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("regr_price_on_quantity_by_flag", _REGR_SQL)
+def regr_price_on_quantity_by_flag(sf_dir: str):
+    """Grouped ordinary-least-squares fit (slope / intercept / R²) from the
+    same six mergeable moments as the correlation operator — regression over
+    any corpus size shuffles six floats per (group, batch), never rows."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        y = b["l_extendedprice"].to_numpy(np.float64)
+        x = b["l_quantity"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "n": 1.0, "sx": x, "sy": y, "sxy": x * y, "sx2": x * x, "sy2": y * y,
+        })
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    m = partial_combine(ds, partial).groupby("l_returnflag", as_index=False).sum()
+    n = m["n"].to_numpy(np.float64)
+    mx = m["sx"].to_numpy(np.float64) / n
+    my = m["sy"].to_numpy(np.float64) / n
+    cov = m["sxy"].to_numpy(np.float64) / n - mx * my
+    vx = m["sx2"].to_numpy(np.float64) / n - mx * mx
+    vy = m["sy2"].to_numpy(np.float64) / n - my * my
+    slope = cov / vx
+    out = pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        "price_qty_slope": duck_round(slope, 4),
+        "price_qty_intercept": duck_round(my - slope * mx, 4),
+        "price_qty_r2": duck_round(cov * cov / (vx * vy), 6),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
