@@ -927,3 +927,46 @@ def table_checksum_lineitem(sf_dir: str):
     ck = int(sum(int(v) for v in parts["ck"]) % MOD)
     return pd.DataFrame({"n_rows": pd.array([int(parts["n_rows"].sum())], dtype="int64"),
                          "key_checksum": pd.array([ck], dtype="int64")})
+
+
+@register("kmeans_embedding_clusters", None)
+def kmeans_embedding_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding corpus (rows-only by
+    semantics: an iterative float algorithm has no SQL equivalent — the
+    driver's weaker ran-and-returned-rows check applies; determinism and
+    quality are pinned by tests/test_simsearch.py instead).  Output: one row
+    per cluster with size and mean cosine to the centroid."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+    from demeter_ray.sources.tables import read_table
+    from demeter_ray.stages.simsearch import (
+        _emb_matrix,
+        _normalize,
+        distributed_kmeans,
+    )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C, assigned = distributed_kmeans(ds, k=8, iters=5)
+
+    ref = _ray.put(C)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        E = _normalize(_emb_matrix(batch))
+        a = np.argmax(E @ c.T, axis=1)
+        sims = np.einsum("ij,ij->i", E, c[a])
+        df = pd.DataFrame({"cluster": a, "n": 1, "s": sims}).groupby(
+            "cluster", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("cluster", as_index=False).sum()
+    out = pd.DataFrame({
+        "cluster": g["cluster"].astype("int64"),
+        "size": g["n"].astype("int64"),
+        "mean_sim": (g["s"] / g["n"]).round(6),
+    })
+    return out.sort_values("cluster").reset_index(drop=True)

@@ -354,3 +354,70 @@ def lsh_cosine_neardup(
     out = out.drop_duplicates(["a_id", "b_id"])
     out["sim"] = np.round(out["sim"], 6)
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+def distributed_kmeans(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
+                       seed: int = 42):
+    """Lloyd k-means over the WHOLE dataset (cosine geometry: unit-sphere
+    vectors, dot-product assignment — consistent with train_ivf_centroids,
+    which fits on a driver-side sample only).
+
+    Each iteration is one streaming pass: per-batch partials of
+    (cluster, count, vector-sum); the driver reduction sorts partials by
+    (cluster, min vec_id in batch) before summing, so centroids are
+    bit-identical regardless of block arrival order.  Only k x dim floats
+    per batch cross to the driver — corpus rows never do.
+
+    Returns (centroids (k, dim), assignments Dataset of (vec_id, cluster)).
+    """
+    sample = _emb_matrix(
+        pa.Table.from_pandas(ds.limit(2048).to_pandas(), preserve_index=False)
+    )
+    rng = np.random.RandomState(seed)
+    X0 = _normalize(np.asarray(sample, dtype=np.float64))
+    C = X0[rng.choice(len(X0), size=min(k, len(X0)), replace=False)]
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            E = _normalize(_emb_matrix(batch))
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            assign = np.argmax(E @ c.T, axis=1)
+            rows = []
+            for j in np.unique(assign):
+                m = assign == j
+                rows.append((int(j), int(m.sum()), int(ids[m].min()),
+                             E[m].sum(axis=0).tolist()))
+            return pa.table({
+                "cluster": pa.array([r[0] for r in rows], pa.int64()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "tie": pa.array([r[2] for r in rows], pa.int64()),
+                "vsum": pa.array([r[3] for r in rows],
+                                 pa.list_(pa.float64())),
+            })
+
+        parts = (ds.map_batches(partial, batch_format="pyarrow")
+                 .to_pandas().sort_values(["cluster", "tie"]))
+        newC = C.copy()
+        for j, g in parts.groupby("cluster"):
+            vec = np.zeros(C.shape[1])
+            for v in g["vsum"]:          # fixed (cluster, tie) order
+                vec += np.asarray(v)
+            if g["n"].sum():
+                newC[int(j)] = vec / g["n"].sum()
+        C = _normalize(newC)
+
+    ref = ray.put(C)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        E = _normalize(_emb_matrix(batch))
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(np.argmax(E @ c.T, axis=1).astype(np.int64),
+                                pa.int64()),
+        })
+
+    return C, ds.map_batches(assign_final, batch_format="pyarrow")

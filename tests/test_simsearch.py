@@ -1,6 +1,7 @@
 """Similarity search: brute-force exactness + IVF recall vs brute force."""
 
 import numpy as np
+import pandas as pd
 import pytest
 import ray.data
 
@@ -94,3 +95,37 @@ def test_lsh_cosine_neardup_precision_and_recall(ray_session):
     assert gp <= exact  # precision 1.0 (exact verify)
     assert len(gp & exact) / max(1, len(exact)) >= 0.9
     assert len(exact) >= 30  # the planted partners are present
+
+
+def test_distributed_kmeans_recovers_separated_blobs(ray_session):
+    """Three well-separated directional blobs: distributed Lloyd must give
+    each blob one pure cluster, deterministically across runs and block
+    layouts."""
+    import ray.data
+
+    from demeter_ray.stages.simsearch import distributed_kmeans
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(3)
+    vecs, truth = [], []
+    for ci in range(3):
+        base = np.zeros(8); base[ci] = 1.0
+        for _ in range(40):
+            v = base + rng.normal(0, 0.05, 8)
+            vecs.append(v / np.linalg.norm(v)); truth.append(ci)
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+
+    outs = []
+    for nblocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        C, assigned = distributed_kmeans(ds, k=3, iters=8)
+        a = assigned.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+        # purity: every truth-blob maps to exactly one cluster label
+        for ci in range(3):
+            labels = set(a[np.array(truth) == ci])
+            assert len(labels) == 1, (ci, labels)
+        outs.append((np.asarray(C), a))
+    # block layout must not change the result (order-independent reduction)
+    assert np.array_equal(outs[0][1], outs[1][1])
+    assert np.allclose(outs[0][0], outs[1][0])
