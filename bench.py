@@ -141,6 +141,7 @@ def run_benchmarks() -> dict:
         "trailing_hour_counts",
         "cohort_retention_grid",
         "top_bigrams_corpus",
+        "kmeans_embedding_clusters",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
