@@ -114,10 +114,8 @@ def ranked_window(ds, part_col: str, val_col: str, key_col: str) -> pd.DataFrame
             }
         )
 
-    parts = (
-        sorted_ds.map_batches(seg_partial, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-    )
+    parts = partial_combine(sorted_ds, seg_partial, "pyarrow",
+                            batch_size=None)
     # order partials the same way the global sort ordered rows
     parts = parts.sort_values(
         ["part", "first_bal", "first_key"], ascending=[True, False, True]
@@ -202,11 +200,8 @@ def ranked_window(ds, part_col: str, val_col: str, key_col: str) -> pd.DataFrame
             }
         )
 
-    out = sorted_ds.map_batches(
-        lambda b: apply_ranks(b, _ray.get(ref)),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).to_pandas()
+    out = partial_combine(sorted_ds, lambda b: apply_ranks(b, _ray.get(ref)),
+                          "pyarrow", batch_size=None)
     return out.sort_values([part_col, "rn"]).reset_index(drop=True)
 
 
@@ -268,8 +263,7 @@ def lag_delta_window(ds, part_col: str, ts_col: str, id_col: str) -> pd.DataFram
         )
 
     parts = (
-        sorted_ds.map_batches(seg_partial, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
+        partial_combine(sorted_ds, seg_partial, "pyarrow", batch_size=None)
         .sort_values(["part", "first_ts", "first_eid"])
         .reset_index(drop=True)
     )
@@ -308,9 +302,9 @@ def lag_delta_window(ds, part_col: str, ts_col: str, id_col: str) -> pd.DataFram
             }
         )
 
-    return sorted_ds.map_batches(
-        lambda b: apply_lag(b, _ray.get(ref)), batch_format="pyarrow", batch_size=None
-    ).to_pandas()
+    return partial_combine(sorted_ds,
+                           lambda b: apply_lag(b, _ray.get(ref)),
+                           "pyarrow", batch_size=None)
 
 
 @register("lag_delta_events", _LAG_SQL)
@@ -376,8 +370,7 @@ def rolling_avg_events(sf_dir: str):
         )
 
     parts = (
-        sorted_ds.map_batches(seg_partial, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
+        partial_combine(sorted_ds, seg_partial, "pyarrow", batch_size=None)
         .sort_values(["user_id", "first_ts", "first_eid"])
         .reset_index(drop=True)
     )
@@ -444,10 +437,9 @@ def rolling_avg_events(sf_dir: str):
             }
         )
 
-    out = sorted_ds.map_batches(
-        lambda b: apply_roll(b, _ray.get(ref)), batch_format="pyarrow", batch_size=None
-    ).to_pandas()
-    return out
+    return partial_combine(sorted_ds,
+                           lambda b: apply_roll(b, _ray.get(ref)),
+                           "pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------- rollup
@@ -1867,9 +1859,7 @@ def event_transition_counts(sf_dir: str):
                          "last_user": pa.array([uid[-1]], pa.int64()),
                          "last_type": pa.array([typ[-1]], pa.string())})
 
-    bnd = (sorted_ds.map_batches(boundary, batch_format="pyarrow",
-                                 batch_size=None)
-           .to_pandas()
+    bnd = (partial_combine(sorted_ds, boundary, "pyarrow", batch_size=None)
            .sort_values(["first_user", "first_ts", "first_eid"])
            .reset_index(drop=True))
     prev_last_user = bnd["last_user"].shift(1)
@@ -2163,9 +2153,7 @@ def interval_agg_window(ds, part_col: str, ts_col: str, id_col: str,
             "export_val": pa.array([exp_val.tolist()], pa.list_(pa.float64())),
         })
 
-    bnd = (sorted_ds.map_batches(boundary, batch_format="pyarrow",
-                                 batch_size=None)
-           .to_pandas()
+    bnd = (partial_combine(sorted_ds, boundary, "pyarrow", batch_size=None)
            .sort_values(["first_user", "first_ts", "first_eid"])
            .reset_index(drop=True))
 
@@ -2249,9 +2237,9 @@ def interval_agg_window(ds, part_col: str, ts_col: str, id_col: str,
                          part_col: pa.array(uid, pa.int64()),
                          out_col: pa.array(out, res_type)})
 
-    return sorted_ds.map_batches(
-        lambda b: apply_agg(b, _ray.get(ref)),
-        batch_format="pyarrow", batch_size=None).to_pandas()
+    return partial_combine(sorted_ds,
+                           lambda b: apply_agg(b, _ray.get(ref)),
+                           "pyarrow", batch_size=None)
 
 
 def interval_count_window(ds, part_col: str, ts_col: str, id_col: str,
@@ -2422,9 +2410,8 @@ def listagg_customers_by_nation(sf_dir: str):
                               zip(starts, ends)], pa.string()),
         })
 
-    parts = (sorted_ds.map_batches(seg_partial, batch_format="pyarrow",
-                                   batch_size=None)
-             .to_pandas()
+    parts = (partial_combine(sorted_ds, seg_partial, "pyarrow",
+                             batch_size=None)
              .sort_values(["c_nationkey", "first_key"]))
     out = parts.groupby("c_nationkey", as_index=False).agg(
         names=("part", ",".join))

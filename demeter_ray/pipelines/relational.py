@@ -77,14 +77,17 @@ def gated_semi_join(ds, key_col: str, keys_ds, keys_col: str, anti: bool = False
     # per-batch unique rows still overcount across batches; the gate only
     # needs an upper bound, which this is
     if distinct.count() <= cap:
-        keyset = frozenset(distinct.to_pandas()[keys_col].tolist())
+        kdf = distinct.to_pandas()
+        keyset = (frozenset(kdf[keys_col].tolist())
+                  if keys_col in kdf.columns else frozenset())
         ref = _ray.put(keyset)
 
         def filt(batch: pd.DataFrame, keys) -> pd.DataFrame:
             m = batch[key_col].isin(keys)
             return batch[~m] if anti else batch[m]
 
-        return ds.map_batches(bcast(ref, filt), batch_format="pandas")
+        mapped = ds.map_batches(bcast(ref, filt), batch_format="pandas")
+        return _with_schema_anchor(mapped, ds, lambda eb: eb)
     # shuffle path: global dedup of the key side via the native vectorized
     # groupby-count (one row per key; the count column doubles as the
     # null-marker for anti), then partitioned join
@@ -108,10 +111,57 @@ def gated_semi_join(ds, key_col: str, keys_ds, keys_col: str, anti: bool = False
             lambda t: t.filter(pc.is_null(t[marker])), batch_format="pyarrow"
         )
     drop = [c for c in (marker, keys_col) if c != key_col]
-    return joined.map_batches(
+    out = joined.map_batches(
         lambda t, d=tuple(drop): t.drop_columns([c for c in d if c in t.column_names]),
         batch_format="pyarrow",
     )
+    return _with_schema_anchor(out, ds, lambda eb: eb)
+
+
+def _arrow_schema_of(ds):
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        if sch is None:
+            return None
+        return pa.schema(list(zip(sch.names, sch.types)))
+    except Exception:
+        return None
+
+
+def _with_schema_anchor(mapped_ds, src_ds, out_of_empty, extra_ds=()):
+    """Union a TYPED zero-row block onto ``mapped_ds`` so its schema stays
+    discoverable when the data side is empty (Ray drops the schema of
+    datasets whose every block is skipped).  ``out_of_empty`` maps a typed
+    empty batch of ``src_ds`` to a typed empty OUTPUT batch; if the source
+    schema is unknowable the dataset is returned unchanged.  The extra
+    block is empty — downstream operators see identical rows.  Column types
+    on the anchor come from ``src_ds`` (and any ``extra_ds``, e.g. a join's
+    dim side) so object-dtype pandas columns don't degrade to Arrow null."""
+    import ray.data as rd
+
+    eb = typed_empty_batch(src_ds, "pandas")
+    if eb is None:
+        return mapped_ds
+    try:
+        anchor = out_of_empty(eb)
+    except Exception:
+        return mapped_ds
+    hints: dict[str, pa.DataType] = {}
+    for d in (src_ds, *extra_ds):
+        sch = _arrow_schema_of(d)
+        if sch is not None:
+            hints.update(zip(sch.names, sch.types))
+    # Arrow block, not pandas: Ray's pandas size estimator np.vectorize()-es
+    # object columns and warns on zero-row input.  Empty object columns
+    # infer as Arrow null — restore the real type from the source schemas
+    # (string fallback) so the union's schema matches the data blocks.
+    tbl = pa.Table.from_pandas(anchor.iloc[0:0], preserve_index=False)
+    fields = [
+        pa.field(f.name, hints.get(f.name, pa.string()))
+        if pa.types.is_null(f.type) else f
+        for f in tbl.schema
+    ]
+    return mapped_ds.union(rd.from_arrow(tbl.cast(pa.schema(fields))))
 
 
 def gated_lookup_join(ds, key_col: str, dim_ds, dim_key: str, dim_cols: list[str],
@@ -132,12 +182,21 @@ def gated_lookup_join(ds, key_col: str, dim_ds, dim_key: str, dim_cols: list[str
 
     dim_ds = dim_ds.materialize()  # the gate's count() must not re-run the dim
     if dim_ds.count() <= cap:
-        dimdf = dim_ds.to_pandas().set_index(dim_key)[dim_cols]
+        dimdf = dim_ds.to_pandas()
+        if dimdf.shape[1] == 0:
+            # empty dim lost its schema (Ray drops it at zero rows):
+            # synthesize from the dataset schema, else bare key+cols
+            synth = typed_empty_batch(dim_ds, "pandas")
+            dimdf = (synth if synth is not None
+                     else pd.DataFrame({c: [] for c in [dim_key] + dim_cols}))
+        dimdf = dimdf.set_index(dim_key)[dim_cols]
 
         def attach(batch: pd.DataFrame, dim_tbl) -> pd.DataFrame:
             return batch.merge(dim_tbl, left_on=key_col, right_index=True, how=how)
 
-        return ds.map_batches(bcast(_ray.put(dimdf), attach), batch_format="pandas")
+        mapped = ds.map_batches(bcast(_ray.put(dimdf), attach), batch_format="pandas")
+        return _with_schema_anchor(mapped, ds, lambda eb: attach(eb, dimdf),
+                                   extra_ds=(dim_ds,))
     joined = ds.join(
         dim_ds.select_columns([dim_key] + dim_cols),
         join_type="inner" if how == "inner" else "left_outer",
@@ -150,7 +209,16 @@ def gated_lookup_join(ds, key_col: str, dim_ds, dim_key: str, dim_cols: list[str
             lambda t, d=dim_key: t.drop_columns([d]) if d in t.column_names else t,
             batch_format="pyarrow",
         )
-    return joined
+    dim_eb = typed_empty_batch(dim_ds, "pandas")
+
+    def out_of_empty(eb):
+        j = eb.merge(dim_eb[[dim_key] + dim_cols], left_on=key_col,
+                     right_on=dim_key, how=how)
+        return j.drop(columns=[dim_key]) if dim_key != key_col else j
+
+    return (joined if dim_eb is None
+            else _with_schema_anchor(joined, ds, out_of_empty,
+                                     extra_ds=(dim_ds,)))
 
 
 def bloom_semi_join(ds, key_col: str, keys_ds, keys_col: str,
@@ -213,16 +281,59 @@ def bloom_semi_join(ds, key_col: str, keys_ds, keys_col: str,
     return gated_semi_join(survivors, key_col, keys_ds, keys_col, cap=cap)
 
 
-def partial_combine(ds, partial_fn, batch_format="pandas"):
+def typed_empty_batch(ds, batch_format="pandas"):
+    """A ZERO-ROW batch carrying ``ds``'s schema, or None when the schema is
+    unknowable (an empty intermediate dataset).  Ray's executor never invokes
+    map_batches fns on zero-row input and ``to_pandas()`` then returns a
+    COLUMN-LESS frame — running the partial fn once on this batch recovers
+    the output schema, so legal empty inputs (a filter that matched nothing)
+    flow through combines instead of KeyError-ing downstream."""
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        if sch is None:
+            return None
+        arrow = pa.schema(list(zip(sch.names, sch.types)))
+        tbl = arrow.empty_table()
+    except Exception:
+        return None
+    return tbl if batch_format == "pyarrow" else tbl.to_pandas()
+
+
+def _synth_partial_df(ds, partial_fn, batch_format):
+    """Run ``partial_fn`` once on a typed empty batch of ``ds`` to recover
+    the partial-output schema.  When even the input schema is unknowable
+    (empty intermediate dataset), fall back to a bare empty batch — the
+    pyarrow partials in this repo all branch on ``num_rows == 0`` before
+    touching columns, so they still emit their output schema.  None if the
+    fn cannot run on empty input at all."""
+    eb = typed_empty_batch(ds, batch_format)
+    if eb is None:
+        eb = pa.table({}) if batch_format == "pyarrow" else pd.DataFrame()
+    try:
+        out = partial_fn(eb)
+    except Exception:
+        return None
+    out = out.to_pandas() if isinstance(out, pa.Table) else out
+    return out.iloc[0:0]
+
+
+def partial_combine(ds, partial_fn, batch_format="pandas", **mb_kwargs):
     """Two-level aggregation with a DRIVER-side combine: per-batch partials
     (one row per key per batch) collect to the driver, where pandas finishes
     the reduction.  For small-cardinality keys this replaces Ray's hash
     shuffle — measured at a 6-20s fixed cost per groupby on this build —
     with one streaming execution + a millisecond combine.  High-cardinality
     groupings (sessionize, exact dedup on content keys) keep the real
-    ``groupby`` shuffle.
+    ``groupby`` shuffle.  Empty input yields a typed empty partial frame
+    (see typed_empty_batch), not a column-less one.
     """
-    return ds.map_batches(partial_fn, batch_format=batch_format).to_pandas()
+    df = ds.map_batches(partial_fn, batch_format=batch_format,
+                        **mb_kwargs).to_pandas()
+    if df.shape[1] == 0:
+        synth = _synth_partial_df(ds, partial_fn, batch_format)
+        if synth is not None:
+            return synth
+    return df
 
 
 # partial rows above this count route through Ray's hash shuffle instead of
@@ -298,6 +409,13 @@ def partial_shuffle_combine(ds, partial_fn, keys, sums, batch_format="pyarrow",
     per_col = agg if isinstance(agg, dict) else {c: agg for c in sums}
     if parts.count() <= driver_cap:
         df = parts.to_pandas()
+        if df.shape[1] == 0:
+            df = _synth_partial_df(ds, partial_fn, batch_format)
+            if df is None:
+                raise ValueError(
+                    "partial_shuffle_combine: empty input with unknowable "
+                    "schema — cannot synthesize partial columns "
+                    f"(keys={keys})")
         return df.groupby(keys, as_index=False).agg(per_col)
     return _bucketed_group_combine(parts, keys, sums, per_col).to_pandas()
 
@@ -316,7 +434,14 @@ def gated_group_sum_ds(ds, partial_fn, keys, sums,
     per_col = agg if isinstance(agg, dict) else {c: agg for c in sums}
     parts = ds.map_batches(partial_fn, batch_format="pandas").materialize()
     if parts.count() <= cap:
-        df = parts.to_pandas().groupby(keys, as_index=False).agg(
+        df = parts.to_pandas()
+        if df.shape[1] == 0:
+            df = _synth_partial_df(ds, partial_fn, "pandas")
+            if df is None:
+                raise ValueError(
+                    "gated_group_sum_ds: empty input with unknowable schema "
+                    f"— cannot synthesize partial columns (keys={keys})")
+        df = df.groupby(keys, as_index=False).agg(
             {c: per_col[c] for c in sums})
         return rd.from_pandas(df)
     return _bucketed_group_combine(parts, keys, sums, per_col)
