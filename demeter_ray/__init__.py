@@ -28,6 +28,13 @@ Nothing in this package calls ``ray.init`` — sessions are owned by callers
 
 __version__ = "0.1.0"
 
+# Typed empty-result shim: Dataset.to_pandas() on an all-empty dataset
+# rebuilds the frame from the statically-inferred plan schema instead of
+# returning a column-less one (see stages/schema_infer.py for why).
+from demeter_ray.stages.schema_infer import install_typed_empty_to_pandas
+
+install_typed_empty_to_pandas()
+
 
 def ship_code_to_workers() -> None:
     """Register every demeter_ray module for cloudpickle pickle-by-value so
@@ -51,7 +58,7 @@ def ship_code_to_workers() -> None:
         "demeter_ray.stages.knn", "demeter_ray.stages.mask",
         "demeter_ray.stages.merge", "demeter_ray.stages.ndvi",
         "demeter_ray.stages.pip", "demeter_ray.stages.pools",
-        "demeter_ray.stages.sample",
+        "demeter_ray.stages.sample", "demeter_ray.stages.schema_infer",
         "demeter_ray.stages.simsearch", "demeter_ray.stages.sketches",
         "demeter_ray.stages.spatial",
         "demeter_ray.state.lineage",

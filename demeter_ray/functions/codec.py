@@ -98,6 +98,8 @@ def encode_batch(pixels4d: np.ndarray, fmt: str, q: int = 4) -> list[bytes]:
         body = (pixels4d.astype(np.int64) // q).astype(np.uint8)
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
+    if n == 0:
+        return []
     flat = body.reshape(n, -1)
     return [hdr + flat[k].tobytes() for k in range(n)]
 

@@ -646,6 +646,9 @@ def image_transform_features_q(sf_dir: str):
 
     ds = ds.map_batches(to_images, batch_format="pyarrow", batch_size=512)
     out = transform_images(ds, concurrency=(1, 4)).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"image_id": pd.Series(dtype="object"),
+                             "feat_mean": pd.Series(dtype="float64")})
     feats = np.array(out["features"].tolist())
     out["feat_mean"] = duck_round(feats.mean(axis=1), 6)
     return out[["image_id", "feat_mean"]]
@@ -678,6 +681,9 @@ def image_embedding_neardup_q(sf_dir: str):
 
     ds = ds.map_batches(to_images, batch_format="pyarrow", batch_size=512)
     feats_df = transform_images(ds, concurrency=(1, 4)).to_pandas()
+    if len(feats_df) == 0:
+        return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                             "b_id": pd.Series(dtype="int64")})
     ids = feats_df["vec_id"].to_numpy(dtype=np.int64)
     E = np.array(feats_df["features"].tolist(), dtype=np.float64)
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
@@ -767,7 +773,8 @@ def approx_distinct_users_q(sf_dir: str):
             "metric": ["distinct_users", "distinct_tokens"],
             "estimate": [round(est, 1), round(vocab_est, 1)],
             "exact": [exact, -1],
-            "rel_error": [round(abs(est - exact) / exact, 4), -1.0],
+            "rel_error": [round(abs(est - exact) / exact, 4) if exact else -1.0,
+                          -1.0],
         }
     )
 

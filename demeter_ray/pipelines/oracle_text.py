@@ -169,7 +169,10 @@ def knn_embeddings_top5(sf_dir: str):
             i = int(np.flatnonzero(ids == 0)[0])
             qv = np.asarray(b["embedding"][i].as_py(), dtype=np.float64)
             break
-    assert qv is not None
+    if qv is None:
+        # empty corpus (or no vec_id 0): no query vector, no neighbors
+        return pd.DataFrame({"rank": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64")})
     qn = qv / np.linalg.norm(qv)
     ref = ray.put(qn)
 
@@ -214,6 +217,9 @@ def embedding_neardup_pairs(sf_dir: str):
     bucketing scale path is stages/simsearch.py."""
     emb_tbl = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     full = emb_tbl.to_pandas()
+    if len(full) == 0:
+        return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                             "b_id": pd.Series(dtype="int64")})
     ids_all = full["vec_id"].to_numpy(dtype=np.int64)
     E = np.array(full["embedding"].tolist(), dtype=np.float64)
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
@@ -756,7 +762,7 @@ def image_exposure_filter(sf_dir: str):
     def gate(batch: pa.Table) -> pa.Table:
         px = codec.decode_batch(batch["bytes"].to_pylist(), 16, 16).astype(np.int64)
         l1000 = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]  # (N,16,16)
-        flat = l1000.reshape(len(px), -1)
+        flat = l1000.reshape(len(px), 256)  # explicit: reshape(0, -1) raises
         s = flat.sum(axis=1)
         r = flat.max(axis=1) - flat.min(axis=1)
         keep = (s >= 32_500_000) & (s <= 32_650_000) & (r >= 232_000)
@@ -943,6 +949,7 @@ def kmeans_embedding_clusters(sf_dir: str):
     import ray as _ray
     from demeter_ray.sources.tables import read_table
     from demeter_ray.stages.simsearch import (
+        _assign_nearest,
         _emb_matrix,
         _normalize,
         distributed_kmeans,
@@ -956,7 +963,7 @@ def kmeans_embedding_clusters(sf_dir: str):
     def stats(batch: pa.Table) -> pa.Table:
         c = _ray.get(ref)
         E = _normalize(_emb_matrix(batch))
-        a = np.argmax(E @ c.T, axis=1)
+        a = _assign_nearest(E, c)
         sims = np.einsum("ij,ij->i", E, c[a])
         df = pd.DataFrame({"cluster": a, "n": 1, "s": sims}).groupby(
             "cluster", as_index=False).sum()

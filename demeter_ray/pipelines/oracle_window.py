@@ -937,16 +937,25 @@ def full_outer_month_activity(sf_dir: str):
         ships, month_partial("l_shipdate", "n_ships"), ["month"], ["n_ships"]
     )
     def _arrow_ds(df):
-        return ray.data.from_arrow(
-            pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
-        )
+        tbl = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        if len(df) == 0:  # empty object columns degrade to null; keep string
+            tbl = tbl.cast(pa.schema(
+                [pa.field(f.name, pa.string()) if pa.types.is_null(f.type) else f
+                 for f in tbl.schema]))
+        return ray.data.from_arrow(tbl)
 
-    joined = _arrow_ds(om).join(
-        _arrow_ds(sm),
-        join_type="full_outer",
-        num_partitions=4,
-        on=("month",),
-    ).to_pandas()
+    if len(om) == 0 or len(sm) == 0:
+        # Ray's hash-shuffle join cannot finalize all-empty partitions
+        # (Arrow acero sees a column-less side); both frames are already
+        # driver-side, so the empty case merges locally
+        joined = om.merge(sm, on="month", how="outer")
+    else:
+        joined = _arrow_ds(om).join(
+            _arrow_ds(sm),
+            join_type="full_outer",
+            num_partitions=4,
+            on=("month",),
+        ).to_pandas()
     out = joined.sort_values("month").reset_index(drop=True)
     out["n_orders"] = out["n_orders"].astype(np.float64)
     out["n_ships"] = out["n_ships"].astype(np.float64)
@@ -1145,6 +1154,10 @@ def edit_distance_pairs(sf_dir: str):
         )
 
     pref = ds.map_batches(prefixes, batch_format="pyarrow").to_pandas()
+    if len(pref) == 0:
+        return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                             "b_id": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
     order = np.argsort(pref["doc_id"].to_numpy())
     ids_all = pref["doc_id"].to_numpy()[order]
     M_all = np.stack(pref["prefix"].to_numpy()[order]).astype(np.uint8)
@@ -1322,6 +1335,10 @@ def image_blockmean_neardup(sf_dir: str):
     import ray as _ray
 
     vecs = ds.map_batches(vec_batch, batch_format="pyarrow", batch_size=512).to_pandas()
+    if len(vecs) == 0:
+        return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                             "b_id": pd.Series(dtype="int64"),
+                             "dot": pd.Series(dtype="int64")})
     order = np.argsort(vecs["doc_id"].to_numpy())
     ids_all = vecs["doc_id"].to_numpy()[order]
     V_all = np.stack(vecs["vec"].to_numpy()[order]).astype(np.int64)
@@ -1411,6 +1428,14 @@ def hash_sample_lineitems(sf_dir: str):
         )
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        # SQL semantics on an empty sample: COUNT 0, SUM/MIN/MAX NULL
+        return pd.DataFrame(
+            {"n_sampled": pd.array([0], dtype="int64"),
+             "sum_qty": pd.array([None], dtype="Int64"),
+             "min_okey": pd.array([None], dtype="Int64"),
+             "max_okey": pd.array([None], dtype="Int64")}
+        )
     return pd.DataFrame(
         {
             "n_sampled": [int(parts["n_sampled"].sum())],
@@ -2440,6 +2465,11 @@ def embedding_dim_stats(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["embedding"])
 
     def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "s2": pa.array([], pa.float64())})
         m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
         return pa.table({
             "dim": pa.array(np.arange(1, m.shape[1] + 1), pa.int64()),

@@ -26,6 +26,11 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from demeter_ray.sources.tables import read_table
+from demeter_ray.stages.schema_infer import (  # noqa: F401 (re-exports)
+    collect_df,
+    dataset_from_typed_df,
+    infer_schema_static,
+)
 
 QUERIES: dict = {}
 
@@ -119,6 +124,10 @@ def gated_semi_join(ds, key_col: str, keys_ds, keys_col: str, anti: bool = False
 
 
 def _arrow_schema_of(ds):
+    # static plan walk first: no execution, works on empty intermediates
+    sch = infer_schema_static(ds)
+    if sch is not None:
+        return sch
     try:
         sch = ds.schema(fetch_if_missing=True)
         if sch is None:
@@ -287,15 +296,22 @@ def typed_empty_batch(ds, batch_format="pandas"):
     map_batches fns on zero-row input and ``to_pandas()`` then returns a
     COLUMN-LESS frame — running the partial fn once on this batch recovers
     the output schema, so legal empty inputs (a filter that matched nothing)
-    flow through combines instead of KeyError-ing downstream."""
-    try:
-        sch = ds.schema(fetch_if_missing=True)
-        if sch is None:
+    flow through combines instead of KeyError-ing downstream.
+
+    Schema discovery is a STATIC walk of the logical plan first
+    (stages/schema_infer.py — no execution, covers mapped/filtered/joined
+    intermediates), with ``schema(fetch_if_missing=True)`` as the fallback
+    for source reads the walker can't handle."""
+    arrow = infer_schema_static(ds)
+    if arrow is None:
+        try:
+            sch = ds.schema(fetch_if_missing=True)
+            if sch is None:
+                return None
+            arrow = pa.schema(list(zip(sch.names, sch.types)))
+        except Exception:
             return None
-        arrow = pa.schema(list(zip(sch.names, sch.types)))
-        tbl = arrow.empty_table()
-    except Exception:
-        return None
+    tbl = arrow.empty_table()
     return tbl if batch_format == "pyarrow" else tbl.to_pandas()
 
 
@@ -443,7 +459,7 @@ def gated_group_sum_ds(ds, partial_fn, keys, sums,
                     f"— cannot synthesize partial columns (keys={keys})")
         df = df.groupby(keys, as_index=False).agg(
             {c: per_col[c] for c in sums})
-        return rd.from_pandas(df)
+        return dataset_from_typed_df(df)
     return _bucketed_group_combine(parts, keys, sums, per_col)
 
 
@@ -886,6 +902,9 @@ def sorted_unique_segments(sf_dir: str):
         return pd.DataFrame({"n_name": [g["n_name"].iloc[0]], "segments": [segs]})
 
     out = ds.groupby("n_name").map_groups(agg, batch_format="pandas").to_pandas()
+    if out.shape[1] == 0:  # all-empty input: map_groups never ran
+        out = pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                            "segments": pd.Series(dtype="object")})
     return out.sort_values("n_name").reset_index(drop=True)
 
 
@@ -1223,10 +1242,18 @@ def hash_join_orders_customers(sf_dir: str):
     neither side fits a broadcast (ray_guide 'Both sides large').  The
     broadcast variants stay the right choice for dim tables; this one
     demonstrates the partitioned path."""
-    orders = read_table(
+    orders_raw = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
-    ).filter(expr="o_orderstatus == 'O'").drop_columns(["o_orderstatus"])
+    )
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    # metadata-only emptiness gate: an all-empty input feeds the native
+    # hash shuffle schema-less blocks, which Arrow's join cannot finalize
+    if orders_raw.count() == 0 or cust.count() == 0:
+        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                             "o_totalprice": pd.Series(dtype="float64"),
+                             "c_name": pd.Series(dtype="object"),
+                             "c_mktsegment": pd.Series(dtype="object")})
+    orders = orders_raw.filter(expr="o_orderstatus == 'O'").drop_columns(["o_orderstatus"])
     joined = orders.join(cust, join_type="inner", num_partitions=8,
                          on=("o_custkey",), right_on=("c_custkey",))
     return joined.select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
@@ -1330,7 +1357,12 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
         keys = t[key].to_numpy(zero_copy_only=False)
         n = len(side)
         if n == 0:
-            return t.drop_columns(drop)
+            out = t.drop_columns(drop)
+            for c in b_cols:  # keep the output schema on empty partitions
+                if c in t.column_names:
+                    out = out.append_column(
+                        suffix + c, pa.nulls(0, type=t[c].type))
+            return out
         # b rows sort before a rows at equal ts (inclusive as-of match)
         order = np.lexsort((1 - side, ts, keys))
         k_s, side_s = keys[order], side[order]
@@ -1358,8 +1390,20 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
             a_tbl = a_tbl.append_column(suffix + c, col)
         return a_tbl
 
-    s = a_ds.schema()
+    s = _arrow_schema_of(a_ds)
     key_type = dict(zip(s.names, s.types))[key]
+    # typed zero-row anchor: map_groups never runs on all-empty input, so
+    # without it the output would lose the a-side + asof_* schema
+    b_sch = _arrow_schema_of(b_ds)
+    if b_sch is not None and all(c in b_sch.names for c in b_cols):
+        b_types = dict(zip(b_sch.names, b_sch.types))
+        anchor_fields = list(s) + [
+            pa.field(suffix + c, b_types[c]) for c in b_cols]
+        anchor = ray.data.from_arrow(pa.schema(anchor_fields).empty_table())
+        _union_anchor = lambda d: d.union(anchor)  # noqa: E731
+    else:  # schema unknowable: skip anchoring rather than mis-shape a union
+        _union_anchor = lambda d: d  # noqa: E731
+
     if pa.types.is_integer(key_type):
         # hash-partition on the key: each partition task merges MANY keys in
         # one vectorized pass — O(partitions) Python calls, not O(keys)
@@ -1369,14 +1413,15 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
             k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
             return t.append_column("__pkey", pa.array(k % nparts, pa.int64()))
 
-        return (
+        return _union_anchor(
             both.map_batches(add_pkey, batch_format="pyarrow")
             .groupby("__pkey")
             .map_groups(merge_partition, batch_format="pyarrow")
         )
     # non-integer keys: per-key groups (same vectorized merge body — a
     # single-key partition is just the degenerate case)
-    return both.groupby(key).map_groups(merge_partition, batch_format="pyarrow")
+    return _union_anchor(both.groupby(key).map_groups(
+        merge_partition, batch_format="pyarrow"))
 
 
 _ASOF_SQL = """

@@ -222,7 +222,7 @@ def image_features_batch(px: np.ndarray, bins: int = 8) -> np.ndarray:
     )
     counts = np.bincount(flat.ravel(), minlength=n * c * bins).reshape(n, c, bins)
     hists = counts / (h * w)
-    p = px.reshape(n, -1).astype(np.float64)
+    p = px.reshape(n, h * w * c).astype(np.float64)  # reshape(0, -1) raises
     extra = np.stack([p.mean(axis=1) / 255.0, p.std(axis=1) / 255.0], axis=1)
     return np.concatenate([hists.reshape(n, c * bins), extra], axis=1)
 

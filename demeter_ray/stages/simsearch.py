@@ -32,12 +32,24 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
     col = batch["embedding"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        # empty (or type-erased null) column: no rows -> (0, 0); callers
+        # branch on N before touching D
+        return np.empty((0, 0), dtype=np.float64)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(col), -1)
 
 
 def _normalize(E: np.ndarray) -> np.ndarray:
     return E / np.linalg.norm(E, axis=1, keepdims=True)
+
+
+def _assign_nearest(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Row-wise nearest-centroid ids; total on zero rows / zero centroids
+    (np.argmax on an empty axis raises)."""
+    if E.shape[0] == 0 or C.shape[0] == 0:
+        return np.zeros(E.shape[0], dtype=np.int64)
+    return np.argmax(E @ C.T, axis=1).astype(np.int64)
 
 
 def brute_force_topk(
@@ -88,8 +100,10 @@ def train_ivf_centroids(sample: np.ndarray, n_lists: int, iters: int = 5,
     rng = np.random.RandomState(seed)
     X = _normalize(np.asarray(sample, dtype=np.float64))
     C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    if len(X) == 0:
+        return C
     for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)
+        assign = _assign_nearest(X, C)
         for j in range(len(C)):
             members = X[assign == j]
             if len(members):
@@ -111,7 +125,7 @@ def build_ivf_index(ds: ray.data.Dataset, n_lists: int = 16) -> ray.data.Dataset
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         E = _normalize(_emb_matrix(batch))
-        bucket = np.argmax(E @ c.T, axis=1).astype(np.int64)
+        bucket = _assign_nearest(E, c)
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
     out = ds.map_batches(assign, batch_format="pyarrow")
@@ -384,7 +398,7 @@ def distributed_kmeans(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
             c = ray.get(ref)
             E = _normalize(_emb_matrix(batch))
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            assign = np.argmax(E @ c.T, axis=1)
+            assign = _assign_nearest(E, c)
             rows = []
             for j in np.unique(assign):
                 m = assign == j
@@ -416,8 +430,7 @@ def distributed_kmeans(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
         E = _normalize(_emb_matrix(batch))
         return pa.table({
             "vec_id": batch["vec_id"],
-            "cluster": pa.array(np.argmax(E @ c.T, axis=1).astype(np.int64),
-                                pa.int64()),
+            "cluster": pa.array(_assign_nearest(E, c), pa.int64()),
         })
 
     return C, ds.map_batches(assign_final, batch_format="pyarrow")

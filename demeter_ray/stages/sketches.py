@@ -239,7 +239,10 @@ def grouped_sorted_quantiles(ds, key: str, val: str, qs, round_to: int = 4):
         seg_partial, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     if parts.empty:
-        return pd.DataFrame({key: pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {key: pd.Series(dtype="int64"),
+             **{f"q{int(q * 100)}": pd.Series(dtype="float64") for q in qs}}
+        )
     ident_cols = ["b_fk", "b_fv", "b_lk", "b_lv", "b_n"]
     grouped: dict[tuple, list[tuple[int, int, int]]] = {}
     for row in parts.itertuples(index=False):
@@ -337,6 +340,11 @@ def grouped_exact_quantiles(ds, key: str, val: str, qs, round_to: int = 4):
         return g
 
     hist = partial_shuffle_combine(ds, partial, [key, val], ["n"], batch_format="pandas")
+    if len(hist) == 0:
+        return pd.DataFrame(
+            {key: hist[key] if key in hist.columns else pd.Series(dtype="int64"),
+             **{f"q{int(q * 100)}": pd.Series(dtype="float64") for q in qs}}
+        )
     out_rows = []
     for k, g in hist.groupby(key):
         g = g.sort_values(val)
@@ -418,12 +426,13 @@ def profile_numeric_columns(ds, cols, ndv_cap: int = 1_000_000):
             ndv = int(nonnull.groupby(c).count().count())
         else:
             ndv = len(seen)
+        have_vals = len(p) > 0 and p["vmin"].notna().any()
         out.append({
             "col": c,
             "n": int(p["n"].sum()),
             "n_null": int(p["n_null"].sum()),
-            "vmin": float(np.nanmin(p["vmin"].to_numpy())),
-            "vmax": float(np.nanmax(p["vmax"].to_numpy())),
+            "vmin": float(np.nanmin(p["vmin"].to_numpy())) if have_vals else np.nan,
+            "vmax": float(np.nanmax(p["vmax"].to_numpy())) if have_vals else np.nan,
             "ndv": ndv,
         })
     return pd.DataFrame(out)
