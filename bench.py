@@ -142,6 +142,8 @@ def run_benchmarks() -> dict:
         "cohort_retention_grid",
         "top_bigrams_corpus",
         "kmeans_embedding_clusters",
+        "pack_documents_context_windows",
+        "ngram_contamination_check",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -977,3 +977,191 @@ def kmeans_embedding_clusters(sf_dir: str):
         "mean_sim": (g["s"] / g["n"]).round(6),
     })
     return out.sort_values("cluster").reset_index(drop=True)
+
+
+# ---------------- sequence packing: greedy docs -> fixed context windows
+
+_PACK_N = 256  # window size in whitespace tokens
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+),
+c AS (
+  SELECT doc_id, ntok,
+         COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT CAST(off // {_PACK_N} AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("pack_documents_context_windows", _PACK_SQL)
+def pack_documents_context_windows(sf_dir: str):
+    """Greedy sequential sequence packing — the LLM-training step that
+    concatenates documents (in stable doc_id order) into fixed-size token
+    windows: a doc lands in chunk floor(exclusive_token_offset / N).
+
+    Distributed via the running-sum shape (relational.running_sum_per_user):
+    one range-partitioned sort on doc_id, O(blocks) token-count partials to
+    the driver for exclusive per-block base offsets, then a second
+    vectorized pass over the SAME materialized blocks assigns chunk ids and
+    emits per-(block, chunk) partials; the final per-chunk reduction is a
+    size-gated combine keyed on chunk_id (chunk count is
+    total_tokens / N — combine-friendly at any corpus size)."""
+    import pyarrow.compute as pc
+
+    from demeter_ray.pipelines.relational import partial_shuffle_combine
+
+    sorted_ds = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .sort("doc_id")
+        .materialize()
+    )
+
+    def block_tokens(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_doc": pa.array([], pa.int64()),
+                             "tok_sum": pa.array([], pa.int64())})
+        # segments of ' '-split = spaces + 1 (== SQL len(string_split))
+        ntok = pc.add(pc.count_substring(t["text"], " "), 1)
+        return pa.table({
+            "first_doc": pa.array([t["doc_id"][0].as_py()], pa.int64()),
+            "tok_sum": pa.array([pc.sum(ntok).as_py() or 0], pa.int64()),
+        })
+
+    from demeter_ray.pipelines.relational import partial_combine
+
+    parts = (partial_combine(sorted_ds, block_tokens, "pyarrow",
+                             batch_size=None)
+             .sort_values("first_doc").reset_index(drop=True))
+    bases = np.r_[0, np.cumsum(parts["tok_sum"].to_numpy())[:-1]].astype(np.int64)
+    base_by_first = {int(f): int(b) for f, b in zip(parts["first_doc"], bases)}
+    import ray as _ray
+
+    ref = _ray.put(base_by_first)
+
+    def chunk_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"chunk_id": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "total_tokens": pa.array([], pa.int64()),
+                             "first_doc": pa.array([], pa.int64()),
+                             "last_doc": pa.array([], pa.int64())})
+        basemap = _ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = (pc.add(pc.count_substring(t["text"], " "), 1)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        off = basemap[int(ids[0])] + np.r_[0, np.cumsum(ntok)[:-1]]
+        chunk = off // _PACK_N
+        df = pd.DataFrame({"chunk_id": chunk, "n_docs": 1,
+                           "total_tokens": ntok,
+                           "first_doc": ids, "last_doc": ids})
+        g = df.groupby("chunk_id", as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_tokens=("total_tokens", "sum"),
+            first_doc=("first_doc", "min"), last_doc=("last_doc", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = partial_shuffle_combine(
+        sorted_ds, chunk_partial,
+        ["chunk_id"], ["n_docs", "total_tokens", "first_doc", "last_doc"],
+        batch_format="pyarrow", mb_kwargs={"batch_size": None},
+        agg={"n_docs": "sum", "total_tokens": "sum",
+             "first_doc": "min", "last_doc": "max"},
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("chunk_id").reset_index(drop=True)
+
+
+# ---------------- train/test n-gram contamination (decontamination check)
+
+_CONTAM_W = 8  # shingle width in tokens
+
+_CONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(tk[i:i+{_CONTAM_W - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(tk) - {_CONTAM_W - 2})) AS u(i)
+),
+lab AS (
+  SELECT doc_id, g, (doc_id * 2654435761) % 97 >= 88 AS is_test FROM sh
+),
+train_g AS (SELECT DISTINCT g FROM lab WHERE NOT is_test),
+test_pairs AS (SELECT DISTINCT doc_id, g FROM lab WHERE is_test)
+SELECT t.doc_id, COUNT(*) AS n_shared
+FROM test_pairs t JOIN train_g tr USING (g)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+@register("ngram_contamination_check", _CONTAM_SQL)
+def ngram_contamination_check(sf_dir: str):
+    """Train/test contamination: which TEST documents share any 8-token
+    shingle with ANY train document (the decontamination pass every
+    benchmark-clean training corpus needs).  Split = the deterministic
+    multiplicative hash of stratified_split_docs (test = top ~10%).
+
+    Distributed shape: per-batch shingling emits slim (doc_id, ghash,
+    is_test) rows hashed with stable_hash64 (sha256 — string-identical
+    shingles collide iff a 63-bit sha collision fires, and the SQL oracle
+    joins on the raw string, so parity itself verifies no collision);
+    the train side reduces to a distinct-hash key set and the test pairs
+    semi-join it through the size-gated broadcast/shuffle plan
+    (gated_semi_join) — no shingle STRING ever shuffles."""
+    from demeter_ray.pipelines.relational import (
+        dataset_from_typed_df,
+        gated_semi_join,
+        partial_shuffle_combine,
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingles(b: pd.DataFrame, want_test: bool) -> pd.DataFrame:
+        h = (b["doc_id"].to_numpy(dtype=np.int64) * 2654435761) % 97
+        sel = (h >= 88) if want_test else (h < 88)
+        ids, ghs = [], []
+        for did, txt in zip(b["doc_id"].to_numpy()[sel],
+                            b["text"].to_numpy()[sel]):
+            toks = txt.lower().split(" ")
+            grams = {" ".join(toks[i:i + _CONTAM_W])
+                     for i in range(len(toks) - _CONTAM_W + 1)}
+            for g in grams:
+                ids.append(int(did))
+                ghs.append(hashing.stable_hash64(g))
+        return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                             "ghash": np.array(ghs, dtype=np.int64)})
+
+    def train_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = shingles(b, want_test=False)[["ghash"]].drop_duplicates()
+        return p.assign(c=np.int64(1))
+
+    # distinct train shingle hashes (each hash survives once at any scale)
+    train_hashes = dataset_from_typed_df(
+        partial_shuffle_combine(ds, train_partial, ["ghash"], ["c"],
+                                batch_format="pandas", agg="min")[["ghash"]]
+    )
+
+    test_pairs = ds.map_batches(
+        lambda b: shingles(b, want_test=True), batch_format="pandas")
+    hits = gated_semi_join(test_pairs, "ghash", train_hashes, "ghash")
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # (doc_id, ghash) pairs are distinct by construction (set per doc,
+        # one row per doc per batch), so size == distinct shared shingles
+        return b.groupby("doc_id", as_index=False).agg(
+            n_shared=("ghash", "size"))
+
+    out = partial_shuffle_combine(hits, count_partial, ["doc_id"],
+                                  ["n_shared"], batch_format="pandas")
+    out["n_shared"] = out["n_shared"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -411,7 +411,8 @@ def _bucketed_group_combine(parts, keys, sums, per_col):
 
 
 def partial_shuffle_combine(ds, partial_fn, keys, sums, batch_format="pyarrow",
-                            driver_cap: int = DRIVER_COMBINE_CAP, agg="sum"):
+                            driver_cap: int = DRIVER_COMBINE_CAP, agg="sum",
+                            mb_kwargs: dict | None = None):
     """Two-level aggregation whose combine side is SIZE-GATED: per-batch
     partial rows either collect to the driver (small, under ``driver_cap``)
     or reduce through the bucketed distributed combine (hash(key) %
@@ -421,7 +422,8 @@ def partial_shuffle_combine(ds, partial_fn, keys, sums, batch_format="pyarrow",
     must be a reduction where combining partials with the same function is
     exact (sum, min, max) — one name for every column, or a
     ``{column: name}`` dict for mixed reductions."""
-    parts = ds.map_batches(partial_fn, batch_format=batch_format).materialize()
+    parts = ds.map_batches(partial_fn, batch_format=batch_format,
+                           **(mb_kwargs or {})).materialize()
     per_col = agg if isinstance(agg, dict) else {c: agg for c in sums}
     if parts.count() <= driver_cap:
         df = parts.to_pandas()
