@@ -1165,3 +1165,48 @@ def ngram_contamination_check(sf_dir: str):
     out["n_shared"] = out["n_shared"].astype("int64")
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------- repetition ratio: duplicated-n-gram corpus-quality rule
+
+_REP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*), 6) AS rep_ratio
+FROM g GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("doc_repetition_ratio", _REP_SQL)
+def doc_repetition_ratio(sf_dir: str):
+    """Per-document duplicated-bigram fraction — the Gopher-style repetition
+    quality rule corpus filters apply before training (a doc whose n-grams
+    repeat heavily is boilerplate/spam).  One row = one doc, so the whole
+    statistic is batch-local and the output is O(docs): no shuffle at all —
+    the structural-locality fast path every per-document metric shares."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        n_grams = np.empty(len(b), dtype=np.int64)
+        n_dist = np.empty(len(b), dtype=np.int64)
+        for k, txt in enumerate(b["text"].to_numpy()):
+            toks = txt.lower().split(" ")
+            grams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+            n_grams[k] = len(grams)
+            n_dist[k] = len(set(grams))
+        keep = n_grams > 0  # single-token docs have no bigram group in SQL
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy()[keep],
+            "n_grams": n_grams[keep],
+            "n_distinct": n_dist[keep],
+            "rep_ratio": duck_round(1.0 - n_dist[keep] / n_grams[keep], 6),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
