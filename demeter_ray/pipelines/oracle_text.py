@@ -1210,3 +1210,101 @@ def doc_repetition_ratio(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------- int8 scalar quantization of the embedding column (ANN prep)
+
+_QUANT_SQL = """
+WITH v AS (
+  -- FLOAT[] storage: cast to DOUBLE so every arithmetic step below runs
+  -- in float64 exactly like the numpy side (float32 subtraction would
+  -- diverge in the last bits)
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         UNNEST(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+s AS (SELECT i AS dim, MIN(x) AS lo, MAX(x) AS hi FROM v GROUP BY i),
+q AS (
+  SELECT v.i AS dim, lo, hi,
+         ROUND((x - lo) * 255.0 / (hi - lo)) AS code,
+         ABS(ROUND((x - lo) * 255.0 / (hi - lo)) * (hi - lo) / 255.0 + lo - x)
+           AS abs_err
+  FROM v JOIN s ON v.i = s.dim
+)
+SELECT dim, ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
+       CAST(SUM(CASE WHEN code = 0 OR code = 255 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_saturated,
+       ROUND(MAX(abs_err), 9) AS max_abs_err
+FROM q GROUP BY dim, lo, hi ORDER BY dim
+"""
+
+
+@register("embedding_int8_quantization", _QUANT_SQL)
+def embedding_int8_quantization(sf_dir: str):
+    """Int8 scalar quantization of the embedding column — the compression
+    step vector indexes apply before ANN serving (4x memory cut).  Two
+    streaming passes, both dim-bounded: (1) per-dim lo/hi from mergeable
+    min/max partials; (2) broadcast (lo, hi), per-batch quantize + count
+    saturated codes + track max reconstruction error — every reported
+    statistic (min, max, count, max-err) is ORDER-INSENSITIVE, so the
+    distributed reduction is bit-deterministic and SQL-matchable (an
+    AVG-of-floats would float-drift under re-associated sums).  The code
+    arithmetic uses half-away rounding (duck_round) to match SQL ROUND."""
+    import ray as _ray
+
+    from demeter_ray.pipelines.relational import partial_combine
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        E = _emb_matrix(t)
+        if E.shape[0] == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(1, E.shape[1] + 1), pa.int64()),
+            "lo": pa.array(E.min(axis=0), pa.float64()),
+            "hi": pa.array(E.max(axis=0), pa.float64()),
+        })
+
+    mm = (partial_combine(ds, minmax_partial, "pyarrow")
+          .groupby("dim", as_index=False).agg(lo=("lo", "min"), hi=("hi", "max")))
+    if len(mm) == 0:
+        return pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                             "lo": pd.Series(dtype="float64"),
+                             "hi": pd.Series(dtype="float64"),
+                             "n_saturated": pd.Series(dtype="int64"),
+                             "max_abs_err": pd.Series(dtype="float64")})
+    lo = mm.sort_values("dim")["lo"].to_numpy(np.float64)
+    hi = mm.sort_values("dim")["hi"].to_numpy(np.float64)
+    ref = _ray.put((lo, hi))
+
+    def quant_partial(t: pa.Table) -> pa.Table:
+        l, h = _ray.get(ref)
+        E = _emb_matrix(t)
+        if E.shape[0] == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n_saturated": pa.array([], pa.int64()),
+                             "max_abs_err": pa.array([], pa.float64())})
+        code = duck_round((E - l) * 255.0 / (h - l), 0)
+        abs_err = np.abs(code * (h - l) / 255.0 + l - E)
+        return pa.table({
+            "dim": pa.array(np.arange(1, E.shape[1] + 1), pa.int64()),
+            "n_saturated": pa.array(
+                ((code == 0) | (code == 255)).sum(axis=0).astype(np.int64),
+                pa.int64()),
+            "max_abs_err": pa.array(abs_err.max(axis=0), pa.float64()),
+        })
+
+    parts = partial_combine(ds, quant_partial, "pyarrow")
+    g = parts.groupby("dim", as_index=False).agg(
+        n_saturated=("n_saturated", "sum"), max_abs_err=("max_abs_err", "max"))
+    out = pd.DataFrame({
+        "dim": g["dim"].astype("int64"),
+        "lo": duck_round(lo, 6),
+        "hi": duck_round(hi, 6),
+        "n_saturated": g["n_saturated"].astype("int64"),
+        "max_abs_err": duck_round(g["max_abs_err"].to_numpy(np.float64), 9),
+    })
+    return out.sort_values("dim").reset_index(drop=True)
