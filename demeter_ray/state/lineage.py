@@ -111,6 +111,9 @@ def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None,
     part = _part_path(out_dir, rec["key"])
     tmp = part + ".tmp"
     pq.write_table(table, tmp)
+    # bytes is deterministic for a deterministic table (same sorted rows ->
+    # same parquet), so the record stays byte-identical across re-writers
+    rec["bytes"] = os.path.getsize(tmp)
     os.replace(tmp, part)
     lpath = _lineage_path(out_dir, rec["key"])
     ltmp = lpath + ".tmp"
@@ -141,7 +144,7 @@ def write_partitioned(
     per key; keys already completed are skipped (their groups filter out
     before the shuffle).  ``fail_on_keys`` injects failures for tests.
 
-    Returns the manifest (key, rows, checksum, skipped)."""
+    Returns the manifest (key, rows, bytes, checksum, skipped)."""
     done = completed_keys(out_dir)
 
     if done:
@@ -163,7 +166,8 @@ def write_partitioned(
         prof = profile_for(k) if profile_for is not None else None
         rec = write_partition(out_dir, k, g, sort_cols, profile=prof)
         return pd.DataFrame(
-            {"key": [rec["key"]], "rows": [rec["rows"]], "checksum": [rec["checksum"]],
+            {"key": [rec["key"]], "rows": [rec["rows"]],
+             "bytes": [rec["bytes"]], "checksum": [rec["checksum"]],
              "skipped": [False]}
         )
 
@@ -171,7 +175,8 @@ def write_partitioned(
         ds.groupby(key_col).map_groups(write_group, batch_format="pandas").to_pandas()
     )
     skipped = pd.DataFrame(
-        {"key": sorted(done), "rows": -1, "checksum": "", "skipped": True}
+        {"key": sorted(done), "rows": -1, "bytes": -1, "checksum": "",
+         "skipped": True}
     )
     manifest = pd.concat([written, skipped], ignore_index=True) if len(skipped) else written
     return manifest.sort_values("key").reset_index(drop=True)

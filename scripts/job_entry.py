@@ -79,6 +79,7 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "out": args.out,
         "rows_written": int(written["rows"].sum()),
+        "bytes_written": int(written["bytes"].sum()),
         "partitions_written": int((~manifest["skipped"]).sum()),
         "partitions_skipped": int(manifest["skipped"].sum()),
         "sec": round(dt, 3),
