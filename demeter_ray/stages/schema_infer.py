@@ -271,22 +271,24 @@ def _aggregate_schema(op, in_schema: pa.Schema) -> Optional[pa.Schema]:
 
 
 def _join_schema(op, left: pa.Schema, right: pa.Schema) -> pa.Schema:
-    """Ray join column rules: key columns once (left's), then non-key
-    columns from both sides, suffixed only when a suffix was given."""
-    lkeys = list(getattr(op, "_left_key_columns", ()) or ())
-    rkeys = list(getattr(op, "_right_key_columns", ()) or ())
+    """Ray join column rules: LEFT columns in their original order (key
+    columns stay in place), then right non-key columns; suffixes apply to
+    colliding non-key names when given."""
+    lkeys = set(getattr(op, "_left_key_columns", ()) or ())
+    rkeys = set(getattr(op, "_right_key_columns", ()) or ())
     lsuf = getattr(op, "_left_columns_suffix", None) or ""
     rsuf = getattr(op, "_right_columns_suffix", None) or ""
+    r_nonkey = {f.name for f in right if f.name not in rkeys}
     fields = []
-    for k in lkeys:
-        idx = left.get_field_index(k)
-        fields.append(left.field(idx) if idx >= 0 else pa.field(k, pa.float64()))
     for f in left:
-        if f.name not in lkeys:
-            fields.append(pa.field(f.name + lsuf, f.type) if lsuf else f)
+        collides = f.name not in lkeys and f.name in r_nonkey
+        fields.append(pa.field(f.name + lsuf, f.type) if collides and lsuf else f)
+    lnames = {f.name for f in left}
     for f in right:
-        if f.name not in rkeys:
-            fields.append(pa.field(f.name + rsuf, f.type) if rsuf else f)
+        if f.name in rkeys:
+            continue
+        collides = f.name in lnames
+        fields.append(pa.field(f.name + rsuf, f.type) if collides and rsuf else f)
     # de-dup identical names (no-suffix collisions keep the first)
     seen, out = set(), []
     for f in fields:

@@ -161,3 +161,45 @@ def test_codec_batch_kernels_total_on_empty():
     assert codec.encode_batch(px, "png") == []
     assert codec.decode_batch([], 16, 16).shape == (0, 16, 16, 3)
     assert codec.phash64_batch(px).shape == (0,)
+
+
+def test_inferred_schema_matches_actual_on_nonempty(ray_session):
+    """The worst walker failure mode is a WRONG schema (None is always
+    safe).  For every chain family, the statically-inferred schema of the
+    NON-empty pipeline must equal the schema Ray actually produces."""
+    from demeter_ray.stages.schema_infer import infer_schema_static
+
+    sf = "/root/testdata/sf0.001"
+    nation = rd.read_parquet(f"{sf}/nation.parquet")
+    cust = rd.read_parquet(f"{sf}/customer.parquet")
+
+    chains = {
+        "read": nation,
+        "sort_limit": nation.sort("n_nationkey").limit(5),
+        "project": nation.select_columns(["n_name", "n_regionkey"]),
+        "rename": nation.rename_columns({"n_name": "name"}),
+        "filter_expr": nation.filter(expr="n_regionkey == 1"),
+        "map_arrow": nation.map_batches(
+            lambda t: pa.table({"k2": pa.compute.multiply(t["n_nationkey"], 2)}),
+            batch_format="pyarrow"),
+        "map_pandas": nation.map_batches(
+            lambda b: b.assign(flag=b["n_regionkey"] > 1),
+            batch_format="pandas"),
+        "union": nation.select_columns(["n_nationkey"]).union(
+            nation.select_columns(["n_nationkey"])),
+        "agg": nation.groupby("n_regionkey").count(),
+        "join": cust.join(nation, join_type="inner", num_partitions=2,
+                          on=("c_nationkey",), right_on=("n_nationkey",)),
+        "chained": (cust.select_columns(["c_custkey", "c_acctbal"])
+                    .filter(expr="c_acctbal > 0")
+                    .map_batches(lambda t: t.rename_columns(
+                        ["custkey", "bal"]), batch_format="pyarrow")
+                    .sort("custkey")),
+    }
+    for name, ds in chains.items():
+        inferred = infer_schema_static(ds)
+        if inferred is None:
+            continue  # None is the safe answer; wrongness is what we pin
+        actual = ds.to_pandas()
+        assert list(inferred.names) == list(actual.columns), (
+            f"{name}: inferred {inferred.names} vs actual {list(actual.columns)}")
