@@ -1308,3 +1308,38 @@ def embedding_int8_quantization(sf_dir: str):
         "max_abs_err": duck_round(g["max_abs_err"].to_numpy(np.float64), 9),
     })
     return out.sort_values("dim").reset_index(drop=True)
+
+
+# ------------- BPE-ish regex token counting (driver token-count req #2)
+
+_BPE_TOK_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'))
+            AS BIGINT) AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("bpe_token_counts", _BPE_TOK_SQL)
+def bpe_token_counts(sf_dir: str):
+    """Token counting with the BPE-ish regex (functions/text.BPE_RE: word /
+    number / punctuation runs) beside the whitespace count — the two
+    token-budget estimates a training pipeline tracks.  The compiled
+    pattern lives at module scope (compiled once per worker process, not
+    per batch); the oracle recomputes with the identical RE2-compatible
+    pattern via regexp_extract_all."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].to_numpy()
+        n_bpe = np.fromiter(
+            (len(textfns.BPE_RE.findall(t)) for t in texts),
+            dtype=np.int64, count=len(texts))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_bpe_tokens": n_bpe,
+            "n_ws_tokens": b["text"].str.count(" ").to_numpy(np.int64) + 1,
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
