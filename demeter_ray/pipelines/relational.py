@@ -683,7 +683,10 @@ def grouped_top2_per_nation(sf_dir: str):
 
     def add_nation(batch: pd.DataFrame, names) -> pd.DataFrame:
         batch["n_name"] = batch["c_nationkey"].map(names)
-        return batch[["n_name", "c_custkey", "c_acctbal"]]
+        # INNER-join semantics: a customer with no matching nation drops
+        # (the oracle joins, it does not left-join)
+        return batch.loc[batch["n_name"].notna(),
+                         ["n_name", "c_custkey", "c_acctbal"]]
 
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_nationkey"])
     ds = ds.map_batches(bcast(ref, add_nation), batch_format="pandas")
@@ -894,7 +897,8 @@ def sorted_unique_segments(sf_dir: str):
 
     def add_nation(batch: pd.DataFrame, names) -> pd.DataFrame:
         batch["n_name"] = batch["c_nationkey"].map(names)
-        return batch[["n_name", "c_mktsegment"]]
+        # inner semantics: unmatched customers drop (SQL EXISTS + join)
+        return batch.loc[batch["n_name"].notna(), ["n_name", "c_mktsegment"]]
 
     ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
     ds = ds.map_batches(bcast(ref, add_nation), batch_format="pandas")
@@ -1087,7 +1091,9 @@ def supplier_nation_join(sf_dir: str):
     def lookup(b: pd.DataFrame, names) -> pd.DataFrame:
         b["n_name"] = b["s_nationkey"].map(names)
         b["acctbal"] = duck_round(b["s_acctbal"], 2)
-        return b[["s_suppkey", "s_name", "n_name", "acctbal"]]
+        # inner semantics: suppliers with no matching nation drop
+        return b.loc[b["n_name"].notna(),
+                     ["s_suppkey", "s_name", "n_name", "acctbal"]]
 
     ds = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
     out = ds.map_batches(bcast(ref, lookup), batch_format="pandas").to_pandas()
@@ -1244,18 +1250,13 @@ def hash_join_orders_customers(sf_dir: str):
     neither side fits a broadcast (ray_guide 'Both sides large').  The
     broadcast variants stay the right choice for dim tables; this one
     demonstrates the partitioned path."""
-    orders_raw = read_table(
+    orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
-    )
+    ).filter(expr="o_orderstatus == 'O'").drop_columns(["o_orderstatus"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
-    # metadata-only emptiness gate: an all-empty input feeds the native
-    # hash shuffle schema-less blocks, which Arrow's join cannot finalize
-    if orders_raw.count() == 0 or cust.count() == 0:
-        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
-                             "o_totalprice": pd.Series(dtype="float64"),
-                             "c_name": pd.Series(dtype="object"),
-                             "c_mktsegment": pd.Series(dtype="object")})
-    orders = orders_raw.filter(expr="o_orderstatus == 'O'").drop_columns(["o_orderstatus"])
+    # empty sides are safe: the DemeterJoinAggregation subclass (installed
+    # at import; schema_infer._install_join_empty_partition_fix) types
+    # column-less partition sides before the acero join
     joined = orders.join(cust, join_type="inner", num_partitions=8,
                          on=("o_custkey",), right_on=("c_custkey",))
     return joined.select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])

@@ -156,6 +156,94 @@ def install_typed_empty_to_pandas() -> None:
     materialize._demeter_typed_empty = True
     ray.data.Dataset.materialize = materialize
 
+    _install_join_empty_partition_fix()
+
+
+def _install_join_empty_partition_fix() -> None:
+    """Ray's hash-shuffle join builds each partition side from received
+    shards; a side that contributed NO shards (an all-empty input — e.g. a
+    filter that matched nothing) becomes a COLUMN-LESS table and Arrow's
+    acero join fails with "No match for key field".
+
+    Fix: a ``JoiningShuffleAggregation`` subclass whose ``finalize``
+    rebuilds a column-less side as a TYPED empty table (schema remembered
+    from any shard this aggregator saw, else just the key columns typed
+    from the other side).  The subclass is injected as ``JoinOperator``'s
+    default ``shuffle_aggregation_type`` — the aggregation factory lambda
+    cloudpickles the class BY VALUE into the aggregator actors, so the fix
+    reaches worker processes without patching installed Ray code there.
+    Idempotent and version-guarded: any import/signature drift leaves Ray
+    untouched."""
+    try:
+        from ray.data._internal.execution.operators.join import (
+            _JOIN_TYPE_TO_ARROW_JOIN_VERB_MAP,
+            JoinOperator,
+            JoiningShuffleAggregation,
+        )
+    except Exception:
+        return
+    if getattr(JoinOperator, "_demeter_empty_fix", False):
+        return
+
+    class DemeterJoinAggregation(JoiningShuffleAggregation):
+        def accept(self, input_seq_id, partition_id, partition_shard):
+            try:
+                sch = getattr(partition_shard, "schema", None)
+                if sch is not None and len(sch) > 0:
+                    if not hasattr(self, "_demeter_seen_schemas"):
+                        self._demeter_seen_schemas = {}
+                    self._demeter_seen_schemas.setdefault(input_seq_id, sch)
+            except Exception:
+                pass
+            return super().accept(input_seq_id, partition_id, partition_shard)
+
+        def _demeter_typed_empty_side(self, seq_id, own_keys, other_keys,
+                                      other_tbl):
+            seen = getattr(self, "_demeter_seen_schemas", {}).get(seq_id)
+            if seen is not None:
+                return seen.empty_table()
+            fields = []
+            for k, ok in zip(own_keys, other_keys):
+                idx = other_tbl.schema.get_field_index(ok)
+                typ = (other_tbl.schema.field(idx).type if idx >= 0
+                       else pa.int64())
+                fields.append(pa.field(k, typ))
+            return pa.schema(fields).empty_table()
+
+        def finalize(self, partition_id):
+            left = self._get_partition_builder(
+                input_seq_id=0, partition_id=partition_id).build()
+            right = self._get_partition_builder(
+                input_seq_id=1, partition_id=partition_id).build()
+            if left.num_columns > 0 and right.num_columns > 0:
+                return super().finalize(partition_id)
+            if left.num_columns == 0 and right.num_columns == 0:
+                return pa.table({})  # zero-row block; vanishes downstream
+            lkeys = list(self._left_key_col_names)
+            rkeys = list(self._right_key_col_names)
+            if left.num_columns == 0:
+                left = self._demeter_typed_empty_side(0, lkeys, rkeys, right)
+            else:
+                right = self._demeter_typed_empty_side(1, rkeys, lkeys, left)
+            return left.join(
+                right,
+                join_type=_JOIN_TYPE_TO_ARROW_JOIN_VERB_MAP[self._join_type],
+                keys=lkeys,
+                right_keys=rkeys,
+                left_suffix=self._left_columns_suffix,
+                right_suffix=self._right_columns_suffix,
+            )
+
+    orig_init = JoinOperator.__init__
+
+    def join_init(self, *args, **kwargs):
+        if kwargs.get("shuffle_aggregation_type") is None:
+            kwargs["shuffle_aggregation_type"] = DemeterJoinAggregation
+        return orig_init(self, *args, **kwargs)
+
+    JoinOperator.__init__ = join_init
+    JoinOperator._demeter_empty_fix = True
+
 
 def _normalize_schema(sch) -> Optional[pa.Schema]:
     """Arrow schema from either a pa.Schema or a PandasBlockSchema."""

@@ -65,6 +65,11 @@ def main():
 
     DataContext.get_current().enable_progress_bars = False
 
+    import demeter_ray
+
+    # location-independent: workers must not need the repo on sys.path/cwd
+    demeter_ray.ship_code_to_workers()
+
     import demeter_ray.pipelines.oracle_extra  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_text  # noqa: F401  (registers)
