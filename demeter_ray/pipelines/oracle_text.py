@@ -228,6 +228,9 @@ def embedding_neardup_pairs(sf_dir: str):
     def pairs_fn(batch: pa.Table) -> pa.Table:
         ids_full, En_full = ray.get(ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:  # keep the fn total: (0,0) @ (d,N) would raise
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
         E = _emb_matrix(batch)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         S = En @ En_full.T

@@ -696,7 +696,12 @@ def grouped_top2_per_nation(sf_dir: str):
             ["c_acctbal", "c_custkey"], ascending=[False, True]
         ).head(2)
 
-    return ds.groupby("n_name").map_groups(top2, batch_format="pandas")
+    out = ds.groupby("n_name").map_groups(top2, batch_format="pandas").to_pandas()
+    if out.shape[1] == 0:  # all-empty input: map_groups never ran
+        out = pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                            "c_custkey": pd.Series(dtype="int64"),
+                            "c_acctbal": pd.Series(dtype="float64")})
+    return out
 
 
 _INTERVAL_SQL = """
