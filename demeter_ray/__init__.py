@@ -31,7 +31,10 @@ __version__ = "0.1.0"
 # Typed empty-result shim: Dataset.to_pandas() on an all-empty dataset
 # rebuilds the frame from the statically-inferred plan schema instead of
 # returning a column-less one (see stages/schema_infer.py for why).
-from demeter_ray.stages.schema_infer import install_typed_empty_to_pandas
+from demeter_ray.stages.schema_infer import (
+    explain_plan,  # noqa: F401  (public: plan tree w/ inferred schemas)
+    install_typed_empty_to_pandas,
+)
 
 install_typed_empty_to_pandas()
 

@@ -67,9 +67,13 @@ def q6_revenue_forecast(sf_dir: str):
             & (b["l_quantity"] < 24)
         )
         s = float((b.loc[m, "l_extendedprice"] * b.loc[m, "l_discount"]).sum())
-        return pd.DataFrame({"revenue": [s]})
+        return pd.DataFrame({"revenue": [s], "n": [int(m.sum())]})
 
-    total = partial_combine(ds, partial)["revenue"].sum()
+    parts = partial_combine(ds, partial)
+    if int(parts["n"].sum()) == 0:
+        # SQL SUM over zero qualifying rows is NULL, not 0.0
+        return pd.DataFrame({"revenue": [np.nan]})
+    total = parts["revenue"].sum()
     return pd.DataFrame({"revenue": duck_round([total], 2)})
 
 
@@ -364,9 +368,12 @@ def q19_disjunctive_predicate(sf_dir: str):
                 & (b["l_quantity"] >= qlo).to_numpy() & (b["l_quantity"] <= qhi).to_numpy()
             )
         rev = (b.loc[m, "l_extendedprice"] * (1 - b.loc[m, "l_discount"])).sum()
-        return pd.DataFrame({"revenue": [float(rev)]})
+        return pd.DataFrame({"revenue": [float(rev)], "n": [int(m.sum())]})
 
-    total = partial_combine(joined, partial)["revenue"].sum()
+    parts = partial_combine(joined, partial)
+    if int(parts["n"].sum()) == 0:
+        return pd.DataFrame({"revenue": [np.nan]})  # SQL SUM of nothing: NULL
+    total = parts["revenue"].sum()
     return pd.DataFrame({"revenue": duck_round([total], 2)})
 
 
@@ -519,6 +526,13 @@ def q13_customer_order_distribution(sf_dir: str):
             c_count=("o_custkey", "size"))
 
     per_cust = gated_group_sum_ds(orders, count_partial, ["o_custkey"], ["c_count"])
+    # LEFT JOIN is from the CUSTOMER side: orders naming a customer absent
+    # from the customer table must not contribute a count row.  Semi-join
+    # the per-customer counts (one row per customer, far smaller than
+    # orders) against the customer keys.
+    per_cust = gated_semi_join(
+        per_cust, "o_custkey",
+        read_table(sf_dir, "customer", columns=["c_custkey"]), "c_custkey")
 
     def dist_partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("c_count", as_index=False).agg(
@@ -661,9 +675,13 @@ def q17_small_quantity_revenue(sf_dir: str):
         th = _ray.get(ref)
         lim = b["l_partkey"].map(th)
         m = b["l_quantity"] < lim
-        return pd.DataFrame({"s": [float(b.loc[m, "l_extendedprice"].sum())]})
+        return pd.DataFrame({"s": [float(b.loc[m, "l_extendedprice"].sum())],
+                             "n": [int(m.sum())]})
 
-    total = partial_combine(li, filtered_sum)["s"].sum()
+    parts = partial_combine(li, filtered_sum)
+    if int(parts["n"].sum()) == 0:
+        return pd.DataFrame({"avg_yearly": [np.nan]})  # SUM of nothing: NULL
+    total = parts["s"].sum()
     return pd.DataFrame({"avg_yearly": duck_round([total / 7.0], 2)})
 
 

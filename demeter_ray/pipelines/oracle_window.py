@@ -1428,8 +1428,9 @@ def hash_sample_lineitems(sf_dir: str):
         )
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    if len(parts) == 0:
+    if len(parts) == 0 or int(parts["n_sampled"].sum()) == 0:
         # SQL semantics on an empty sample: COUNT 0, SUM/MIN/MAX NULL
+        # (sentinel-coded extremes must not leak when nothing sampled)
         return pd.DataFrame(
             {"n_sampled": pd.array([0], dtype="int64"),
              "sum_qty": pd.array([None], dtype="Int64"),
@@ -2482,7 +2483,9 @@ def embedding_dim_stats(sf_dir: str):
     g = parts.groupby("dim", as_index=False).sum()
     n = g["n"].to_numpy(np.float64)
     mean = g["s"].to_numpy(np.float64) / n
-    var = (g["s2"].to_numpy(np.float64) - n * mean * mean) / (n - 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        var = (g["s2"].to_numpy(np.float64) - n * mean * mean) / (n - 1.0)
+    var = np.where(n < 2, np.nan, var)  # STDDEV_SAMP of one sample: NULL
     return pd.DataFrame({
         "dim": g["dim"].astype("int64"),
         "mean_v": duck_round(mean, 6),

@@ -1348,6 +1348,17 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
     )
     both = a_tag.union(b_tag)
 
+    _b_sch = _arrow_schema_of(b_ds)
+    _b_types = (dict(zip(_b_sch.names, _b_sch.types)) if _b_sch is not None
+                else {})
+
+    def _b_type(t: pa.Table, c: str):
+        # a GLOBALLY empty b side ships no blocks, so its columns never
+        # reach the partition table — type all-miss columns from b's
+        # static schema instead of KeyError-ing
+        return (t.schema.field(c).type if c in t.column_names
+                else _b_types.get(c, pa.float64()))
+
     def merge_partition(t: pa.Table) -> pa.Table:
         """Vectorized MULTI-key as-of merge over one hash partition: sort
         the partition by (key, ts, b-before-a), forward-fill the last
@@ -1367,9 +1378,7 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
         if n == 0:
             out = t.drop_columns(drop)
             for c in b_cols:  # keep the output schema on empty partitions
-                if c in t.column_names:
-                    out = out.append_column(
-                        suffix + c, pa.nulls(0, type=t[c].type))
+                out = out.append_column(suffix + c, pa.nulls(0, type=_b_type(t, c)))
             return out
         # b rows sort before a rows at equal ts (inclusive as-of match)
         order = np.lexsort((1 - side, ts, keys))
@@ -1387,7 +1396,7 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
         if not is_b.any():
             for c in b_cols:
                 a_tbl = a_tbl.append_column(
-                    suffix + c, pa.nulls(len(orig_a), type=t.schema.field(c).type)
+                    suffix + c, pa.nulls(len(orig_a), type=_b_type(t, c))
                 )
             return a_tbl
         orig_b = order[np.clip(last_b[a_pos], 0, None)]
@@ -1402,11 +1411,9 @@ def asof_join_grouped(a_ds, b_ds, key: str, ts_col: str, b_cols: list[str],
     key_type = dict(zip(s.names, s.types))[key]
     # typed zero-row anchor: map_groups never runs on all-empty input, so
     # without it the output would lose the a-side + asof_* schema
-    b_sch = _arrow_schema_of(b_ds)
-    if b_sch is not None and all(c in b_sch.names for c in b_cols):
-        b_types = dict(zip(b_sch.names, b_sch.types))
+    if _b_sch is not None and all(c in _b_sch.names for c in b_cols):
         anchor_fields = list(s) + [
-            pa.field(suffix + c, b_types[c]) for c in b_cols]
+            pa.field(suffix + c, _b_types[c]) for c in b_cols]
         anchor = ray.data.from_arrow(pa.schema(anchor_fields).empty_table())
         _union_anchor = lambda d: d.union(anchor)  # noqa: E731
     else:  # schema unknowable: skip anchoring rather than mis-shape a union

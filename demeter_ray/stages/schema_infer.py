@@ -38,6 +38,7 @@ __all__ = [
     "infer_schema_static",
     "typed_empty_table",
     "collect_df",
+    "explain_plan",
     "install_typed_empty_to_pandas",
 ]
 
@@ -63,6 +64,39 @@ def infer_schema_static(ds) -> Optional[pa.Schema]:
     # a zero-field schema is "unknown", not "no columns" — a group-wise
     # wrapper fn that emits nothing on empty input must not poison callers
     return sch if sch is not None and len(sch) > 0 else None
+
+
+def explain_plan(ds) -> str:
+    """Human-readable logical plan tree with the STATICALLY inferred
+    output schema at every operator (``?`` where inference stops — per-row
+    UDFs, unknown ops).  Pure driver-side walk: nothing executes.
+
+    >>> print(explain_plan(read_table(sf, "nation").sort("n_name")))
+    Sort  [n_nationkey:int32, n_name:string, ...]
+      Read  [n_nationkey:int32, n_name:string, ...]
+    """
+    lines: list = []
+
+    def fmt(sch: Optional[pa.Schema]) -> str:
+        if sch is None:
+            return "[?]"
+        cols = ", ".join(f"{f.name}:{f.type}" for f in sch)
+        return f"[{cols}]"
+
+    def walk(op, depth: int) -> None:
+        try:
+            sch = _infer_op(op)
+            if sch is not None and len(sch) == 0:
+                sch = None
+        except Exception:
+            sch = None
+        name = getattr(op, "_name", None) or type(op).__name__
+        lines.append(f"{'  ' * depth}{name}  {fmt(sch)}")
+        for dep in op.input_dependencies:
+            walk(dep, depth + 1)
+
+    walk(ds._logical_plan.dag, 0)
+    return "\n".join(lines)
 
 
 def typed_empty_table(ds) -> Optional[pa.Table]:

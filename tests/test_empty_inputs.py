@@ -203,3 +203,19 @@ def test_inferred_schema_matches_actual_on_nonempty(ray_session):
         actual = ds.to_pandas()
         assert list(inferred.names) == list(actual.columns), (
             f"{name}: inferred {inferred.names} vs actual {list(actual.columns)}")
+
+
+def test_explain_plan_renders_schemas(ray_session):
+    from demeter_ray import explain_plan
+
+    sf = "/root/testdata/sf0.001"
+    ds = (rd.read_parquet(f"{sf}/nation.parquet")
+          .select_columns(["n_nationkey", "n_name"])
+          .sort("n_nationkey"))
+    text = explain_plan(ds)
+    lines = text.splitlines()
+    assert len(lines) == 3  # Sort <- Project <- Read
+    assert "n_name:string" in lines[0]
+    assert "[?]" not in text
+    # per-row map: schema shows as unknown, tree still renders
+    assert "[?]" in explain_plan(ds.map(lambda r: r)).splitlines()[0]
