@@ -1431,11 +1431,11 @@ def hash_sample_lineitems(sf_dir: str):
     if len(parts) == 0 or int(parts["n_sampled"].sum()) == 0:
         # SQL semantics on an empty sample: COUNT 0, SUM/MIN/MAX NULL
         # (sentinel-coded extremes must not leak when nothing sampled)
+        # float64 NaN, not nullable Int64: DuckDB's .df() delivers NULL
+        # BIGINT aggregates as float64 NaN, and the driver compares dtypes
         return pd.DataFrame(
             {"n_sampled": pd.array([0], dtype="int64"),
-             "sum_qty": pd.array([None], dtype="Int64"),
-             "min_okey": pd.array([None], dtype="Int64"),
-             "max_okey": pd.array([None], dtype="Int64")}
+             "sum_qty": [np.nan], "min_okey": [np.nan], "max_okey": [np.nan]}
         )
     return pd.DataFrame(
         {

@@ -25,7 +25,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype(np.float64)
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype(np.int64)
+            # nullable Int64 with NA cannot cast to int64; go float64 the
+            # way DuckDB's .df() does for NULL-able BIGINT
+            if df[c].isna().any():
+                df[c] = df[c].astype(np.float64)
+            else:
+                df[c] = df[c].astype(np.int64)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
