@@ -768,12 +768,15 @@ def approx_distinct_users_q(sf_dir: str):
     est = approx_distinct(users, "user_id", p=12)
     docs = read_table(sf_dir, "documents", columns=["text"])
     vocab_est = approx_distinct_tokens(docs, p=12)
+    # an HLL estimate of 0.0 only happens on an EMPTY corpus (any value
+    # sets a register), where the SQL fold yields NULL — mirror that
     return pd.DataFrame(
         {
             "metric": ["distinct_users", "distinct_tokens"],
-            "estimate": [round(est, 1), round(vocab_est, 1)],
+            "estimate": [np.nan if est == 0.0 else round(est, 1),
+                         np.nan if vocab_est == 0.0 else round(vocab_est, 1)],
             "exact": [exact, -1],
-            "rel_error": [round(abs(est - exact) / exact, 4) if exact else -1.0,
+            "rel_error": [round(abs(est - exact) / exact, 4) if exact else np.nan,
                           -1.0],
         }
     )

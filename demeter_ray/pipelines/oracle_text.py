@@ -1120,11 +1120,7 @@ def ngram_contamination_check(sf_dir: str):
     the train side reduces to a distinct-hash key set and the test pairs
     semi-join it through the size-gated broadcast/shuffle plan
     (gated_semi_join) — no shingle STRING ever shuffles."""
-    from demeter_ray.pipelines.relational import (
-        dataset_from_typed_df,
-        gated_semi_join,
-        partial_shuffle_combine,
-    )
+    from demeter_ray.pipelines.relational import gated_semi_join
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1147,11 +1143,13 @@ def ngram_contamination_check(sf_dir: str):
         p = shingles(b, want_test=False)[["ghash"]].drop_duplicates()
         return p.assign(c=np.int64(1))
 
-    # distinct train shingle hashes (each hash survives once at any scale)
-    train_hashes = dataset_from_typed_df(
-        partial_shuffle_combine(ds, train_partial, ["ghash"], ["c"],
-                                batch_format="pandas", agg="min")[["ghash"]]
-    )
+    # distinct train shingle hashes: gated_group_sum_ds returns a DATASET
+    # that stays distributed above the driver cap (the train shingle
+    # vocabulary is roughly one hash per train token — it must never
+    # round-trip through driver memory at corpus scale)
+    train_hashes = gated_group_sum_ds(
+        ds, train_partial, ["ghash"], ["c"], agg="min"
+    ).map_batches(lambda t: t.select(["ghash"]), batch_format="pyarrow")
 
     test_pairs = ds.map_batches(
         lambda b: shingles(b, want_test=True), batch_format="pandas")

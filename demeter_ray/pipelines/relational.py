@@ -145,19 +145,25 @@ def _with_schema_anchor(mapped_ds, src_ds, out_of_empty, extra_ds=()):
     schema is unknowable the dataset is returned unchanged.  The extra
     block is empty — downstream operators see identical rows.  Column types
     on the anchor come from ``src_ds`` (and any ``extra_ds``, e.g. a join's
-    dim side) so object-dtype pandas columns don't degrade to Arrow null."""
+    dim side) so object-dtype pandas columns don't degrade to Arrow null.
+
+    STATIC walks only, each source walked once: this runs at
+    join-construction time on non-empty hot paths, so it must never fall
+    back to ``schema(fetch_if_missing=True)`` (which would execute the
+    upstream plan just to build the anchor)."""
     import ray.data as rd
 
-    eb = typed_empty_batch(src_ds, "pandas")
-    if eb is None:
+    src_sch = infer_schema_static(src_ds)
+    if src_sch is None:
         return mapped_ds
+    eb = src_sch.empty_table().to_pandas()
     try:
         anchor = out_of_empty(eb)
     except Exception:
         return mapped_ds
-    hints: dict[str, pa.DataType] = {}
-    for d in (src_ds, *extra_ds):
-        sch = _arrow_schema_of(d)
+    hints: dict[str, pa.DataType] = dict(zip(src_sch.names, src_sch.types))
+    for d in extra_ds:
+        sch = infer_schema_static(d)
         if sch is not None:
             hints.update(zip(sch.names, sch.types))
     # Arrow block, not pandas: Ray's pandas size estimator np.vectorize()-es
@@ -301,16 +307,12 @@ def typed_empty_batch(ds, batch_format="pandas"):
     Schema discovery is a STATIC walk of the logical plan first
     (stages/schema_infer.py — no execution, covers mapped/filtered/joined
     intermediates), with ``schema(fetch_if_missing=True)`` as the fallback
-    for source reads the walker can't handle."""
-    arrow = infer_schema_static(ds)
+    for source reads the walker can't handle (_arrow_schema_of does both;
+    only call this AFTER an execution came back empty — the fetch fallback
+    would otherwise execute the plan)."""
+    arrow = _arrow_schema_of(ds)
     if arrow is None:
-        try:
-            sch = ds.schema(fetch_if_missing=True)
-            if sch is None:
-                return None
-            arrow = pa.schema(list(zip(sch.names, sch.types)))
-        except Exception:
-            return None
+        return None
     tbl = arrow.empty_table()
     return tbl if batch_format == "pyarrow" else tbl.to_pandas()
 

@@ -179,10 +179,22 @@ def install_typed_empty_to_pandas() -> None:
         out = orig_mat(self, *args, **kwargs)
         try:
             # lazy thunk, not an eager walk: inference may instantiate
-            # class UDFs driver-side, which hot paths must never pay for
-            out._logical_plan.dag._demeter_schema_thunk = (
-                lambda src=self: infer_schema_static(src)
-            )
+            # class UDFs driver-side, which hot paths must never pay for.
+            # Capture only the LOGICAL DAG root — not the Dataset — so the
+            # thunk pins the plan's op objects (whose UDF closures the
+            # walk needs) but not the plan/executor wrappers.  A weakref
+            # would die immediately for `ds.sort(...).materialize()`
+            # chains, whose intermediate Dataset is temporary.
+            root = self._logical_plan.dag
+
+            def thunk(r=root):
+                try:
+                    sch = _infer_op(r)
+                except Exception:
+                    return None
+                return sch if sch is not None and len(sch) > 0 else None
+
+            out._logical_plan.dag._demeter_schema_thunk = thunk
         except Exception:
             pass
         return out
@@ -231,11 +243,21 @@ def _install_join_empty_partition_fix() -> None:
                 pass
             return super().accept(input_seq_id, partition_id, partition_shard)
 
+        # per-join static input schemas, stamped by join_init below (the
+        # dynamic subclass cloudpickles by value into aggregator actors)
+        _demeter_static_schemas: dict = {}
+
         def _demeter_typed_empty_side(self, seq_id, own_keys, other_keys,
                                       other_tbl):
             seen = getattr(self, "_demeter_seen_schemas", {}).get(seq_id)
             if seen is not None:
                 return seen.empty_table()
+            static = self._demeter_static_schemas.get(seq_id)
+            if static is not None:
+                return static.empty_table()
+            # last resort: key columns only, typed from the other side —
+            # outer-join outputs would lack this side's payload columns,
+            # but zero-row results (inner/semi) stay correct
             fields = []
             for k, ok in zip(own_keys, other_keys):
                 idx = other_tbl.schema.get_field_index(ok)
@@ -270,9 +292,32 @@ def _install_join_empty_partition_fix() -> None:
 
     orig_init = JoinOperator.__init__
 
+    def _static_schema_of_physical(phys) -> Optional[pa.Schema]:
+        # the planner links each physical op to its logical op before the
+        # join is planned (topological order), so the walker can run on
+        # the logical inputs — no execution
+        for lop in reversed(getattr(phys, "_logical_operators", None) or []):
+            try:
+                sch = _infer_op(lop)
+            except Exception:
+                sch = None
+            if sch is not None and len(sch) > 0:
+                return sch
+        return None
+
     def join_init(self, *args, **kwargs):
         if kwargs.get("shuffle_aggregation_type") is None:
-            kwargs["shuffle_aggregation_type"] = DemeterJoinAggregation
+            schemas = {
+                0: _static_schema_of_physical(kwargs.get("left_input_op")),
+                1: _static_schema_of_physical(kwargs.get("right_input_op")),
+            }
+
+            class _JoinAgg(DemeterJoinAggregation):
+                _demeter_static_schemas = {
+                    k: v for k, v in schemas.items() if v is not None
+                }
+
+            kwargs["shuffle_aggregation_type"] = _JoinAgg
         return orig_init(self, *args, **kwargs)
 
     JoinOperator.__init__ = join_init
@@ -354,18 +399,52 @@ def _eval_udf_on_empty(op, in_schema: pa.Schema) -> Optional[pa.Schema]:
             out = next(iter(out), None)
     except Exception:
         return None
-    return _schema_of_batch(out)
+    sch = _schema_of_batch(out)
+    if sch is None:
+        return None
+    # zero-row pandas object columns arrive as Arrow null: restore the
+    # input's type for pass-through columns, string for new ones (this
+    # repo's object columns are strings; anything else shows up in the
+    # inferred-vs-actual parity test)
+    in_types = {f.name: f.type for f in in_schema}
+    fields = [
+        pa.field(f.name, in_types.get(f.name, pa.string()))
+        if pa.types.is_null(f.type) else f
+        for f in sch
+    ]
+    return pa.schema(fields)
 
 
-# AggregateFn output column types by class name; Sum/Min/Max inherit the
-# target column's type, everything else is fixed
+# AggregateFn output column types by class name (fixed-output aggs)
 _AGG_FIXED_TYPES = {
     "Count": pa.int64(),
     "Mean": pa.float64(),
     "Std": pa.float64(),
     "Quantile": pa.float64(),
-    "AbsMax": pa.float64(),
 }
+
+
+def _agg_output_type(cls: str, base: Optional[pa.DataType]) -> Optional[pa.DataType]:
+    """Output type of a Ray AggregateFn, or None when not certain — the
+    module contract is 'never a guessed-wrong schema', so unknown agg
+    classes fail the walk instead of defaulting."""
+    if cls in _AGG_FIXED_TYPES:
+        return _AGG_FIXED_TYPES[cls]
+    if base is None:
+        return None
+    if cls == "Sum":  # Arrow sums widen to 64-bit
+        if pa.types.is_unsigned_integer(base):
+            return pa.uint64()
+        if pa.types.is_integer(base):
+            return pa.int64()
+        if pa.types.is_floating(base):
+            return pa.float64()
+        return None
+    if cls in ("Min", "Max", "AbsMax"):
+        return base
+    if cls == "Unique":
+        return pa.list_(base)
+    return None
 
 
 def _aggregate_schema(op, in_schema: pa.Schema) -> Optional[pa.Schema]:
@@ -376,19 +455,27 @@ def _aggregate_schema(op, in_schema: pa.Schema) -> Optional[pa.Schema]:
         idx = in_schema.get_field_index(k)
         if idx < 0:
             return None
-        fields.append(in_schema.field(idx))
+        f = in_schema.field(idx)
+        # Ray's hash aggregate widens integer key columns to 64-bit
+        # (pinned by test_inferred_schema_matches_actual_on_nonempty)
+        if pa.types.is_unsigned_integer(f.type):
+            f = pa.field(f.name, pa.uint64())
+        elif pa.types.is_integer(f.type):
+            f = pa.field(f.name, pa.int64())
+        fields.append(f)
     for agg in getattr(op, "_aggs", None) or ():
         name = getattr(agg, "name", None)
         if not isinstance(name, str):
             return None
-        cls = type(agg).__name__
         target = getattr(agg, "_target_col_name", None)
-        typ = _AGG_FIXED_TYPES.get(cls)
-        if typ is None and target is not None:
+        base = None
+        if target is not None:
             idx = in_schema.get_field_index(target)
-            base = in_schema.field(idx).type if idx >= 0 else pa.float64()
-            typ = pa.list_(base) if cls == "Unique" else base
-        fields.append(pa.field(name, typ or pa.float64()))
+            base = in_schema.field(idx).type if idx >= 0 else None
+        typ = _agg_output_type(type(agg).__name__, base)
+        if typ is None:
+            return None
+        fields.append(pa.field(name, typ))
     return pa.schema(fields)
 
 

@@ -120,6 +120,12 @@ def main() -> int:
                 if line.startswith("FAIL"):
                     print(f"[head{n}] {line}", flush=True)
                     failures += 1
+            if rc.returncode != 0:
+                # a crashed oracle harness is a gate failure, not a pass
+                failures += 1
+                print(f"[head{n}] check_oracle exited {rc.returncode}: "
+                      f"{rc.stderr.strip().splitlines()[-1] if rc.stderr.strip() else ''}",
+                      flush=True)
             print(f"SUMMARY head{n}: {tail[-1] if tail else 'no output'}",
                   flush=True)
     finally:

@@ -200,9 +200,31 @@ def test_inferred_schema_matches_actual_on_nonempty(ray_session):
         inferred = infer_schema_static(ds)
         if inferred is None:
             continue  # None is the safe answer; wrongness is what we pin
-        actual = ds.to_pandas()
-        assert list(inferred.names) == list(actual.columns), (
-            f"{name}: inferred {inferred.names} vs actual {list(actual.columns)}")
+        actual_tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        assert list(inferred.names) == list(actual_tbl.column_names), (
+            f"{name}: inferred {inferred.names} vs actual "
+            f"{list(actual_tbl.column_names)}")
+        for f in inferred:
+            at = actual_tbl.schema.field(f.name).type
+            # pandas round-trip may re-type strings/timestamps; compare
+            # the type families that matter for typed-empty frames
+            same_family = (
+                f.type == at
+                or (pa.types.is_integer(f.type) and pa.types.is_integer(at))
+                or (pa.types.is_floating(f.type) and pa.types.is_floating(at))
+                or (pa.types.is_string(f.type) and pa.types.is_string(at))
+            )
+            assert same_family, f"{name}.{f.name}: inferred {f.type} vs {at}"
+
+    # aggregate output types must match Ray's real output exactly (Sum
+    # widens int32 -> int64); a guessed type would poison typed frames
+    agg = nation.groupby("n_regionkey").sum("n_nationkey")
+    inferred = infer_schema_static(agg)
+    assert inferred is not None
+    actual = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    for f in inferred:
+        assert f.type == actual.schema.field(f.name).type, (
+            f"agg {f.name}: {f.type} vs {actual.schema.field(f.name).type}")
 
 
 def test_explain_plan_renders_schemas(ray_session):
