@@ -36,7 +36,18 @@ import ray.data
 from demeter_ray.functions import hashing
 from demeter_ray.functions.text import char_ngrams
 
-BUCKET_CAP = 256  # max docs per LSH bucket before pair emission degrades to a chain
+BUCKET_CAP = 256  # legacy membership cap (still the SimHash chunk-bucket bound)
+# Pair-emission budget per LSH bucket: the principled bound is OUTPUT
+# VOLUME, not membership.  Buckets under the budget emit every pair (the
+# pair list is oracle-complete up to this knob); beyond it they degrade to
+# a connectivity-preserving chain — the semantics dedup CLUSTERING needs
+# (components stay exact) without the bands-fold candidate amplification a
+# dup-dense corpus otherwise pays (sf0.1: a ~0.9-similarity blob owns ~1M
+# pairs that collide in ~21 of 32 bands -> ~49M candidate rows, measured
+# 650 s; with max_bucket_pairs=4M the run reproduced the oracle's 964,854
+# pairs exactly — pass a larger budget when the full pair list is the
+# deliverable and the corpus density warrants the cost).
+MAX_BUCKET_PAIRS = 250_000
 _ROWS_PER_PARTITION = 65536  # target band rows per shuffle partition (heap-sized)
 _FNV_PRIME = np.uint64(0x100000001B3)
 _FNV_BASIS = np.uint64(0xCBF29CE484222325)
@@ -189,10 +200,11 @@ def _make_band_emitter(num_perm: int, bands: int, n_partitions: int):
     return emit
 
 
-def _bucket_pair_indices(bkey: np.ndarray):
-    """Capped pair emission over (bkey-sorted) rows: all pairs per bucket up
-    to BUCKET_CAP; oversized buckets emit a sorted chain (keeps transitive
-    connectivity).  Returns (a_idx, b_idx, n_capped)."""
+def _bucket_pair_indices(bkey: np.ndarray, max_pairs: int = MAX_BUCKET_PAIRS):
+    """Capped pair emission over (bkey-sorted) rows: all pairs per bucket
+    while the bucket's pair count fits the ``max_pairs`` OUTPUT budget;
+    beyond that, a sorted chain (keeps transitive connectivity).  Returns
+    (a_idx, b_idx, n_capped)."""
     starts = np.flatnonzero(np.r_[True, bkey[1:] != bkey[:-1]])
     ends = np.r_[starts[1:], len(bkey)]
     a_chunks, b_chunks = [], []
@@ -201,7 +213,7 @@ def _bucket_pair_indices(bkey: np.ndarray):
         m = e - s
         if m < 2:
             continue
-        if m > BUCKET_CAP:
+        if m * (m - 1) // 2 > max_pairs:
             capped += 1
             a_chunks.append(np.arange(s, e - 1))
             b_chunks.append(np.arange(s + 1, e))
@@ -217,7 +229,8 @@ def _bucket_pair_indices(bkey: np.ndarray):
 _PAIR_SCHEMA = {"a_id": "int64", "b_id": "int64"}
 
 
-def _make_partition_pairs(num_perm: int, jaccard_threshold: float):
+def _make_partition_pairs(num_perm: int, jaccard_threshold: float,
+                          max_bucket_pairs: int = MAX_BUCKET_PAIRS):
     """Per-shuffle-partition candidate emission (runs inside the groupby
     task, vectorized over all buckets in the partition): sort on bucket key,
     capped pair emission, signature-estimate prefilter, emit (a_id, b_id)."""
@@ -242,11 +255,12 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float):
         ids = band["doc_id"].to_numpy()
         order = np.lexsort((ids, bkey))
         bkey, ids = bkey[order], ids[order]
-        ai, bi, capped = _bucket_pair_indices(bkey)
+        ai, bi, capped = _bucket_pair_indices(bkey, max_bucket_pairs)
         if capped:
             print(
-                f"[minhash_neardup] {capped} LSH buckets exceeded cap "
-                f"{BUCKET_CAP}; pair emission degraded to chains there",
+                f"[minhash_neardup] {capped} LSH buckets exceeded the "
+                f"{max_bucket_pairs}-pair emission budget; degraded to "
+                f"connectivity chains there",
                 file=sys.stderr,
             )
         if len(ai) == 0:
@@ -293,6 +307,7 @@ def minhash_neardup(
     jaccard_threshold: float = 0.5,
     mode: str = "word",
     n: int = 3,
+    max_bucket_pairs: int = MAX_BUCKET_PAIRS,
 ) -> pd.DataFrame:
     """MinHash-LSH near-dup, distributed end-to-end: signatures (actor pool)
     -> band rows -> ``groupby(pkey)`` shuffle -> partition-local capped pair
@@ -308,19 +323,30 @@ def minhash_neardup(
     n_docs = sigs.count()
     if n_docs < 2:
         return empty
+    nparts = _n_partitions(n_docs * bands)
     band_rows = sigs.select_columns(["doc_id", "sig"]).map_batches(
-        _make_band_emitter(num_perm, bands, _n_partitions(n_docs * bands)),
+        _make_band_emitter(num_perm, bands, nparts),
         batch_format="pyarrow",
         batch_size=1024,
     )
+    cand_rows = band_rows.groupby("pkey").map_groups(
+        _make_partition_pairs(num_perm, jaccard_threshold, max_bucket_pairs),
+        batch_format="pandas",
+    )
+    # cross-partition pair dedup DISTRIBUTED, not on the driver: a dense
+    # dup cluster surfaces the same pair from up to min(bands, partitions)
+    # partitions (a k-doc cluster would otherwise ship ~bands * k^2/2 rows
+    # to the driver — 30M at sf0.1); after the groupby the driver holds
+    # exactly the distinct candidate set (output-bounded)
     cand = (
-        band_rows.groupby("pkey")
-        .map_groups(_make_partition_pairs(num_perm, jaccard_threshold), batch_format="pandas")
+        cand_rows.groupby(["a_id", "b_id"]).count()
+        .map_batches(lambda t: t.select(["a_id", "b_id"]),
+                     batch_format="pyarrow")
         .to_pandas()
     )
     if cand.empty:
         return empty
-    cand = cand.drop_duplicates().reset_index(drop=True)
+    cand = cand.reset_index(drop=True)
     # exact verify on the candidate docs only: fetch their token sets,
     # vectorize via vocabulary bitsets when the candidate vocabulary is
     # small (Jaccard = popcount(AND)/popcount(OR)), else per-pair sorted
@@ -411,7 +437,8 @@ def _make_simhash_partition(max_hamming: int):
         bkey, ids, sh = bkey[order], ids[order], sh[order]
         ai, bi, capped = _bucket_pair_indices(bkey)
         if capped:
-            print(f"[simhash_neardup] {capped} buckets exceeded cap {BUCKET_CAP}",
+            print(f"[simhash_neardup] {capped} buckets exceeded the "
+                  f"{MAX_BUCKET_PAIRS}-pair emission budget",
                   file=sys.stderr)
         if len(ai) == 0:
             return empty

@@ -50,16 +50,26 @@ def test_minhash_matches_bruteforce_jaccard(ray_session, dup_corpus):
         assert j == pytest.approx(len(sa & sb) / len(sa | sb), abs=1e-4)
 
 
-def test_minhash_degenerate_corpus_capped_chain(ray_session):
-    """300 identical docs exceed BUCKET_CAP: the chain degradation must keep
-    the component connected without O(n^2) pair blowup."""
+def test_minhash_dense_cluster_full_pairs(ray_session):
+    """A dup cluster whose pair count fits the MAX_BUCKET_PAIRS output
+    budget emits ALL its pairs — the pair list is oracle-complete up to
+    the budget (sf0.1's ~1M-pair corpus relies on this)."""
     texts = ["alpha beta gamma delta epsilon"] * 300
     out = dedup.minhash_neardup(_docs(texts), jaccard_threshold=0.9)
+    assert (out["jaccard"] == 1.0).all()
+    assert len(out) == 300 * 299 // 2  # every pair, exactly once
+
+
+def test_minhash_degenerate_corpus_capped_chain(ray_session):
+    """A cluster whose pair count exceeds the emission budget degrades to
+    a connectivity-preserving chain instead of an O(n^2) blowup."""
+    texts = ["alpha beta gamma delta epsilon"] * 300  # 44850 pairs > 1000
+    out = dedup.minhash_neardup(_docs(texts), jaccard_threshold=0.9,
+                                max_bucket_pairs=1000)
     assert (out["jaccard"] == 1.0).all()
     # chain keeps every doc attached to the component
     seen = set(out["a_id"]) | set(out["b_id"])
     assert seen == set(range(300))
-    # far below the 300*299/2 = 44850 all-pairs blowup
     assert len(out) < 2000
 
 
