@@ -46,8 +46,10 @@ BUCKET_CAP = 256  # legacy membership cap (still the SimHash chunk-bucket bound)
 # pairs that collide in ~21 of 32 bands -> ~49M candidate rows, measured
 # 650 s; with max_bucket_pairs=4M the run reproduced the oracle's 964,854
 # pairs exactly — pass a larger budget when the full pair list is the
-# deliverable and the corpus density warrants the cost).
-MAX_BUCKET_PAIRS = 250_000
+# deliverable and the corpus density warrants the cost).  The default
+# keeps buckets to ~280 members full-emitting (the sf0.01 driver gate's
+# densest bucket fits) and chains anything larger.
+MAX_BUCKET_PAIRS = 40_000
 _ROWS_PER_PARTITION = 65536  # target band rows per shuffle partition (heap-sized)
 _FNV_PRIME = np.uint64(0x100000001B3)
 _FNV_BASIS = np.uint64(0xCBF29CE484222325)

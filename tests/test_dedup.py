@@ -54,10 +54,10 @@ def test_minhash_dense_cluster_full_pairs(ray_session):
     """A dup cluster whose pair count fits the MAX_BUCKET_PAIRS output
     budget emits ALL its pairs — the pair list is oracle-complete up to
     the budget (sf0.1's ~1M-pair corpus relies on this)."""
-    texts = ["alpha beta gamma delta epsilon"] * 300
+    texts = ["alpha beta gamma delta epsilon"] * 250  # 31,125 pairs < budget
     out = dedup.minhash_neardup(_docs(texts), jaccard_threshold=0.9)
     assert (out["jaccard"] == 1.0).all()
-    assert len(out) == 300 * 299 // 2  # every pair, exactly once
+    assert len(out) == 250 * 249 // 2  # every pair, exactly once
 
 
 def test_minhash_degenerate_corpus_capped_chain(ray_session):
