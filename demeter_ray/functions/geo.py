@@ -465,6 +465,139 @@ class CentroidKNN:
         return out_id, out_d2
 
 
+class CellKNN:
+    """Cell-bucketed nearest-centroid with expanding k-ring search — the
+    scale path for continental centroid tables (10^6-10^7 fields) where
+    brute force goes O(points x fields).
+
+    Centroids are bucketed by grid cell at ``res``; a query group (all
+    points sharing a cell) scans the square of cells within Chebyshev
+    radius R, growing R until every point's current best distance is
+    strictly inside the guaranteed-covered radius (its distance to the
+    nearest unclipped side of the searched square).  Brute force stays
+    vectorized within the candidate set.  Tiebreak is min-id among exact
+    distance ties — identical to :class:`CentroidKNN`, so the two are
+    interchangeable behind the size gate in stages/knn.py.
+    """
+
+    def __init__(self, ids, xs, ys, res: int | None = None):
+        ids = np.asarray(ids, dtype=np.int64)
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        if res is None:
+            # aim for O(1) occupancy per cell on a regionally-clustered
+            # table: 4^res cells ~ n centroids over the bbox spread
+            res = int(np.clip(np.ceil(np.log2(max(len(ids), 2)) / 2) + 2, 3, 16))
+        self.res = res
+        self.n_side = 1 << res
+        self.w = 360.0 / self.n_side
+        self.h = 180.0 / self.n_side
+        cells = cell_id(xs, ys, res)
+        order = np.lexsort((ids, cells))
+        self.cells_sorted = cells[order]
+        self.ids_s = ids[order]
+        self.xs_s = xs[order]
+        self.ys_s = ys[order]
+        # work counter: candidate distances evaluated (sub-linearity evidence)
+        self.candidates_examined = 0
+
+    def _candidates(self, cx: int, cy: int, R: int) -> np.ndarray:
+        lo_x = max(cx - R, 0)
+        hi_x = min(cx + R, self.n_side - 1)
+        lo_y = max(cy - R, 0)
+        hi_y = min(cy + R, self.n_side - 1)
+        parts = []
+        for x in range(lo_x, hi_x + 1):
+            lo = x * CELL_PACK + lo_y
+            hi = x * CELL_PACK + hi_y
+            s = int(np.searchsorted(self.cells_sorted, lo, side="left"))
+            e = int(np.searchsorted(self.cells_sorted, hi, side="right"))
+            if e > s:
+                parts.append(np.arange(s, e, dtype=np.int64))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(parts)
+
+    def _boundary_dist(self, px, py, cx: int, cy: int, R: int) -> np.ndarray:
+        """Per-point distance to the nearest UNCLIPPED side of the searched
+        square [cx-R, cx+R] x [cy-R, cy+R].  A side clipped at the world
+        edge is fully covered (nothing exists beyond), so it contributes
+        +inf."""
+        d = np.full(len(px), np.inf)
+        if cx - R > 0:
+            d = np.minimum(d, px - (-180.0 + (cx - R) * self.w))
+        if cx + R < self.n_side - 1:
+            d = np.minimum(d, (-180.0 + (cx + R + 1) * self.w) - px)
+        if cy - R > 0:
+            d = np.minimum(d, py - (-90.0 + (cy - R) * self.h))
+        if cy + R < self.n_side - 1:
+            d = np.minimum(d, (-90.0 + (cy + R + 1) * self.h) - py)
+        return d
+
+    def _query_group(self, px, py, cx: int, cy: int):
+        R = 0
+        max_R = self.n_side  # covering the whole grid terminates the loop
+        while True:
+            cand = self._candidates(cx, cy, R)
+            if len(cand) == 0:
+                if R >= max_R:
+                    raise ValueError("CellKNN.query on an empty centroid set")
+                R = max(R * 2, R + 1)
+                continue
+            dx = px[:, None] - self.xs_s[cand][None, :]
+            dy = py[:, None] - self.ys_s[cand][None, :]
+            d2 = dx * dx + dy * dy
+            self.candidates_examined += d2.size
+            best_d2 = d2.min(axis=1)
+            bound = self._boundary_dist(px, py, cx, cy, R)
+            need = np.sqrt(best_d2)
+            if R >= max_R or np.all(need < bound):
+                # min-id among exact-distance ties (CentroidKNN parity)
+                ids_c = self.ids_s[cand]
+                tied = d2 <= best_d2[:, None]
+                big = np.iinfo(np.int64).max
+                best_id = np.where(tied, ids_c[None, :], big).min(axis=1)
+                return best_id, best_d2
+            deficit = float(np.max(need - bound))
+            R += max(1, int(np.ceil(deficit / min(self.w, self.h))) + 1)
+            R = min(R, max_R)
+
+    def query(self, pxs, pys):
+        pxs = np.asarray(pxs, dtype=np.float64)
+        pys = np.asarray(pys, dtype=np.float64)
+        out_id = np.empty(len(pxs), dtype=np.int64)
+        out_d2 = np.empty(len(pxs), dtype=np.float64)
+        if len(pxs) == 0:
+            return out_id, out_d2
+        cells = cell_id(pxs, pys, self.res)
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.r_[starts[1:], len(sc)]
+        for s, e in zip(starts, ends):
+            idx = order[s:e]
+            c = int(sc[s])
+            cx, cy = c // CELL_PACK, c % CELL_PACK
+            gid, gd2 = self._query_group(pxs[idx], pys[idx], cx, cy)
+            out_id[idx] = gid
+            out_d2[idx] = gd2
+        return out_id, out_d2
+
+
+# Above this many centroids the O(points x fields) brute force loses to the
+# bucketed k-ring search; below it, one matmul per batch wins.
+KNN_CELL_CAP = 4096
+
+
+def make_knn(ids, xs, ys, cap: int = KNN_CELL_CAP):
+    """Size-gated kNN index: brute force under ``cap`` centroids, cell-
+    bucketed k-ring search above (both share the min-id tie rule, parity
+    tested in tests/test_knn_cell.py)."""
+    if len(np.asarray(ids)) > cap:
+        return CellKNN(ids, xs, ys)
+    return CentroidKNN(ids, xs, ys)
+
+
 # --------------------------------------------------------------------------
 # CRS reprojection: WGS84 lon/lat <-> UTM (transverse Mercator, Krüger
 # series, order-4 — standard public formulas).  Replaces the reference's

@@ -5,9 +5,11 @@ Each actor builds a ``CentroidKNN`` (sorted centroid arrays) once in
 deterministic min-id tiebreak.  Centroids are the field-polygon outer-ring
 vertex means (a deterministic, shapely-free centroid proxy).
 
-Scale path: with millions of centroids, bucket them by cell at a coarse
-resolution and search expanding k-rings (cell prefilter identical to
-stages/pip.py); brute force within the candidate set stays vectorized.
+Scale path: above ``geo.KNN_CELL_CAP`` centroids, ``geo.make_knn`` swaps the
+brute-force index for ``geo.CellKNN`` — centroids bucketed by grid cell,
+queries search expanding k-rings, brute force stays vectorized within the
+candidate set (same cell prefilter idea as stages/pip.py).  Both paths share
+the min-id tie rule; parity is pinned in tests/test_knn_cell.py.
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ class KNNActor:
         ids, xs, ys = (
             ray.get(centroids_ref) if not isinstance(centroids_ref, tuple) else centroids_ref
         )
-        self.knn = geo.CentroidKNN(ids, xs, ys)
+        self.knn = geo.make_knn(ids, xs, ys)
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:

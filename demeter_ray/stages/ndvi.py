@@ -19,10 +19,13 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from demeter_ray.functions import geo
 from demeter_ray.stages.merge import merge_tiles
+from demeter_ray.state import lineage
 
 CLOUD_VALUES = (3, 8, 9, 10)
 
@@ -89,10 +92,50 @@ def build_ndvi_for_datatake(group: pd.DataFrame) -> tuple[str, str, np.ma.Masked
     return zone, dt, ndvi, red_t, crs
 
 
-def ndvi_statistics(scene_tiles: ray.data.Dataset) -> pd.DataFrame:
+def ndvi_statistics(
+    scene_tiles: ray.data.Dataset, sink_dir: str | None = None
+) -> pd.DataFrame:
     """Per-zone NDVI statistics: one row per (utm_zone, statistic) with the
-    raster summarized (shape, valid count, mean value) plus the raw stat
-    raster bytes for downstream sinks."""
+    raster summarized (shape, valid count, mean value).
+
+    With ``sink_dir=None`` (small-fixture mode) the stat raster bytes ride
+    along in a ``pixels`` column.  With a ``sink_dir`` (the scale path) each
+    statistic raster is written INSIDE the per-zone task through
+    ``state.lineage.write_partition`` (atomic + per-partition lineage) and
+    only the summary rows reach the driver — pixels never do; zones whose
+    four stat partitions already have valid lineage are skipped before the
+    shuffle (resume-from-checkpoint)."""
+    emit_pixels = sink_dir is None
+    skipped_rows: list[dict] = []
+    if sink_dir is not None:
+        done = lineage.completed_keys(sink_dir)
+        done_zones = set()
+        for rec_zone in {str(k).rsplit("-", 1)[0] for k in done}:
+            keys = [f"{rec_zone}-{s}" for s in ("mean", "min", "max", "stddev")]
+            if all(k in done for k in keys):
+                done_zones.add(rec_zone)
+                for k in keys:
+                    prof = lineage.read_partition_profile(sink_dir, k) or {}
+                    skipped_rows.append(
+                        {
+                            "utm_zone": rec_zone,
+                            "statistic": k.rsplit("-", 1)[1],
+                            "h": prof.get("h", -1),
+                            "w": prof.get("w", -1),
+                            "transform": prof.get("transform", ""),
+                            "crs": prof.get("crs", ""),
+                            "valid_px": prof.get("valid_px", -1),
+                            "mean_value": prof.get("mean_value", float("nan")),
+                        }
+                    )
+        if done_zones:
+            done_list = sorted(done_zones)
+            scene_tiles = scene_tiles.map_batches(
+                lambda t, dz=done_list: t.filter(
+                    pc.invert(pc.is_in(t["utm_zone"], value_set=pa.array(dz)))
+                ),
+                batch_format="pyarrow",
+            )
 
     def per_datatake(g: pd.DataFrame) -> pd.DataFrame:
         zone, dt, ndvi, transform, crs = build_ndvi_for_datatake(g)
@@ -115,41 +158,90 @@ def ndvi_statistics(scene_tiles: ray.data.Dataset) -> pd.DataFrame:
     )
 
     def per_zone(g: pd.DataFrame) -> pd.DataFrame:
-        stack = np.stack(
-            [
-                np.frombuffer(r["ndvi"], dtype=np.float32).reshape(r["h"], r["w"])
-                for _, r in g.sort_values("datatake_ts").iterrows()
-            ]
-        ).astype(np.float64)
-        m = np.ma.masked_array(stack, mask=np.isnan(stack))
-        stats = {
-            "mean": np.ma.mean(m, axis=0),
-            "min": np.ma.min(m, axis=0),
-            "max": np.ma.max(m, axis=0),
-        }
-        # stddev vs the mean (merge_stddev semantics, merge.py:131-146)
-        var = np.ma.mean((m - stats["mean"][None, :, :]) ** 2, axis=0)
-        stats["stddev"] = np.ma.sqrt(var)
+        # Incremental two-pass reduce: task memory is O(H*W) accumulators,
+        # NOT O(n_datatakes * H * W) — one datatake raster decoded at a
+        # time.  Pass 1 count/sum/min/max; pass 2 squared deviations vs the
+        # across-datatake mean (the reference's merge-then-stddev two-pass,
+        # sentinel2/ndvi.py:289-313; merge_stddev semantics merge.py:227-258).
+        g = g.sort_values("datatake_ts")
+        h, w = int(g["h"].iloc[0]), int(g["w"].iloc[0])
+
+        def decoded():
+            for buf in g["ndvi"]:
+                yield np.frombuffer(buf, dtype=np.float32).reshape(h, w).astype(
+                    np.float64
+                )
+
+        cnt = np.zeros((h, w), dtype=np.int64)
+        ssum = np.zeros((h, w), dtype=np.float64)
+        mn = np.full((h, w), np.nan)
+        mx = np.full((h, w), np.nan)
+        for x in decoded():
+            valid = ~np.isnan(x)
+            cnt += valid
+            ssum += np.where(valid, x, 0.0)
+            mn = np.fmin(mn, x)  # fmin/fmax: NaN loses -> masked min/max
+            mx = np.fmax(mx, x)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(cnt > 0, ssum / cnt, np.nan)
+        sq = np.zeros((h, w), dtype=np.float64)
+        for x in decoded():
+            valid = ~np.isnan(x)
+            d = np.where(valid, x - np.where(valid, mean, 0.0), 0.0)
+            sq += d * d
+        with np.errstate(invalid="ignore", divide="ignore"):
+            stddev = np.where(cnt > 0, np.sqrt(sq / cnt), np.nan)
+        stats = {"mean": mean, "min": mn, "max": mx, "stddev": stddev}
+
+        zone = g["utm_zone"].iloc[0]
+        transform = g["transform"].iloc[0]
+        crs = g["crs"].iloc[0]
         rows = []
         for name, raster in stats.items():
-            rows.append(
-                {
-                    "utm_zone": g["utm_zone"].iloc[0],
-                    "statistic": name,
-                    "h": raster.shape[0],
-                    "w": raster.shape[1],
-                    "transform": g["transform"].iloc[0],
-                    "crs": g["crs"].iloc[0],
-                    "valid_px": int((~np.ma.getmaskarray(raster)).sum()),
-                    "mean_value": float(np.ma.mean(raster)),
-                    "pixels": raster.filled(np.nan).astype(np.float32).tobytes(),
-                }
-            )
+            valid = ~np.isnan(raster)
+            ma = np.ma.masked_array(raster, mask=~valid)
+            row = {
+                "utm_zone": zone,
+                "statistic": name,
+                "h": h,
+                "w": w,
+                "transform": transform,
+                "crs": crs,
+                "valid_px": int(valid.sum()),
+                "mean_value": float(np.ma.mean(ma)),
+            }
+            if emit_pixels:
+                row["pixels"] = raster.astype(np.float32).tobytes()
+            else:
+                lineage.write_partition(
+                    sink_dir,
+                    f"{zone}-{name}",
+                    pd.DataFrame(
+                        {
+                            "utm_zone": [zone],
+                            "statistic": [name],
+                            "pixels": [raster.astype(np.float32).tobytes()],
+                        }
+                    ),
+                    sort_cols=["utm_zone", "statistic"],
+                    profile={
+                        "h": h,
+                        "w": w,
+                        "transform": transform,
+                        "crs": crs,
+                        "valid_px": int(valid.sum()),
+                        "mean_value": float(np.ma.mean(ma)),
+                        "dtype": "float32",
+                        "nodata": "nan",
+                    },
+                )
+            rows.append(row)
         return pd.DataFrame(rows)
 
     out = per_dt.groupby("utm_zone").map_groups(per_zone, batch_format="pandas")
+    frame = out.to_pandas()
+    if skipped_rows:
+        frame = pd.concat([frame, pd.DataFrame(skipped_rows)], ignore_index=True)
     return (
-        out.to_pandas()
-        .sort_values(["utm_zone", "statistic"])
-        .reset_index(drop=True)
+        frame.sort_values(["utm_zone", "statistic"]).reset_index(drop=True)
     )

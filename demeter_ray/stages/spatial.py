@@ -46,7 +46,7 @@ class SpatialEnrichActor:
                  prefix_res: int = 5, salt: int = 8):
         ids, wkbs, cents, tile_sets = ray.get(state_ref)
         self.index = geo.PolygonIndex(ids, wkbs, res=pip_res)
-        self.knn = geo.CentroidKNN(*cents)
+        self.knn = geo.make_knn(*cents)
         self.tile_sets = tile_sets
         self.fine_res = fine_res
         self.prefix_res = prefix_res

@@ -77,3 +77,43 @@ def test_cloud_and_footprint_pixels_masked(result):
     # cloud blocks move per datatake, so across 3 datatakes those pixels are
     # masked in SOME but not all -> min still defined there
     assert np.isfinite(got[:, 16:]).any()
+
+
+def test_sink_path_writes_lineage_not_pixels(ray_session, tiny_fixtures, tmp_path):
+    """Scale path: stat rasters land in the partitioned sink inside the
+    per-zone tasks; the driver frame has summaries only (no pixels), the
+    summaries match the in-memory path, and a rerun resumes off lineage."""
+    import ray.data
+
+    from demeter_ray.state import lineage
+
+    sink = str(tmp_path / "ndvi_sink")
+    ds = ray.data.read_parquet(f"{tiny_fixtures}/scene_tiles.parquet")
+    got = ndvi_statistics(ds, sink_dir=sink)
+    assert "pixels" not in got.columns
+    ref = ndvi_statistics(
+        ray.data.read_parquet(f"{tiny_fixtures}/scene_tiles.parquet")
+    )
+    cols = ["utm_zone", "statistic", "h", "w", "valid_px", "mean_value"]
+    np.testing.assert_array_equal(
+        got[cols[:-1]].to_numpy(dtype=object), ref[cols[:-1]].to_numpy(dtype=object)
+    )
+    np.testing.assert_allclose(got["mean_value"], ref["mean_value"], rtol=1e-12)
+    # every (zone, statistic) partition is complete with a valid checksum
+    done = lineage.completed_keys(sink, verify_checksum=True)
+    assert done == {
+        f"{z}-{s}" for z in ("13N", "14N") for s in ("mean", "min", "max", "stddev")
+    }
+    # sink pixels equal the in-memory pixels
+    part = lineage.read_partitioned(sink).to_pandas()
+    for _, r in part.iterrows():
+        exp = ref[(ref["utm_zone"] == r["utm_zone"])
+                  & (ref["statistic"] == r["statistic"])].iloc[0]
+        assert r["pixels"] == exp["pixels"]
+    # rerun resumes: all zones skipped, summaries recovered from lineage
+    again = ndvi_statistics(
+        ray.data.read_parquet(f"{tiny_fixtures}/scene_tiles.parquet"),
+        sink_dir=sink,
+    )
+    np.testing.assert_allclose(again["mean_value"], ref["mean_value"], rtol=1e-12)
+    np.testing.assert_array_equal(again["valid_px"], ref["valid_px"])
