@@ -289,6 +289,40 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float,
     return fn
 
 
+def _exact_jaccard_pairs(
+    tok_ids: np.ndarray, tokens: list, a_ids: np.ndarray, b_ids: np.ndarray
+) -> np.ndarray:
+    """Exact Jaccard (rounded 4) per (a, b) pair given the docs' sorted
+    token-hash sets.  ``tok_ids`` sorted ascending; ``tokens[i]`` is doc
+    ``tok_ids[i]``'s sorted-unique token hashes.  Vectorizes via vocabulary
+    bitsets when the vocabulary is small (popcount(AND)/popcount(OR)), else
+    per-pair sorted intersection."""
+    pa_idx = np.searchsorted(tok_ids, a_ids)
+    pb_idx = np.searchsorted(tok_ids, b_ids)
+    vocab = np.unique(np.concatenate(tokens)) if len(tokens) else np.array([], np.int64)
+    if 0 < len(vocab) <= 4096:
+        nwords = (len(vocab) + 63) // 64
+        bits = np.zeros((len(tokens), nwords), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            pos = np.searchsorted(vocab, t)
+            # duplicate word indices need ufunc.at — fancy-index |= applies
+            # only one bit per repeated index
+            np.bitwise_or.at(
+                bits[i], pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+            )
+        A, B = bits[pa_idx], bits[pb_idx]
+        inter = _popcount(A & B).sum(axis=1)
+        union = _popcount(A | B).sum(axis=1)
+        return np.round(np.where(union > 0, inter / np.maximum(union, 1), 1.0), 4)
+    jac = np.empty(len(a_ids), dtype=np.float64)
+    for k, (x, y) in enumerate(zip(pa_idx, pb_idx)):
+        ta, tb = tokens[x], tokens[y]
+        inter = len(np.intersect1d(ta, tb, assume_unique=True))
+        union = len(ta) + len(tb) - inter
+        jac[k] = round(inter / union if union else 1.0, 4)
+    return jac
+
+
 def _fetch_for_ids(sigs: ray.data.Dataset, uids: np.ndarray, columns: list[str]) -> pd.DataFrame:
     """Pull ``columns`` for the candidate doc ids only (broadcast id array,
     vectorized membership filter in workers; result is candidate-bounded)."""
@@ -302,6 +336,151 @@ def _fetch_for_ids(sigs: ray.data.Dataset, uids: np.ndarray, columns: list[str])
     return sigs.map_batches(filt, batch_format="pyarrow", batch_size=1024).to_pandas()
 
 
+# Above this many candidate pairs the exact verify moves off the driver:
+# pairs shuffle on a pair-partition key, each partition fetches only ITS
+# docs' token sets (Dataset.join), and the Jaccard computes inside tasks —
+# driver memory is then bounded by the VERIFIED output, not the candidate
+# count (a dup-dense corpus's candidates are the big thing).
+VERIFY_DRIVER_CAP = 200_000
+
+
+def _distributed_verify(
+    sigs: ray.data.Dataset,
+    cand_ds: ray.data.Dataset,
+    thr: float,
+    n_vparts: int,
+) -> pd.DataFrame:
+    """Exact-Jaccard verify inside tasks.  Shape:
+
+    pairs -(vkey)-> shuffle    \\
+                                 groupby(vkey).map_groups(verify)
+    (doc_id, vkey) needs ⋈ sigs /
+
+    Each pair partition holds its pairs plus the token sets of exactly the
+    docs those pairs touch (replicated per vkey via an inner Dataset.join —
+    no broadcast, no driver hop).  Output rows are the verified pairs only.
+
+    Token sets ride as BINARY (raw little-endian int64 bytes): Acero's hash
+    join rejects list<> payload columns, and the encode is a zero-copy
+    buffer reshuffle (list_flatten + cumsum offsets), not a per-row loop.
+    """
+
+    def add_vkey(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = ((a * _GOLDEN + b) * _FNV_PRIME % np.uint64(n_vparts)).astype(np.int64)
+        return t.append_column("vkey", pa.array(v, pa.int64()))
+
+    pairs_v = cand_ds.map_batches(add_vkey, batch_format="pyarrow")
+
+    def emit_needs(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        v = t["vkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "vkey": pa.array(np.concatenate([v, v]), pa.int64()),
+            }
+        )
+
+    needs = (
+        pairs_v.map_batches(emit_needs, batch_format="pyarrow")
+        .groupby(["doc_id", "vkey"])
+        .count()
+        .map_batches(
+            lambda t: t.select(["doc_id", "vkey"]), batch_format="pyarrow"
+        )
+    )
+    import pyarrow.compute as pc
+
+    def encode_tokens(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        offs = (np.concatenate([[0], np.cumsum(lens)]) * 8).astype(np.int32)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype("<i8")
+        bin_arr = pa.Array.from_buffers(
+            pa.binary(), len(col),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "tok_bin": bin_arr}
+        )
+
+    tokd = needs.join(
+        sigs.select_columns(["doc_id", "tokens"]).map_batches(
+            encode_tokens, batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=max(8, n_vparts // 4),
+        on=("doc_id",),
+    )
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        n_r = len(t)
+        return pa.table(
+            {
+                "vkey": t["vkey"].cast(pa.int64()),
+                "a_id": t["a_id"].cast(pa.int64()),
+                "b_id": t["b_id"].cast(pa.int64()),
+                "doc_id": pa.array(np.full(n_r, -1, np.int64), pa.int64()),
+                "tok_bin": pa.nulls(n_r, pa.binary()),
+            }
+        )
+
+    def tag_toks(t: pa.Table) -> pa.Table:
+        n_r = len(t)
+        return pa.table(
+            {
+                "vkey": t["vkey"].cast(pa.int64()),
+                "a_id": pa.array(np.full(n_r, -1, np.int64), pa.int64()),
+                "b_id": pa.array(np.full(n_r, -1, np.int64), pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "tok_bin": t["tok_bin"].cast(pa.binary()),
+            }
+        )
+
+    both = pairs_v.map_batches(tag_pairs, batch_format="pyarrow").union(
+        tokd.map_batches(tag_toks, batch_format="pyarrow")
+    )
+    out_empty = pd.DataFrame(
+        {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        is_tok = g["doc_id"].to_numpy() != -1
+        toks = g[is_tok]
+        prs = g[~is_tok]
+        if len(prs) == 0 or len(toks) == 0:
+            return out_empty
+        t_ids = toks["doc_id"].to_numpy()
+        t_order = np.argsort(t_ids, kind="mergesort")
+        t_ids = t_ids[t_order]
+        tokens = [
+            np.frombuffer(toks["tok_bin"].iloc[i], dtype="<i8").astype(np.int64)
+            for i in t_order
+        ]
+        a = prs["a_id"].to_numpy()
+        b = prs["b_id"].to_numpy()
+        jac = _exact_jaccard_pairs(t_ids, tokens, a, b)
+        good = jac >= thr
+        if not good.any():
+            return out_empty
+        return pd.DataFrame(
+            {"a_id": a[good], "b_id": b[good], "jaccard": jac[good]}
+        )
+
+    verified = both.groupby("vkey").map_groups(verify, batch_format="pandas")
+    out = verified.to_pandas()
+    if out.empty:
+        return out_empty
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
 def minhash_neardup(
     ds_docs: ray.data.Dataset,
     num_perm: int = 128,
@@ -310,6 +489,7 @@ def minhash_neardup(
     mode: str = "word",
     n: int = 3,
     max_bucket_pairs: int = MAX_BUCKET_PAIRS,
+    verify_driver_cap: int = VERIFY_DRIVER_CAP,
 ) -> pd.DataFrame:
     """MinHash-LSH near-dup, distributed end-to-end: signatures (actor pool)
     -> band rows -> ``groupby(pkey)`` shuffle -> partition-local capped pair
@@ -340,48 +520,31 @@ def minhash_neardup(
     # partitions (a k-doc cluster would otherwise ship ~bands * k^2/2 rows
     # to the driver — 30M at sf0.1); after the groupby the driver holds
     # exactly the distinct candidate set (output-bounded)
-    cand = (
+    cand_ds = (
         cand_rows.groupby(["a_id", "b_id"]).count()
         .map_batches(lambda t: t.select(["a_id", "b_id"]),
                      batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
     )
-    if cand.empty:
+    n_cand = cand_ds.count()
+    if n_cand == 0:
         return empty
-    cand = cand.reset_index(drop=True)
-    # exact verify on the candidate docs only: fetch their token sets,
-    # vectorize via vocabulary bitsets when the candidate vocabulary is
-    # small (Jaccard = popcount(AND)/popcount(OR)), else per-pair sorted
-    # intersection on the (already prefiltered) survivors
+    if n_cand > verify_driver_cap:
+        # dup-dense regime: verify inside tasks, driver holds only the
+        # verified output (parity with the driver path pinned in
+        # tests/test_dedup_distributed_verify.py)
+        return _distributed_verify(sigs, cand_ds, jaccard_threshold, nparts)
+    cand = cand_ds.to_pandas().reset_index(drop=True)
+    # exact verify on the candidate docs only: fetch their token sets and
+    # compute on the driver (candidate-bounded below the cap)
     uids = np.unique(np.concatenate([cand["a_id"].to_numpy(), cand["b_id"].to_numpy()]))
     tok = _fetch_for_ids(sigs, uids, ["doc_id", "tokens"])
     tok_order = np.argsort(tok["doc_id"].to_numpy())
     tok_ids = tok["doc_id"].to_numpy()[tok_order]
     tokens = [np.asarray(tok["tokens"].iloc[i], dtype=np.int64) for i in tok_order]
-    pa_idx = np.searchsorted(tok_ids, cand["a_id"].to_numpy())
-    pb_idx = np.searchsorted(tok_ids, cand["b_id"].to_numpy())
-    vocab = np.unique(np.concatenate(tokens)) if tokens else np.array([], np.int64)
-    if 0 < len(vocab) <= 4096:
-        nwords = (len(vocab) + 63) // 64
-        bits = np.zeros((len(tokens), nwords), dtype=np.uint64)
-        for i, t in enumerate(tokens):
-            pos = np.searchsorted(vocab, t)
-            # duplicate word indices need ufunc.at — fancy-index |= applies
-            # only one bit per repeated index
-            np.bitwise_or.at(
-                bits[i], pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
-            )
-        A, B = bits[pa_idx], bits[pb_idx]
-        inter = _popcount(A & B).sum(axis=1)
-        union = _popcount(A | B).sum(axis=1)
-        jac = np.round(np.where(union > 0, inter / np.maximum(union, 1), 1.0), 4)
-    else:  # open vocabulary: per-pair sorted intersection on the survivors
-        jac = np.empty(len(cand), dtype=np.float64)
-        for k, (x, y) in enumerate(zip(pa_idx, pb_idx)):
-            ta, tb = tokens[x], tokens[y]
-            inter = len(np.intersect1d(ta, tb, assume_unique=True))
-            union = len(ta) + len(tb) - inter
-            jac[k] = round(inter / union if union else 1.0, 4)
+    jac = _exact_jaccard_pairs(
+        tok_ids, tokens, cand["a_id"].to_numpy(), cand["b_id"].to_numpy()
+    )
     good = jac >= jaccard_threshold
     if not good.any():
         return empty

@@ -95,9 +95,17 @@ def catchment_histogram(vat_table: pa.Table) -> pd.DataFrame:
 
 
 def catchment_histogram_from_pixels(tiles_ds: ray.data.Dataset, vat_table: pa.Table,
-                                    nodata: float = -9999.0) -> pd.DataFrame:
+                                    nodata: float = -9999.0,
+                                    driver_cap: int | None = None) -> pd.DataFrame:
     """The distributed variant: remap tiles, then per-batch partial counts
-    of each id + driver combine (A6 groupby-sum over partials)."""
+    of each id combined through the size-gated group-sum (A6): under the
+    cap the partials reduce on the driver; above it they shuffle through
+    the bucketed distributed combine (catchment cardinality scales with
+    the continent, not with this fixture)."""
+    # driver-side import: the gated-combine machinery lives with the
+    # relational plans; never imported inside a worker-side fn
+    from demeter_ray.pipelines.relational import gated_group_sum_ds
+
     remapped = remap_catchments(tiles_ds, vat_table, nodata)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -112,6 +120,8 @@ def catchment_histogram_from_pixels(tiles_ds: ray.data.Dataset, vat_table: pa.Ta
                                  "n_pixels": pd.Series(dtype="int64")})
         return pd.concat(rows, ignore_index=True)
 
-    parts = remapped.map_batches(partial, batch_format="pandas").to_pandas()
-    out = parts.groupby("catchment_id", as_index=False)["n_pixels"].sum()
+    out = gated_group_sum_ds(
+        remapped, partial, keys=["catchment_id"], sums=["n_pixels"],
+        driver_cap=driver_cap,
+    ).to_pandas()
     return out.sort_values("catchment_id").reset_index(drop=True)

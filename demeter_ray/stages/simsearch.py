@@ -112,13 +112,44 @@ def train_ivf_centroids(sample: np.ndarray, n_lists: int, iters: int = 5,
     return C
 
 
+_IVF_SAMPLE_TARGET = 4096
+_SAMPLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def ivf_training_sample(
+    ds: ray.data.Dataset, target: int = _IVF_SAMPLE_TARGET
+) -> np.ndarray:
+    """Deterministic block-order-INVARIANT training sample: keep rows whose
+    mixed vec_id hash falls under ``target/n`` of the hash space (a property
+    of the row, not of block layout — ``limit(n)`` takes the first blocks,
+    which at 100 TB is a vanishing non-random prefix).  The surviving rows
+    (~1.25x target for slack) sort by vec_id on the driver, so the k-means
+    init sees an identical matrix however the corpus was partitioned."""
+    n = ds.count()
+    cols = ds.select_columns(["vec_id", "embedding"])
+    if n > target:
+        frac = min(1.0, (target * 1.25) / n)
+        thresh = np.uint64(int(frac * float(2**64 - 1)))
+
+        def filt(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ids * _SAMPLE_MIX
+            h ^= h >> np.uint64(29)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(32)
+            return t.filter(pa.array(h <= thresh))
+
+        cols = cols.map_batches(filt, batch_format="pyarrow")
+    df = cols.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    return _emb_matrix(tbl)
+
+
 def build_ivf_index(ds: ray.data.Dataset, n_lists: int = 16) -> ray.data.Dataset:
     """One pass: append a ``bucket`` column = nearest centroid id.  The
     bucket column is the shuffle/prune key; at scale, write the dataset
     partitioned by bucket so queries read only probed lists."""
-    sample = _emb_matrix(
-        pa.Table.from_pandas(ds.limit(2048).to_pandas(), preserve_index=False)
-    )
+    sample = ivf_training_sample(ds)
     C = train_ivf_centroids(sample, n_lists)
     ref = ray.put(C)
 

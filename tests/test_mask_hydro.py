@@ -142,3 +142,19 @@ def test_zip_tiles_roundtrip_and_histogram(ray_session, tiny_fixtures):
         ray.data.read_parquet(f"{tiny_fixtures}/raster_tiles.parquet"), ref_vat
     )
     pd.testing.assert_frame_equal(zip_hist, parq_hist)
+
+
+def test_catchment_pixel_hist_gated_branch_parity(ray_session, tiny_fixtures):
+    """Both branches of the gated combine (driver under the cap, bucketed
+    distributed shuffle above it) produce the identical histogram."""
+    import ray.data
+
+    vat = pq.read_table(f"{tiny_fixtures}/catchment_vat.parquet")
+    tiles = ray.data.read_parquet(f"{tiny_fixtures}/raster_tiles.parquet")
+    driver = catchment_histogram_from_pixels(tiles, vat)
+    dist = catchment_histogram_from_pixels(tiles, vat, driver_cap=0)
+    pd.testing.assert_frame_equal(
+        driver.reset_index(drop=True),
+        dist.sort_values("catchment_id").reset_index(drop=True),
+        check_dtype=False,
+    )

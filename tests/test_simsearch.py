@@ -129,3 +129,30 @@ def test_distributed_kmeans_recovers_separated_blobs(ray_session):
     # block layout must not change the result (order-independent reduction)
     assert np.array_equal(outs[0][1], outs[1][1])
     assert np.allclose(outs[0][0], outs[1][0])
+
+
+def test_ivf_training_sample_block_order_invariant(ray_session):
+    """The coarse quantizer must train on the same matrix however the
+    corpus is partitioned/ordered (limit(n) would take the first blocks)."""
+    from demeter_ray.stages.simsearch import ivf_training_sample, train_ivf_centroids
+
+    rng = np.random.default_rng(9)
+    n, d = 6000, 16
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.normal(size=(n, d)).astype(np.float64)),
+        }
+    )
+    fwd = ray.data.from_pandas(df)
+    rev = ray.data.from_pandas(df.iloc[::-1].reset_index(drop=True)).repartition(13)
+    s1 = ivf_training_sample(fwd, target=512)
+    s2 = ivf_training_sample(rev, target=512)
+    np.testing.assert_array_equal(s1, s2)
+    assert 512 * 0.7 <= len(s1) <= 512 * 1.9  # hash sample lands near target
+    c1 = train_ivf_centroids(s1, 8)
+    c2 = train_ivf_centroids(s2, 8)
+    np.testing.assert_array_equal(c1, c2)
+    # small corpora train on every row, sorted
+    small = ivf_training_sample(fwd.limit(100), target=512)
+    assert len(small) == 100
