@@ -633,9 +633,13 @@ def utm_zone_for(lons) -> np.ndarray:
     return (np.floor((lons + 180.0) / 6.0).astype(np.int64) % 60) + 1
 
 
-def utm_forward(lons, lats, zone: int):
-    """lon/lat degrees -> UTM (easting, northing) meters, northern
-    hemisphere."""
+_UTM_FN_SOUTH = 10_000_000.0  # false northing, southern-hemisphere zones
+
+
+def utm_forward(lons, lats, zone: int, south: bool = False):
+    """lon/lat degrees -> UTM (easting, northing) meters.  ``south=True``
+    applies the 10,000,000 m false northing (EPSG:327xx) — same Krüger
+    series, shifted origin."""
     lons = np.radians(np.asarray(lons, dtype=np.float64))
     lats = np.radians(np.asarray(lats, dtype=np.float64))
     lon0 = np.radians(zone * 6.0 - 183.0)
@@ -653,13 +657,17 @@ def utm_forward(lons, lats, zone: int):
         e_ = e_ + a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
     easting = _UTM_FE + _UTM_K0 * A * e_
     northing = _UTM_K0 * A * x_
+    if south:
+        northing = northing + _UTM_FN_SOUTH
     return easting, northing
 
 
-def utm_inverse(eastings, northings, zone: int):
-    """UTM meters -> lon/lat degrees (northern hemisphere)."""
+def utm_inverse(eastings, northings, zone: int, south: bool = False):
+    """UTM meters -> lon/lat degrees (``south=True`` for EPSG:327xx)."""
     eastings = np.asarray(eastings, dtype=np.float64)
     northings = np.asarray(northings, dtype=np.float64)
+    if south:
+        northings = northings - _UTM_FN_SOUTH
     n, A, _, beta = _tm_constants()
     xi = northings / (_UTM_K0 * A)
     eta = (eastings - _UTM_FE) / (_UTM_K0 * A)
@@ -774,12 +782,15 @@ def crs_forward(crs: str, lons, lats):
         return albers_forward(lons, lats)
     if code.startswith("326") and len(code) == 5:
         return utm_forward(lons, lats, int(code[3:]))
+    if code.startswith("327") and len(code) == 5:
+        return utm_forward(lons, lats, int(code[3:]), south=True)
     raise ValueError(
         f"unsupported CRS {crs!r}: this engine dispatches EPSG:4326/EPSG:4269 "
-        "(geographic identity), EPSG:5070 (CONUS Albers) and EPSG:326xx (UTM "
-        "north) only — the reference accepts any pyproj CRS "
-        "(reprojection.py:15-112), but this sandbox has no pyproj; extend "
-        "crs_forward/crs_inverse with the projection math to add one"
+        "(geographic identity), EPSG:5070 (CONUS Albers) and EPSG:326xx/"
+        "EPSG:327xx (UTM north/south) only — the reference accepts any "
+        "pyproj CRS (reprojection.py:15-112), but this sandbox has no "
+        "pyproj; extend crs_forward/crs_inverse with the projection math "
+        "to add one"
     )
 
 
@@ -792,7 +803,9 @@ def crs_inverse(crs: str, xs, ys):
         return albers_inverse(xs, ys)
     if code.startswith("326") and len(code) == 5:
         return utm_inverse(xs, ys, int(code[3:]))
+    if code.startswith("327") and len(code) == 5:
+        return utm_inverse(xs, ys, int(code[3:]), south=True)
     raise ValueError(
         f"unsupported CRS {crs!r}: supported codes are EPSG:4326, EPSG:4269, "
-        "EPSG:5070 and EPSG:326xx (see crs_forward)"
+        "EPSG:5070, EPSG:326xx and EPSG:327xx (see crs_forward)"
     )

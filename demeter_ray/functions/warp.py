@@ -12,10 +12,11 @@ pixel mapping through the CRS math in functions/geo.py:
                      -> fractional src row/col -> gather
 
 Resampling methods: ``nearest`` (categorical), ``bilinear`` (continuous),
-``average`` (area-ish: supersampled nearest gather averaged per dst cell —
-the public approximation of GDAL's average kernel).  All methods are
-vectorized over the full destination grid; masked (nodata) source pixels
-never contribute.
+``cubic`` (Keys cubic convolution, a=-0.5 — the GDAL default kernel; 4x4
+taps, valid-weight renormalization under nodata), ``average`` (area-ish:
+supersampled nearest gather averaged per dst cell — the public
+approximation of GDAL's average kernel).  All methods are vectorized over
+the full destination grid; masked (nodata) source pixels never contribute.
 
 Everything operates on single tiles and runs inside ``map_batches`` tasks at
 scale — memory is bounded by one tile's destination grid, never a global
@@ -183,6 +184,45 @@ def reproject_raster(
         with np.errstate(invalid="ignore", divide="ignore"):
             vals = acc / wacc
         out = np.ma.masked_array(np.nan_to_num(vals), mask=wacc <= 0)
+    elif resampling == "cubic":
+        # Keys cubic convolution, a = -0.5 (GDAL Resampling.cubic parity,
+        # reprojection.py:15-112): weights reproduce polynomials exactly up
+        # to degree 3; under nodata the valid taps renormalize like the
+        # bilinear kernel (output masked where no usable weight remains)
+        srow, scol = _src_fractional_rowcol(dst_transform, dh, dw, transform, src_crs, dst_crs)
+        rpos, cpos = srow - 0.5, scol - 0.5
+        r0, c0 = np.floor(rpos), np.floor(cpos)
+        fr, fc = rpos - r0, cpos - c0
+
+        def _keys(t):
+            at = np.abs(t)
+            return np.where(
+                at <= 1.0,
+                1.5 * at**3 - 2.5 * at**2 + 1.0,
+                np.where(at < 2.0, -0.5 * at**3 + 2.5 * at**2 - 4.0 * at + 2.0, 0.0),
+            )
+
+        acc = np.zeros(srow.shape)
+        wacc = np.zeros(srow.shape)
+        for dr in (-1, 0, 1, 2):
+            wr = _keys(dr - fr)
+            ri = (r0 + dr).astype(np.int64)
+            rin = (ri >= 0) & (ri < h)
+            ris = np.clip(ri, 0, h - 1)
+            for dc in (-1, 0, 1, 2):
+                wc = _keys(dc - fc)
+                ci = (c0 + dc).astype(np.int64)
+                ok = rin & (ci >= 0) & (ci < w)
+                cis = np.clip(ci, 0, w - 1)
+                ok &= ~mask[ris, cis]
+                wgt = wr * wc
+                acc += np.where(ok, data[ris, cis] * wgt, 0.0)
+                wacc += np.where(ok, wgt, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vals = acc / wacc
+        out = np.ma.masked_array(
+            np.nan_to_num(vals), mask=np.abs(wacc) <= 1e-9
+        )
     elif resampling == "average":
         srow, scol = _src_fractional_rowcol(
             dst_transform, dh, dw, transform, src_crs, dst_crs, sub=supersample

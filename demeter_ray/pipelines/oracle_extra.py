@@ -18,17 +18,6 @@ from demeter_ray.sources.tables import read_table
 _FX = "/tmp/demeter_ray_fixtures/tiny"
 
 
-@register("fetch_point_data", None)
-def fetch_point_data_q(sf_dir: str):
-    """The reference's flagship multi-source point enrichment
-    (api.py:13-102) over the deterministic fixtures (rows-only; golden
-    conformance in tests/test_point_data.py)."""
-    from demeter_ray.pipelines import point_data
-    from demeter_ray.sources import fixtures as fx
-
-    return point_data.fetch_point_data(fx.generate("tiny"))
-
-
 _PROPERTY_AVGS = ",\n         ".join(
     "CASE WHEN SUM(cbot - ctop) FILTER (WHERE {c} IS NOT NULL) > 0 THEN "
     "ROUND(SUM((cbot - ctop) * {c}) FILTER (WHERE {c} IS NOT NULL) * 1.0 / "
@@ -45,12 +34,7 @@ _PROPERTY_AVGS = ",\n         ".join(
     )
 )
 
-# the full SSURGO relational plan (top-1-with-ties, interval join, fragment
-# rollup, missing-ignoring depth-weighted averages, sorted-unique kinds,
-# one-to-one left merge) re-expressed in SQL over the SAME fixture parquet
-# dims — the driver's hard oracle for the flagship soil plan
-_PRIMARY_SOIL_SQL = f"""
-WITH fields AS (
+_SOIL_CTES = f"""fields AS (
   SELECT map_unit_key, map_unit_symbol, map_unit_name
   FROM read_parquet('{_FX}/fields.parquet')
 ),
@@ -99,7 +83,21 @@ kinds AS (
   FROM (SELECT component_key, UNNEST(string_split(kinds, '|')) AS k
         FROM hz WHERE kinds IS NOT NULL)
   GROUP BY component_key
+)"""
+
+_SOIL_ATTR_COLS = (
+    "component_percent", "component_name", "component_kind", "drainage_class",
+    "fine_fraction_percent_by_weight", "gravel_percent_by_weight",
+    "sand_percent_of_fine_fraction_by_weight",
+    "silt_percent_of_fine_fraction_by_weight",
+    "clay_percent_of_fine_fraction_by_weight",
+    "organic_matter_percent_of_fine_fraction_by_weight",
+    "oven_dry_bulk_density_g_per_cm3", "fragment_percent_by_volume",
+    "fragment_kind",
 )
+
+_PRIMARY_SOIL_SQL = f"""
+WITH {_SOIL_CTES}
 SELECT f.map_unit_key, f.map_unit_symbol, f.map_unit_name,
        p.component_key, p.component_percent, p.component_name,
        p.component_kind, p.drainage_class,
@@ -119,8 +117,8 @@ ORDER BY f.map_unit_key, p.component_key
 """
 
 
-def _point_data_rasters_sql() -> str:
-    """SQL recompute of fetch_point_data's raster columns at the 5 fixture
+def _point_data_ctes() -> str:
+    """Shared CTE body: SQL recompute of fetch_point_data's raster columns at the 5 fixture
     probe points: elevation / catchment+VAT / fac / fdr-decode from the
     global field formulas through the SAME per-tile inverse-affine floor the
     sampler uses (every float expression mirrors the numpy op order, so IEEE
@@ -163,8 +161,7 @@ def _point_data_rasters_sql() -> str:
             f"{ci % fx.SCENE_PX}, {ri})"
         )
     nd_values = ",\n  ".join(nd_rows)
-    return f"""
-WITH pts(point_id, lon, lat) AS (VALUES
+    return f"""pts(point_id, lon, lat) AS (VALUES
   {pts_values}
 ),
 tiles AS (
@@ -264,9 +261,12 @@ ndstat AS (
   FROM (SELECT point_id, v, AVG(v) OVER (PARTITION BY point_id) AS m
         FROM nddt WHERE v IS NOT NULL)
   GROUP BY point_id
-)
-SELECT p.point_id, p.lon, p.lat,
-       ca.carbon_stock_mean, ca.carbon_stock_stddev,
+)"""
+
+
+# raster output expressions shared by the rasters-only and full oracles
+# (aliases c=cell, ca=carbon, nd=ndstat)
+_PD_RASTER_COLS = """ca.carbon_stock_mean, ca.carbon_stock_stddev,
        CAST(CAST(((c.gcol*31 + c.grow*17) % 1000) / 10.0 AS REAL) AS DOUBLE)
          AS elevation,
        CASE WHEN ((c.gcol//64*5 + (4 - c.grow//64))*7
@@ -282,7 +282,14 @@ SELECT p.point_id, p.lon, p.lat,
          WHEN 1 THEN 'E' WHEN 2 THEN 'SE' WHEN 4 THEN 'S' WHEN 8 THEN 'SW'
          WHEN 16 THEN 'W' WHEN 32 THEN 'NW' WHEN 64 THEN 'N' WHEN 128 THEN 'NE'
        END AS flow_direction,
-       nd.ndvi_mean, nd.ndvi_min, nd.ndvi_max, nd.ndvi_stddev
+       nd.ndvi_mean, nd.ndvi_min, nd.ndvi_max, nd.ndvi_stddev"""
+
+
+def _point_data_rasters_sql() -> str:
+    return f"""
+WITH {_point_data_ctes()}
+SELECT p.point_id, p.lon, p.lat,
+       {_PD_RASTER_COLS}
 FROM pts p
 LEFT JOIN cell c USING (point_id)
 LEFT JOIN carbon ca USING (point_id)
@@ -318,6 +325,128 @@ def fetch_point_data_rasters_q(sf_dir: str):
     return out
 
 
+def _field_edges_values() -> str:
+    """Every edge of every fixture field-polygon ring as SQL literals —
+    the full even-odd (ray-crossing) containment test is then expressible
+    in SQL: a point is inside a polygon iff its crossing count over ALL of
+    the polygon's edges is odd (rings XOR via parity), mirroring
+    geo.points_in_ring's float op order exactly."""
+    from demeter_ray.functions import geo as _geo
+    from demeter_ray.sources import fixtures as fx
+
+    fields = fx.make_fields(fx.SCALES["tiny"]["grid"])
+    rows = []
+    for mid, wkb in zip(
+        fields["map_unit_key"].to_pylist(), fields["geom_wkb"].to_pylist()
+    ):
+        for rings in _geo.parse_wkb(wkb):
+            for ring in rings:
+                r = np.asarray(ring, dtype=np.float64)
+                for (x1, y1), (x2, y2) in zip(r[:-1], r[1:]):
+                    rows.append(
+                        f"({mid}, {float(x1)!r}e0, {float(y1)!r}e0, "
+                        f"{float(x2)!r}e0, {float(y2)!r}e0)"
+                    )
+    return ",\n  ".join(rows)
+
+
+def _point_data_full_sql() -> str:
+    """The FULL fetch_point_data oracle: raster columns (shared CTEs) plus
+    the ssurgo source — point->map-unit assignment via the SQL even-odd
+    crossing test over the fixture polygon edges (min-key under overlap),
+    joined to the first primary component row of the SSURGO plan."""
+    ssurgo_cols = ",\n       ".join(
+        f"s.{c} AS ssurgo_{c}" for c in _SOIL_ATTR_COLS
+    )
+    return f"""
+WITH {_point_data_ctes()},
+{_SOIL_CTES},
+edges(fid, ex1, ey1, ex2, ey2) AS (VALUES
+  {_field_edges_values()}
+),
+inside AS (
+  SELECT p.point_id, e.fid
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.point_id, e.fid, p.lon, p.lat
+  HAVING COUNT(*) FILTER (WHERE ((e.ey1 > p.lat) <> (e.ey2 > p.lat))
+           AND p.lon < e.ex1 + (p.lat - e.ey1) * (e.ex2 - e.ex1)
+                                / (e.ey2 - e.ey1)) % 2 = 1
+),
+mu AS (
+  SELECT point_id, MIN(fid) AS mukey FROM inside GROUP BY point_id
+),
+soil_one AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT f.map_unit_key AS mukey, p.component_key,
+           p.component_percent, p.component_name, p.component_kind,
+           p.drainage_class,
+           a.fine_fraction_percent_by_weight, a.gravel_percent_by_weight,
+           a.sand_percent_of_fine_fraction_by_weight,
+           a.silt_percent_of_fine_fraction_by_weight,
+           a.clay_percent_of_fine_fraction_by_weight,
+           a.organic_matter_percent_of_fine_fraction_by_weight,
+           a.oven_dry_bulk_density_g_per_cm3,
+           a.fragment_percent_by_volume,
+           k.fragment_kind,
+           ROW_NUMBER() OVER (PARTITION BY f.map_unit_key
+                              ORDER BY p.component_key) AS rn
+    FROM fields f
+    LEFT JOIN prim p USING (map_unit_key)
+    LEFT JOIN agg a USING (component_key)
+    LEFT JOIN kinds k USING (component_key))
+  WHERE rn = 1
+)
+SELECT p.point_id, p.lon, p.lat,
+       {_PD_RASTER_COLS},
+       CAST(mu.mukey AS DOUBLE) AS map_unit_key,
+       CAST(s.component_key AS DOUBLE) AS ssurgo_component_key,
+       {ssurgo_cols}
+FROM pts p
+LEFT JOIN cell c USING (point_id)
+LEFT JOIN carbon ca USING (point_id)
+LEFT JOIN ndstat nd USING (point_id)
+LEFT JOIN mu USING (point_id)
+LEFT JOIN soil_one s ON mu.mukey = s.mukey
+ORDER BY p.point_id
+"""
+
+
+@register("fetch_point_data", _point_data_full_sql())
+def fetch_point_data_q(sf_dir: str):
+    """The reference's flagship multi-source point enrichment
+    (api.py:13-102) over the deterministic fixtures.  The oracle recomputes
+    EVERY column in SQL: rasters from the field formulas, the point->field
+    assignment via the even-odd crossing test over the polygon-edge
+    literals, and the ssurgo attributes from the SSURGO plan CTEs (golden
+    conformance additionally in tests/test_point_data.py)."""
+    from demeter_ray.pipelines import point_data
+    from demeter_ray.pipelines.soiljoin import PROPERTY_COLS
+    from demeter_ray.sources import fixtures as fx
+
+    out = point_data.fetch_point_data(fx.generate("tiny"))
+    # majcompflag is constant 'Yes' on the primary plan (already filtered);
+    # the SQL plan doesn't carry it through
+    out = out.drop(columns=["ssurgo_majcompflag"])
+    for c in ("carbon_stock_mean", "carbon_stock_stddev"):
+        out[c] = duck_round(out[c].to_numpy(dtype=np.float64), 6)
+    for c in PROPERTY_COLS:
+        out["ssurgo_" + c] = duck_round(
+            out["ssurgo_" + c].to_numpy(dtype=np.float64), 4
+        )
+    for c in ("catchment_id", "map_unit_key", "ssurgo_component_key",
+              "ssurgo_component_percent"):
+        out[c] = out[c].astype("Float64").astype(np.float64)
+    fd = out["flow_direction"].astype(object)
+    out["flow_direction"] = fd.where(fd.notna(), None)
+    return out
+
+
+
+# the full SSURGO relational plan (top-1-with-ties, interval join, fragment
+# rollup, missing-ignoring depth-weighted averages, sorted-unique kinds,
+# one-to-one left merge) re-expressed in SQL over the SAME fixture parquet
+# dims — the driver's hard oracle for the flagship soil plan.  The CTE body
+# is shared with the full fetch_point_data oracle below.
 @register("primary_soil_components", _PRIMARY_SOIL_SQL)
 def primary_soil_components_q(sf_dir: str):
     """Full SSURGO plan over fixture dims (ssurgo.py:111-179 semantics;

@@ -135,10 +135,12 @@ def fetch_point_data(
         )
         assigned = index.query_min_id(lons, lats)
         soil = primary_soil_components(fixture_dir, top_depth_cm, bottom_depth_cm)
-        # one row per map unit for the point join: first (min component_key)
-        soil_first = soil.sort_values(["map_unit_key", "component_key"]).groupby(
-            "map_unit_key", as_index=False
-        ).first()
+        # one row per map unit for the point join: the first ROW by
+        # component_key (whole-row semantics — groupby().first() would mix
+        # per-column first-non-null values across tied primary components)
+        soil_first = soil.sort_values(["map_unit_key", "component_key"]).drop_duplicates(
+            "map_unit_key", keep="first"
+        )
         soil_first = soil_first.drop(columns=["map_unit_symbol", "map_unit_name"])
         soil_first = soil_first.add_prefix("ssurgo_").rename(
             columns={"ssurgo_map_unit_key": "map_unit_key"}

@@ -127,3 +127,74 @@ def test_roundtrip_mean_preservation_5070():
     once, t1 = warp.reproject_raster(m, transform, "EPSG:4326", "EPSG:5070", "average")
     back, t2 = warp.reproject_raster(once, t1, "EPSG:5070", "EPSG:4326", "average")
     assert round(float(back.mean())) == round(float(m.mean()))
+
+
+def test_utm_south_roundtrip_and_mirror():
+    """EPSG:327xx: same Krüger series with the 10,000,000 m false northing.
+    Forward->inverse is identity; by TM symmetry the southern northing of
+    -lat equals 1e7 minus the northern northing of +lat."""
+    lon = np.array([151.2, 150.8, 148.9])  # zone 56 (Sydney-ish)
+    lat = np.array([-33.9, -34.5, -20.0])
+    e, n = geo.utm_forward(lon, lat, 56, south=True)
+    assert (0 < n).all() and (n < 1e7).all()  # below the false-northing origin
+    lon2, lat2 = geo.utm_inverse(e, n, 56, south=True)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    e_n, n_n = geo.utm_forward(lon, -lat, 56)
+    np.testing.assert_allclose(e, e_n, atol=1e-6)
+    np.testing.assert_allclose(n, 1e7 - n_n, atol=1e-6)
+    # dispatch table accepts 327xx both ways
+    x, y = geo.crs_forward("EPSG:32756", lon, lat)
+    np.testing.assert_allclose(x, e)
+    lon3, lat3 = geo.crs_inverse("EPSG:32756", x, y)
+    np.testing.assert_allclose(lon3, lon, atol=1e-9)
+
+
+def test_reproject_4326_to_utm_south_roundtrip_mean():
+    transform = (0.001, 0.0, 150.90, 0.0, -0.001, -33.80)  # NSW tile
+    px = _smooth_tile(60, 80, transform,
+                      lambda x, y: 120 + 15 * np.sin(6 * x) + 10 * np.cos(9 * y))
+    out, out_t = warp.reproject_raster(
+        np.ma.masked_array(px), transform, "EPSG:4326", "EPSG:32756", "bilinear"
+    )
+    assert round(float(out.mean())) == round(float(px.mean()))
+    assert 50 < out_t[0] < 200  # meters per pixel
+
+
+def test_cubic_reproduces_linear_ramp_exactly():
+    """Keys cubic convolution reproduces polynomials up to degree 3: a
+    linear ramp resampled onto a sub-pixel-shifted grid must come back
+    bit-tight in the interior."""
+    transform = (0.001, 0.0, -93.60, 0.0, -0.001, 42.05)
+    ramp = lambda x, y: 7.0 + 1000.0 * x + 500.0 * y
+    px = _smooth_tile(60, 80, transform, ramp)
+    shifted = (0.001, 0.0, -93.60 + 0.00037, 0.0, -0.001, 42.05 - 0.00021)
+    out, out_t = warp.reproject_raster(
+        np.ma.masked_array(px), transform, "EPSG:4326", "EPSG:4326",
+        "cubic", align_to=shifted,
+    )
+    h, w = out.shape
+    exp = _smooth_tile(h, w, out_t, ramp)
+    interior = ~np.ma.getmaskarray(out)
+    interior[:3, :] = interior[-3:, :] = interior[:, :3] = interior[:, -3:] = False
+    np.testing.assert_allclose(out.data[interior], exp[interior], rtol=1e-9)
+
+
+def test_cubic_preserves_mean_smooth_field(elevation_4326):
+    px, transform = elevation_4326
+    out, _ = warp.reproject_raster(px, transform, "EPSG:4326", "EPSG:5070", "cubic")
+    assert round(float(out.mean())) == round(float(px.mean()))
+
+
+def test_cubic_nodata_renormalizes_and_masks():
+    transform = (0.001, 0.0, -93.60, 0.0, -0.001, 42.05)
+    px = _smooth_tile(40, 40, transform, lambda x, y: 10 + 100 * x)
+    m = np.zeros_like(px, dtype=bool)
+    m[15:25, 15:25] = True
+    out, _ = warp.reproject_raster(
+        np.ma.masked_array(px, mask=m), transform, "EPSG:4326", "EPSG:4326",
+        "cubic",
+        align_to=(0.001, 0.0, -93.60 + 0.0004, 0.0, -0.001, 42.05 - 0.0004),
+    )
+    assert np.ma.getmaskarray(out).any()           # hole survives
+    assert np.isfinite(out.filled(0)).all()        # no NaN leakage
