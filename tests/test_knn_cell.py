@@ -143,3 +143,21 @@ def test_sublinear_candidate_work_at_100x():
     # keeps per-point candidates near-constant
     assert w_big < w_small * factor * 0.15
     assert w_big < n_small * factor * 0.1  # and far below "examine them all"
+
+
+def test_field_centroids_ds_matches_driver(ray_session, tiny_fixtures):
+    """Distributed centroid extraction must match the driver-side loop."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from demeter_ray.stages.knn import field_centroids, field_centroids_ds
+
+    tbl = pq.read_table(f"{tiny_fixtures}/fields.parquet")
+    ids, xs, ys = field_centroids(tbl)
+    dids, dxs, dys = field_centroids_ds(
+        ray.data.read_parquet(f"{tiny_fixtures}/fields.parquet")
+    )
+    order = np.argsort(dids)
+    np.testing.assert_array_equal(np.asarray(ids), dids[order])
+    np.testing.assert_array_equal(np.asarray(xs), dxs[order])
+    np.testing.assert_array_equal(np.asarray(ys), dys[order])

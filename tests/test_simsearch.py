@@ -156,3 +156,43 @@ def test_ivf_training_sample_block_order_invariant(ray_session):
     # small corpora train on every row, sorted
     small = ivf_training_sample(fwd.limit(100), target=512)
     assert len(small) == 100
+
+
+def test_ivf_kmeans_trained_recall(emb_ds, emb_np):
+    """The distributed-Lloyd-trained IVF must reach the same recall bar as
+    the sample-trained one (scale path for 100-TB embedding counts)."""
+    ids, E = emb_np
+    queries = E[:8]
+    indexed = build_ivf_index(emb_ds, n_lists=8, train="kmeans")
+    C = indexed.ivf_centroids
+    approx = ivf_topk(indexed, C, queries, k=5, nprobe=4)
+    exact = brute_force_topk(emb_ds, queries, k=5)
+    hits = 0
+    for qi in range(len(queries)):
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        b = set(exact[exact["query_idx"] == qi]["vec_id"])
+        hits += len(a & b)
+    assert hits / (5 * len(queries)) >= 0.6
+
+
+def test_distributed_kmeans_block_order_invariant(ray_session):
+    from demeter_ray.stages.simsearch import distributed_kmeans
+
+    rng = np.random.default_rng(17)
+    n, d = 3000, 8
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.normal(size=(n, d)).astype(np.float64)),
+        }
+    )
+    fwd = ray.data.from_pandas(df)
+    rev = ray.data.from_pandas(df.iloc[::-1].reset_index(drop=True)).repartition(7)
+    c1, _ = distributed_kmeans(fwd, k=6, iters=3)
+    c2, _ = distributed_kmeans(rev, k=6, iters=3)
+    # the INIT sample is bit-invariant (hash sample, sorted); iteration
+    # partials regroup float additions under a different block layout, so
+    # centroids agree to float-summation jitter, not bit-exactly — the
+    # limit(2048) prefix bug this guards against produced entirely
+    # different init samples, far outside this tolerance
+    np.testing.assert_allclose(c1, c2, rtol=1e-9, atol=1e-12)
