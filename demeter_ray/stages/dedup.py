@@ -63,6 +63,48 @@ def _popcount(x: np.ndarray) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
+def _dedup_rows_ds(
+    ds: ray.data.Dataset, cols: list[str], n_parts: int
+) -> ray.data.Dataset:
+    """Distributed exact row-dedup over int64 ``cols``.
+
+    Single-key hash partition + vectorized in-partition lexsort dedup —
+    NOT ``groupby(cols).count()``: Ray's sort-based aggregate on a
+    multi-column key compares Python tuples in the reduce tasks, which
+    pinned single cores for >10 min on sf0.1's ~10M-row candidate stream
+    (round-4 bench hang); the single-int64-key sort is the engine's
+    well-trodden path.  Equal rows share a hash, so per-partition dedup is
+    globally exact.  Output carries exactly ``cols``."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        acc = np.full(len(t), _FNV_BASIS, dtype=np.uint64)
+        for c in cols:
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+            acc = (acc ^ v) * _FNV_PRIME
+        key = ((acc ^ _GOLDEN) % np.uint64(n_parts)).astype(np.int64)
+        return t.select(cols).append_column("__dkey", pa.array(key, pa.int64()))
+
+    def uniq(t: pa.Table) -> pa.Table:
+        arrs = [t[c].to_numpy(zero_copy_only=False) for c in cols]
+        order = np.lexsort(arrs[::-1])
+        arrs = [a[order] for a in arrs]
+        keep = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            neq = np.zeros(len(order) - 1, dtype=bool)
+            for a in arrs:
+                neq |= a[1:] != a[:-1]
+            keep[1:] = neq
+        return pa.table(
+            {c: pa.array(a[keep], pa.int64()) for c, a in zip(cols, arrs)}
+        )
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("__dkey")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
 def _token_sets(texts, mode: str, n: int):
     if mode == "word":
         return [set(t.split()) for t in texts]
@@ -384,13 +426,10 @@ def _distributed_verify(
             }
         )
 
-    needs = (
-        pairs_v.map_batches(emit_needs, batch_format="pyarrow")
-        .groupby(["doc_id", "vkey"])
-        .count()
-        .map_batches(
-            lambda t: t.select(["doc_id", "vkey"]), batch_format="pyarrow"
-        )
+    needs = _dedup_rows_ds(
+        pairs_v.map_batches(emit_needs, batch_format="pyarrow"),
+        ["doc_id", "vkey"],
+        n_vparts,
     )
     import pyarrow.compute as pc
 
@@ -520,12 +559,7 @@ def minhash_neardup(
     # partitions (a k-doc cluster would otherwise ship ~bands * k^2/2 rows
     # to the driver — 30M at sf0.1); after the groupby the driver holds
     # exactly the distinct candidate set (output-bounded)
-    cand_ds = (
-        cand_rows.groupby(["a_id", "b_id"]).count()
-        .map_batches(lambda t: t.select(["a_id", "b_id"]),
-                     batch_format="pyarrow")
-        .materialize()
-    )
+    cand_ds = _dedup_rows_ds(cand_rows, ["a_id", "b_id"], nparts).materialize()
     n_cand = cand_ds.count()
     if n_cand == 0:
         return empty
