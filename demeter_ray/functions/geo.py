@@ -767,9 +767,38 @@ def albers_inverse(xs, ys):
 
 
 # --------------------------------------------------------------------------
+# Web Mercator (EPSG:3857) — spherical Mercator on the WGS84 semi-major
+# axis; the universal web-tile CRS.  Exact closed forms, no iteration.
+# --------------------------------------------------------------------------
+
+_WEBMERC_R = 6378137.0
+_WEBMERC_MAX_LAT = 85.051128779806592  # atan(sinh(pi)) — square world edge
+
+
+def webmercator_forward(lons, lats):
+    """lon/lat degrees -> EPSG:3857 (x, y) meters (lat clamped to the
+    projection's +/-85.0511 valid band, as web tiling does)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.clip(np.asarray(lats, dtype=np.float64), -_WEBMERC_MAX_LAT, _WEBMERC_MAX_LAT)
+    x = _WEBMERC_R * np.radians(lons)
+    y = _WEBMERC_R * np.log(np.tan(np.pi / 4 + np.radians(lats) / 2))
+    return x, y
+
+
+def webmercator_inverse(xs, ys):
+    """EPSG:3857 (x, y) meters -> lon/lat degrees."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    lon = np.degrees(xs / _WEBMERC_R)
+    lat = np.degrees(2 * np.arctan(np.exp(ys / _WEBMERC_R)) - np.pi / 2)
+    return lon, lat
+
+
+# --------------------------------------------------------------------------
 # CRS dispatch: the engine's supported projected systems.  "EPSG:4326" and
 # "EPSG:4269" are geographic (identity to lon/lat); "EPSG:326xx"/"EPSG:327xx"
-# are UTM north/south (Krüger series above); "EPSG:5070" is CONUS Albers.
+# are UTM north/south (Krüger series above); "EPSG:5070" is CONUS Albers;
+# "EPSG:3857" is Web Mercator.
 # --------------------------------------------------------------------------
 
 
@@ -780,14 +809,17 @@ def crs_forward(crs: str, lons, lats):
         return np.asarray(lons, np.float64), np.asarray(lats, np.float64)
     if code == "5070":
         return albers_forward(lons, lats)
+    if code == "3857":
+        return webmercator_forward(lons, lats)
     if code.startswith("326") and len(code) == 5:
         return utm_forward(lons, lats, int(code[3:]))
     if code.startswith("327") and len(code) == 5:
         return utm_forward(lons, lats, int(code[3:]), south=True)
     raise ValueError(
         f"unsupported CRS {crs!r}: this engine dispatches EPSG:4326/EPSG:4269 "
-        "(geographic identity), EPSG:5070 (CONUS Albers) and EPSG:326xx/"
-        "EPSG:327xx (UTM north/south) only — the reference accepts any "
+        "(geographic identity), EPSG:5070 (CONUS Albers), EPSG:3857 (Web "
+        "Mercator) and EPSG:326xx/EPSG:327xx (UTM north/south) only — the "
+        "reference accepts any "
         "pyproj CRS (reprojection.py:15-112), but this sandbox has no "
         "pyproj; extend crs_forward/crs_inverse with the projection math "
         "to add one"
@@ -801,11 +833,13 @@ def crs_inverse(crs: str, xs, ys):
         return np.asarray(xs, np.float64), np.asarray(ys, np.float64)
     if code == "5070":
         return albers_inverse(xs, ys)
+    if code == "3857":
+        return webmercator_inverse(xs, ys)
     if code.startswith("326") and len(code) == 5:
         return utm_inverse(xs, ys, int(code[3:]))
     if code.startswith("327") and len(code) == 5:
         return utm_inverse(xs, ys, int(code[3:]), south=True)
     raise ValueError(
         f"unsupported CRS {crs!r}: supported codes are EPSG:4326, EPSG:4269, "
-        "EPSG:5070, EPSG:326xx and EPSG:327xx (see crs_forward)"
+        "EPSG:5070, EPSG:3857, EPSG:326xx and EPSG:327xx (see crs_forward)"
     )

@@ -15,7 +15,9 @@ Resampling methods: ``nearest`` (categorical), ``bilinear`` (continuous),
 ``cubic`` (Keys cubic convolution, a=-0.5 — the GDAL default kernel; 4x4
 taps, valid-weight renormalization under nodata), ``average`` (area-ish:
 supersampled nearest gather averaged per dst cell — the public
-approximation of GDAL's average kernel).  All methods are vectorized over
+approximation of GDAL's average kernel), ``mode`` (majority vote over the
+same supersampled window, ties to the smallest value — the categorical
+downsampler, GDAL Resampling.mode).  All methods are vectorized over
 the full destination grid; masked (nodata) source pixels never contribute.
 
 Everything operates on single tiles and runs inside ``map_batches`` tasks at
@@ -236,6 +238,27 @@ def reproject_raster(
         with np.errstate(invalid="ignore", divide="ignore"):
             mean = total / cnt
         out = np.ma.masked_array(np.nan_to_num(mean), mask=cnt == 0)
+    elif resampling == "mode":
+        # majority vote over the supersampled window — the categorical
+        # counterpart of "average" (GDAL Resampling.mode); ties break to the
+        # smallest value for determinism
+        srow, scol = _src_fractional_rowcol(
+            dst_transform, dh, dw, transform, src_crs, dst_crs, sub=supersample
+        )
+        vals, vmask = _gather_nearest(data, mask, srow, scol)
+        s = supersample
+        v4 = vals.reshape(dh, s, dw, s).transpose(0, 2, 1, 3).reshape(dh, dw, s * s)
+        m4 = vmask.reshape(dh, s, dw, s).transpose(0, 2, 1, 3).reshape(dh, dw, s * s)
+        sv = np.sort(np.where(m4, np.inf, v4), axis=2)
+        best_val = np.zeros((dh, dw))
+        best_cnt = np.zeros((dh, dw), dtype=np.int64)
+        for k in range(s * s):
+            v = sv[..., k]
+            cnt = (sv == v[..., None]).sum(axis=2)
+            better = (cnt > best_cnt) & np.isfinite(v)
+            best_val = np.where(better, v, best_val)
+            best_cnt = np.where(better, cnt, best_cnt)
+        out = np.ma.masked_array(best_val, mask=best_cnt == 0)
     else:
         raise ValueError(f"unsupported resampling {resampling!r}")
     return out, dst_transform

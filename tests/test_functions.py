@@ -329,7 +329,25 @@ def test_crs_dispatch_unknown_epsg_raises():
 
     for fn in (geo.crs_forward, geo.crs_inverse):
         with pytest.raises(ValueError, match="EPSG:5070"):
-            fn("EPSG:3857", np.array([0.0]), np.array([0.0]))
+            fn("EPSG:2154", np.array([0.0]), np.array([0.0]))
     # supported codes still dispatch
     x, y = geo.crs_forward("EPSG:4269", np.array([1.0]), np.array([2.0]))
     assert x[0] == 1.0 and y[0] == 2.0
+
+
+def test_webmercator_known_values_and_roundtrip():
+    """EPSG:3857: the world edge maps to +/-20037508.342789244 m (the web
+    tiling constant) and forward/inverse roundtrips to float precision."""
+    edge = 20037508.342789244
+    x, y = geo.crs_forward("EPSG:3857", np.array([180.0, 0.0]), np.array([0.0, 85.051128779806592]))
+    np.testing.assert_allclose(x[0], edge, rtol=1e-12)
+    np.testing.assert_allclose(y[1], edge, rtol=1e-9)
+    assert y[0] == 0.0 and x[1] == 0.0
+    lon = np.array([-122.42, 2.35, 151.21])
+    lat = np.array([37.77, 48.86, -33.87])
+    lon2, lat2 = geo.crs_inverse("EPSG:3857", *geo.crs_forward("EPSG:3857", lon, lat))
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # out-of-band latitude clamps to the square-world edge, as web tiling does
+    _, yc = geo.crs_forward("EPSG:3857", np.array([0.0]), np.array([89.9]))
+    np.testing.assert_allclose(yc[0], edge, rtol=1e-9)

@@ -198,3 +198,36 @@ def test_cubic_nodata_renormalizes_and_masks():
     )
     assert np.ma.getmaskarray(out).any()           # hole survives
     assert np.isfinite(out.filled(0)).all()        # no NaN leakage
+
+
+def test_mode_preserves_categorical_values():
+    """mode resampling on a categorical (code) raster emits only source
+    codes (no blended values) and picks the majority code per cell when
+    downsampling 2x."""
+    transform = (0.001, 0.0, -93.60, 0.0, -0.001, 42.05)
+    # 3/4 of each 2x2 block is code 7, 1/4 is code 3
+    px = np.full((40, 40), 7.0)
+    px[::2, ::2] = 3.0
+    out, _ = warp.reproject_raster(
+        np.ma.masked_array(px), transform, "EPSG:4326", "EPSG:4326",
+        "mode",
+        align_to=(0.002, 0.0, -93.60, 0.0, -0.002, 42.05),  # 2x coarser
+    )
+    vals = np.unique(out.compressed())
+    assert set(vals).issubset({3.0, 7.0})
+    # majority everywhere is 7
+    assert (out.compressed() == 7.0).mean() > 0.9
+
+
+def test_mode_ties_break_to_smallest_and_nodata_masks():
+    transform = (0.001, 0.0, -93.60, 0.0, -0.001, 42.05)
+    px = np.full((20, 20), 5.0)
+    m = np.zeros_like(px, dtype=bool)
+    m[0:10, :] = True  # top half nodata
+    out, _ = warp.reproject_raster(
+        np.ma.masked_array(px, mask=m), transform, "EPSG:4326", "EPSG:4326",
+        "mode",
+        align_to=(0.001, 0.0, -93.60 + 0.0003, 0.0, -0.001, 42.05 - 0.0003),
+    )
+    assert np.ma.getmaskarray(out).any()           # hole survives
+    assert set(np.unique(out.compressed())).issubset({5.0})
