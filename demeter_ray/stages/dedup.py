@@ -292,6 +292,19 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float,
         sig_order = np.argsort(sig_ids, kind="mergesort")
         sig_ids = sig_ids[sig_order]
         sig_mat = np.stack(sig_rows["sig"].to_numpy()[sig_order])
+        # uint8 XOR-fold for the estimate compare: the estimator only needs
+        # EQUALITY of the 64-bit minhash values, and a uint8 false-match
+        # (different values, equal fold, p~1/256) only shifts estimates UP —
+        # no true pair is ever rejected that the full-width compare would
+        # keep, at 1/8 the gather traffic (this compare is the funnel's
+        # hottest loop at corpus scale).  Fold the raw bytes rather than
+        # masking: the pandas group path may deliver sig as float64, where
+        # a low-byte mask would be degenerate.
+        raw = np.ascontiguousarray(sig_mat).view(np.uint8)
+        raw = raw.reshape(sig_mat.shape[0], sig_mat.shape[1], sig_mat.dtype.itemsize)
+        sig_lo = raw[..., 0]
+        for k in range(1, raw.shape[2]):
+            sig_lo = sig_lo ^ raw[..., k]
         band = g[~is_sig]
         if len(band) < 2:
             return empty
@@ -320,7 +333,7 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float,
         keep_chunks = []
         for s0 in range(0, len(uniq), 200_000):
             ca, cb = sa[s0 : s0 + 200_000], sb[s0 : s0 + 200_000]
-            est = (sig_mat[ca] == sig_mat[cb]).mean(axis=1)
+            est = (sig_lo[ca] == sig_lo[cb]).mean(axis=1)
             good = est >= thr
             keep_chunks.append(uniq[s0 : s0 + 200_000][good])
         kept = np.concatenate(keep_chunks)
