@@ -144,6 +144,7 @@ def run_benchmarks() -> dict:
         "kmeans_embedding_clusters",
         "pack_documents_context_windows",
         "ngram_contamination_check",
+        "zonal_stats_fields",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -332,6 +332,124 @@ def raster_sample_customers(sf_dir: str):
     )
 
 
+# ------------------------------------------------- vector zonal statistics
+
+
+def _zonal_sql() -> str:
+    rows = []
+    for pid, verts in ORACLE_POLYGONS.items():
+        conds = []
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            conds.append(
+                f"(({x2}) - ({x1})) * (g.lat - ({y1})) - (({y2}) - ({y1})) * (g.lon - ({x1})) >= 0.0"
+            )
+        rows.append(f"SELECT {pid} AS id WHERE " + " AND ".join(conds))
+    poly_union = " UNION ALL ".join(rows)
+    return f"""
+WITH g AS (
+  SELECT -102.2 + ((c.ci + 0.5) * {_RES}) AS lon,
+         36.5 - ((r.ri + 0.5) * {_RES}) AS lat,
+         (c.ci * 31 + r.ri * 17) % 1000 AS val_e1
+  FROM range({_RASTER_H}) AS r(ri), range({_RASTER_W}) AS c(ci)
+),
+z AS (
+  SELECT g.val_e1, (SELECT MIN(id) FROM ({poly_union})) AS field_id FROM g
+)
+SELECT field_id,
+       COUNT(*) AS n_pixels,
+       SUM(val_e1) AS sum_e1,
+       MIN(val_e1) / 10.0 AS min_val,
+       MAX(val_e1) / 10.0 AS max_val,
+       ROUND(SUM(val_e1) / 10.0 / COUNT(*), 4) AS mean_val
+FROM z WHERE field_id IS NOT NULL
+GROUP BY field_id ORDER BY field_id
+"""
+
+
+@register("zonal_stats_fields", _zonal_sql())
+def zonal_stats_fields(sf_dir: str):
+    """Vector zonal statistics (count/sum/min/max/mean of raster pixels per
+    polygon zone — the classic raster x vector reduction): pixel centers
+    enumerate DISTRIBUTED (one task per grid-row block, never a driver
+    array), spatial-join onto the field polygons through the REAL PIP actor
+    pool (stages/pip.py), then batch-local integer partials + a small
+    combine.  Pixel values stay decishifted integers until the final
+    division so both sides aggregate exactly.  Oracle: half-plane PIP + the
+    raster_sample pixel formula recomputed in SQL over a generated grid.
+    (sf_dir unused — the raster grid is the fixture; kept for the driver's
+    uniform call shape.)"""
+    from demeter_ray.stages import pip as pip_stage
+
+    fields_tbl = pa.table(
+        {
+            "map_unit_key": pa.array(list(ORACLE_POLYGONS), pa.int64()),
+            "geom_wkb": pa.array(
+                [geo.wkb_from_rings([np.array(v)]) for v in ORACLE_POLYGONS.values()],
+                pa.binary(),
+            ),
+        }
+    )
+
+    rows = ray.data.range(_RASTER_H, override_num_blocks=8)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        rws = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grow = np.repeat(rws, _RASTER_W)
+        gcol = np.tile(np.arange(_RASTER_W, dtype=np.int64), len(rws))
+        return pa.table(
+            {
+                "lon": pa.array(-102.2 + (gcol + 0.5) * _RES, pa.float64()),
+                "lat": pa.array(36.5 - (grow + 0.5) * _RES, pa.float64()),
+                "val_e1": pa.array((gcol * 31 + grow * 17) % 1000, pa.int64()),
+            }
+        )
+
+    px = rows.map_batches(expand, batch_format="pyarrow", batch_size=64)
+    joined = pip_stage.pip_join(px, fields_tbl, mode="min", res=12, concurrency=(1, 4))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["map_unit_key"].notna()]
+        if b.empty:
+            return pd.DataFrame(
+                {
+                    "field_id": pd.Series(dtype="int64"),
+                    "n_pixels": pd.Series(dtype="int64"),
+                    "sum_e1": pd.Series(dtype="int64"),
+                    "min_e1": pd.Series(dtype="int64"),
+                    "max_e1": pd.Series(dtype="int64"),
+                }
+            )
+        return (
+            b.assign(field_id=b["map_unit_key"].astype("int64"))
+            .groupby("field_id", as_index=False)
+            .agg(
+                n_pixels=("val_e1", "size"),
+                sum_e1=("val_e1", "sum"),
+                min_e1=("val_e1", "min"),
+                max_e1=("val_e1", "max"),
+            )
+        )
+
+    parts = partial_combine(joined, partial)
+    out = parts.groupby("field_id", as_index=False).agg(
+        n_pixels=("n_pixels", "sum"),
+        sum_e1=("sum_e1", "sum"),
+        min_e1=("min_e1", "min"),
+        max_e1=("max_e1", "max"),
+    )
+    out["min_val"] = out.pop("min_e1") / 10.0
+    out["max_val"] = out.pop("max_e1") / 10.0
+    out["mean_val"] = duck_round(out["sum_e1"] / 10.0 / out["n_pixels"], 4)
+    return (
+        out[["field_id", "n_pixels", "sum_e1", "min_val", "max_val", "mean_val"]]
+        .sort_values("field_id")
+        .reset_index(drop=True)
+    )
+
+
 # -------------------------------------------- SSURGO-analog composite plan
 
 _SSURGO_ANALOG_SQL = """
