@@ -61,6 +61,7 @@ def ship_code_to_workers() -> None:
         "demeter_ray.stages.knn", "demeter_ray.stages.mask",
         "demeter_ray.stages.merge", "demeter_ray.stages.ndvi",
         "demeter_ray.stages.pip", "demeter_ray.stages.pools",
+        "demeter_ray.stages.pyramid",
         "demeter_ray.stages.sample", "demeter_ray.stages.schema_infer",
         "demeter_ray.stages.simsearch", "demeter_ray.stages.sketches",
         "demeter_ray.stages.spatial",

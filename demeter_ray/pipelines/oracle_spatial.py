@@ -450,6 +450,70 @@ def zonal_stats_fields(sf_dir: str):
     )
 
 
+# --------------------------------------------------- tile pyramid overview
+
+_PYRAMID_SQL = f"""
+WITH g AS (
+  SELECT r.ri AS grow, c.ci AS gcol,
+         (c.ci * 31 + r.ri * 17) % 1000 AS val_e1
+  FROM range({_RASTER_H}) AS r(ri), range({_RASTER_W}) AS c(ci)
+)
+SELECT grow // 2 AS orow, gcol // 2 AS ocol,
+       ROUND(SUM(val_e1) / 10.0 / 4.0, 4) AS mean_val
+FROM g GROUP BY orow, ocol ORDER BY orow, ocol
+"""
+
+
+@register("tile_pyramid_level1", _PYRAMID_SQL)
+def tile_pyramid_level1(sf_dir: str):
+    """Level-1 average overview of the formula raster through the REAL
+    tile-pyramid stage (stages/pyramid.build_overviews: per-tile 2x2
+    nodata-aware reduce inside map_batches tasks), exploded to
+    (orow, ocol, mean_val) rows.  Oracle: 2x2 block sums of the integer
+    pixel formula — block means are exact 3-decimal values, so the 4-decimal
+    round can never sit on a tie boundary.  (sf_dir unused — the raster grid
+    is the fixture.)"""
+    from demeter_ray.stages import pyramid
+
+    gcol = np.arange(_RASTER_W, dtype=np.int64)[None, :]
+    grow = np.arange(_RASTER_H, dtype=np.int64)[:, None]
+    px = (((gcol * 31 + grow * 17) % 1000) / 10.0).astype(np.float64)
+    transform = (_RES, 0.0, -102.2, 0.0, -_RES, 36.5)
+    tile = pa.table(
+        {
+            "tile_id": pa.array(["t0"]),
+            "h": pa.array([_RASTER_H], pa.int32()),
+            "w": pa.array([_RASTER_W], pa.int32()),
+            "dtype": pa.array(["float64"]),
+            "nodata": pa.array([float("nan")], pa.float64()),
+            "transform": pa.array([list(transform)], pa.list_(pa.float64(), 6)),
+            "pixels": pa.array([px.tobytes()], pa.binary()),
+        }
+    )
+    ov = pyramid.build_overviews(ray.data.from_arrow(tile), levels=1, method="average")
+
+    def explode(t: pa.Table) -> pa.Table:
+        orows, ocols, means = [], [], []
+        for i in range(t.num_rows):
+            h = t["h"][i].as_py()
+            w = t["w"][i].as_py()
+            opx = np.frombuffer(t["pixels"][i].as_py(), dtype=t["dtype"][i].as_py()).reshape(h, w)
+            rr, cc = np.meshgrid(np.arange(h, dtype=np.int64), np.arange(w, dtype=np.int64), indexing="ij")
+            orows.append(rr.ravel())
+            ocols.append(cc.ravel())
+            means.append(duck_round(opx.ravel(), 4))
+        return pa.table(
+            {
+                "orow": pa.array(np.concatenate(orows), pa.int64()),
+                "ocol": pa.array(np.concatenate(ocols), pa.int64()),
+                "mean_val": pa.array(np.concatenate(means), pa.float64()),
+            }
+        )
+
+    out = ov.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["orow", "ocol"]).reset_index(drop=True)
+
+
 # -------------------------------------------- SSURGO-analog composite plan
 
 _SSURGO_ANALOG_SQL = """
