@@ -145,6 +145,7 @@ def run_benchmarks() -> dict:
         "pack_documents_context_windows",
         "ngram_contamination_check",
         "zonal_stats_fields",
+        "chip_extract_customers",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

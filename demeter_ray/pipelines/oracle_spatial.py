@@ -332,6 +332,121 @@ def raster_sample_customers(sf_dir: str):
     )
 
 
+# ------------------------------------------------- training-chip extraction
+
+_CHIP_K = 4  # window rows/cols: anchor-1 .. anchor+2
+
+
+class ChipActor:
+    """map_batches callable: extract a KxK pixel chip around each point from
+    the broadcast raster (training-data prep for vision models — the chip
+    BYTES are the product; out-of-bounds cells are NaN).  Raster decoded
+    once per actor; the window gather is one fancy-index per batch."""
+
+    def __init__(self, raster_ref, k: int = _CHIP_K):
+        import ray as _ray
+
+        self.val_e1, self.h, self.w = (
+            _ray.get(raster_ref) if not isinstance(raster_ref, tuple) else raster_ref
+        )
+        self.k = k
+        self.offs = np.arange(-(k // 2 - 1), k // 2 + 1, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        crow = np.floor((36.5 - lat) / _RES).astype(np.int64)
+        ccol = np.floor((lon - (-102.2)) / _RES).astype(np.int64)
+        inside = (lon >= -102.2) & (lon < -101.7) & (lat > 36.0) & (lat <= 36.5)
+        batch = batch.filter(pa.array(inside))
+        crow, ccol = crow[inside], ccol[inside]
+        rows = crow[:, None, None] + self.offs[None, :, None]
+        cols = ccol[:, None, None] + self.offs[None, None, :]
+        valid = (rows >= 0) & (rows < self.h) & (cols >= 0) & (cols < self.w)
+        vals = self.val_e1[np.clip(rows, 0, self.h - 1), np.clip(cols, 0, self.w - 1)]
+        chip_sum = np.where(valid, vals, 0).sum(axis=(1, 2)).astype(np.int64)
+        n_px = valid.sum(axis=(1, 2)).astype(np.int64)
+        chips = np.where(valid, vals / 10.0, np.nan)
+        blobs = [chips[i].tobytes() for i in range(len(crow))]
+        return (
+            batch.append_column("crow", pa.array(crow, pa.int64()))
+            .append_column("ccol", pa.array(ccol, pa.int64()))
+            .append_column("n_px", pa.array(n_px, pa.int64()))
+            .append_column("chip_sum_e1", pa.array(chip_sum, pa.int64()))
+            .append_column("chip", pa.array(blobs, pa.binary()))
+        )
+
+
+_CHIP_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {LON_EXPR.format(k='c_custkey')} AS lon,
+         {LAT_EXPR.format(k='c_custkey')} AS lat
+  FROM customer
+),
+anchors AS (
+  SELECT c_custkey,
+         CAST(FLOOR((36.5 - lat) / {_RES}) AS BIGINT) AS crow,
+         CAST(FLOOR((lon - (-102.2)) / {_RES}) AS BIGINT) AS ccol
+  FROM pts
+  WHERE lon >= -102.2 AND lon < -101.7 AND lat > 36.0 AND lat <= 36.5
+),
+w AS (
+  SELECT a.c_custkey, a.crow, a.ccol,
+         a.crow + dr.d AS r, a.ccol + dc.d AS c
+  FROM anchors a, range(-1, 3) AS dr(d), range(-1, 3) AS dc(d)
+)
+SELECT c_custkey, crow, ccol,
+       COUNT(*) FILTER (WHERE r BETWEEN 0 AND {_RASTER_H - 1}
+                          AND c BETWEEN 0 AND {_RASTER_W - 1}) AS n_px,
+       COALESCE(SUM((c * 31 + r * 17) % 1000) FILTER (
+           WHERE r BETWEEN 0 AND {_RASTER_H - 1}
+             AND c BETWEEN 0 AND {_RASTER_W - 1}), 0) AS chip_sum_e1
+FROM w GROUP BY c_custkey, crow, ccol ORDER BY c_custkey
+"""
+
+
+def _chip_raster_ref():
+    import ray as _ray
+
+    gcol = np.arange(_RASTER_W, dtype=np.int64)[None, :]
+    grow = np.arange(_RASTER_H, dtype=np.int64)[:, None]
+    val_e1 = (gcol * 31 + grow * 17) % 1000
+    return _ray.put((val_e1, _RASTER_H, _RASTER_W))
+
+
+@register("chip_extract_customers", _CHIP_SQL)
+def chip_extract_customers(sf_dir: str):
+    """Fixed-size training-chip extraction (the vision-model data-prep op):
+    a stateful actor pool holds the broadcast raster, gathers a 4x4 window
+    around each point, and emits the chip bytes plus SQL-recomputable
+    stats (in-bounds pixel count, decishifted value sum).  The chip BYTES
+    are pinned by a pytest golden (tests/test_chip_extract.py); the driver
+    oracle checks the stats columns."""
+    ref = _chip_raster_ref()
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "lon": pa.array(derive_lon(k), pa.float64()),
+                "lat": pa.array(derive_lat(k), pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(to_points, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ChipActor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+    return ds.select_columns(["c_custkey", "crow", "ccol", "n_px", "chip_sum_e1"])
+
+
 # ------------------------------------------------- vector zonal statistics
 
 
