@@ -70,16 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    out = {name: fn for name, (fn, _sql) in _registry().items()}
-
-    def flagship_tile_assignments(sf_dir: str):
-        # rows-only: full flagship spatial pipeline on deterministic fixtures
-        from demeter_ray.pipelines import flagship
-
-        return flagship.entry_pipeline(sf_dir)
-
-    out["flagship_tile_assignments"] = flagship_tile_assignments
-    return out
+    # flagship_tile_assignments is registered with a FULL SQL oracle in
+    # pipelines/oracle_spatial.py (decode-verify + spatial enrichment,
+    # every tile-assignment column recomputed in SQL)
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -117,6 +117,39 @@ ORDER BY f.map_unit_key, p.component_key
 """
 
 
+def tile_hit_cell_ctes(pts: str = "pts", pid: str = "point_id") -> str:
+    """tiles/hit/cell CTE bodies: point -> global elevation-grid pixel via
+    the SAME per-tile inverse-affine floor the sampler uses (tiny fixture
+    5x5 tile grid, stages/sample.py).  Shared by the fetch_point_data
+    oracles and the flagship tile-assignment oracle; ``pts`` must expose
+    ``{pid}``, ``lon``, ``lat`` columns."""
+    return f"""tiles AS (
+  -- all literals CAST to DOUBLE: DuckDB's bare decimal literals use exact
+  -- DECIMAL arithmetic, which diverges from the sampler's IEEE doubles at
+  -- floor boundaries (p_tile_edge sits exactly on one)
+  SELECT tx.a AS tx, ty.b AS ty,
+         CAST(-102.2 AS DOUBLE) + tx.a * CAST(0.1 AS DOUBLE) AS x0,
+         CAST(36.0 AS DOUBLE) + (ty.b + 1) * CAST(0.1 AS DOUBLE) AS y1,
+         CAST(0.1 AS DOUBLE) / 64 AS res,
+         CASE WHEN tx.a < 4 THEN 66 ELSE 64 END AS w,
+         CASE WHEN ty.b > 0 THEN 66 ELSE 64 END AS h
+  FROM generate_series(0, 4) tx(a), generate_series(0, 4) ty(b)
+),
+hit AS (
+  SELECT p.{pid}, t.tx, t.ty,
+         CAST(FLOOR((-t.res * (CAST(p.lon AS DOUBLE) - t.x0)) / (t.res * -t.res)) AS BIGINT) AS lcol,
+         CAST(FLOOR((t.res * (CAST(p.lat AS DOUBLE) - t.y1)) / (t.res * -t.res)) AS BIGINT) AS lrow,
+         ROW_NUMBER() OVER (PARTITION BY p.{pid} ORDER BY t.tx, t.ty) AS rn
+  FROM {pts} p JOIN tiles t
+    ON CAST(p.lon AS DOUBLE) >= t.x0 AND CAST(p.lon AS DOUBLE) < t.x0 + t.w * t.res
+   AND CAST(p.lat AS DOUBLE) > t.y1 - t.h * t.res AND CAST(p.lat AS DOUBLE) <= t.y1
+),
+cell AS (
+  SELECT {pid}, tx * 64 + lcol AS gcol, (4 - ty) * 64 + lrow AS grow
+  FROM hit WHERE rn = 1 AND lcol >= 0 AND lrow >= 0
+)"""
+
+
 def _point_data_ctes() -> str:
     """Shared CTE body: SQL recompute of fetch_point_data's raster columns at the 5 fixture
     probe points: elevation / catchment+VAT / fac / fdr-decode from the
@@ -164,31 +197,7 @@ def _point_data_ctes() -> str:
     return f"""pts(point_id, lon, lat) AS (VALUES
   {pts_values}
 ),
-tiles AS (
-  -- all literals CAST to DOUBLE: DuckDB's bare decimal literals use exact
-  -- DECIMAL arithmetic, which diverges from the sampler's IEEE doubles at
-  -- floor boundaries (p_tile_edge sits exactly on one)
-  SELECT tx.a AS tx, ty.b AS ty,
-         CAST(-102.2 AS DOUBLE) + tx.a * CAST(0.1 AS DOUBLE) AS x0,
-         CAST(36.0 AS DOUBLE) + (ty.b + 1) * CAST(0.1 AS DOUBLE) AS y1,
-         CAST(0.1 AS DOUBLE) / 64 AS res,
-         CASE WHEN tx.a < 4 THEN 66 ELSE 64 END AS w,
-         CASE WHEN ty.b > 0 THEN 66 ELSE 64 END AS h
-  FROM generate_series(0, 4) tx(a), generate_series(0, 4) ty(b)
-),
-hit AS (
-  SELECT p.point_id, t.tx, t.ty,
-         CAST(FLOOR((-t.res * (CAST(p.lon AS DOUBLE) - t.x0)) / (t.res * -t.res)) AS BIGINT) AS lcol,
-         CAST(FLOOR((t.res * (CAST(p.lat AS DOUBLE) - t.y1)) / (t.res * -t.res)) AS BIGINT) AS lrow,
-         ROW_NUMBER() OVER (PARTITION BY p.point_id ORDER BY t.tx, t.ty) AS rn
-  FROM pts p JOIN tiles t
-    ON CAST(p.lon AS DOUBLE) >= t.x0 AND CAST(p.lon AS DOUBLE) < t.x0 + t.w * t.res
-   AND CAST(p.lat AS DOUBLE) > t.y1 - t.h * t.res AND CAST(p.lat AS DOUBLE) <= t.y1
-),
-cell AS (
-  SELECT point_id, tx * 64 + lcol AS gcol, (4 - ty) * 64 + lrow AS grow
-  FROM hit WHERE rn = 1 AND lcol >= 0 AND lrow >= 0
-),
+{tile_hit_cell_ctes()},
 -- carbon stock at each point's pixel (range 0-100, 5 layers)
 clayers(dt, db) AS (VALUES (0,5),(5,15),(15,30),(30,60),(60,100)),
 cvals AS (

@@ -874,3 +874,138 @@ def idw_interpolate_events(sf_dir: str):
 
     out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ----------------------------------------- flagship tile assignments (FULL oracle)
+
+
+def _flagship_sql() -> str:
+    """The flagship tile-assignment output recomputed COLUMN-FOR-COLUMN in
+    SQL over the documents table: image_id/caption formatting, the
+    image_lonlat point derivation (sources/fixtures.py:58-69), the integer
+    phash64 (blocks3*64 > total is the exact-rational form of the float
+    block-mean threshold — parity probed over 50k ids), the res-12 cell
+    index + prefix, the even-odd PIP min-id assignment over the tiny-fixture
+    polygon edge literals, the nearest-centroid kNN with (d2, id) tiebreak,
+    and the elevation sample through the shared tiles/hit/cell inverse-affine
+    CTEs.  This flips the flagship from rows-only to rows+schema+hash."""
+    from demeter_ray.pipelines.oracle_extra import (
+        _field_edges_values,
+        tile_hit_cell_ctes,
+    )
+    from demeter_ray.sources import fixtures as fx
+    from demeter_ray.stages.knn import field_centroids
+
+    dlon = repr(fx.LON1 - fx.LON0)
+    dlat = repr(fx.LAT1 - fx.LAT0)
+    fields = fx.make_fields(fx.SCALES["tiny"]["grid"])
+    ids, cxs, cys = field_centroids(fields)
+    cent_values = ",\n  ".join(
+        f"({int(i)}, {x!r}e0, {y!r}e0)" for i, x, y in zip(ids, cxs, cys)
+    )
+    return f"""
+WITH pts AS (
+  SELECT doc_id AS i,
+         printf('img%012d', doc_id) AS image_id,
+         printf('field scene %d doc', doc_id) AS caption,
+         CASE WHEN doc_id % 2 = 0
+              THEN {fx.LON0!r}e0 + ((doc_id * 2654435761) % 1000003) / 1000003.0 * 0.05e0
+              ELSE {fx.LON0!r}e0 + ((doc_id * 2654435761) % 1000003) / 1000003.0 * {dlon}e0
+         END AS lon,
+         CASE WHEN doc_id % 2 = 0
+              THEN {fx.LAT0!r}e0 + ((doc_id * 40503) % 999983) / 999983.0 * 0.05e0
+              ELSE {fx.LAT0!r}e0 + ((doc_id * 40503) % 999983) / 999983.0 * {dlat}e0
+         END AS lat
+  FROM documents
+),
+px AS (
+  SELECT p.i, x.x, y.y, (p.i * 97 + x.x * 31 + y.y * 17) % 256 AS b
+  FROM pts p, generate_series(0, 31) x(x), generate_series(0, 31) y(y)
+),
+blk AS (
+  -- 3*gray summed over each 4x4 block: b + (b+11)%256 + (b+22)%256 is the
+  -- channel sum (c*11 residues), kept integer so the threshold compare is
+  -- exact-rational: block_mean > grand_mean  <=>  s3 * 64 > total3
+  SELECT i, y // 4 AS by, x // 4 AS bx,
+         SUM(b + (b + 11) % 256 + (b + 22) % 256) AS s3
+  FROM px GROUP BY i, y // 4, x // 4
+),
+tot AS (SELECT i, SUM(s3) AS t3 FROM blk GROUP BY i),
+ph AS (
+  SELECT i,
+         CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+              THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS phash
+  FROM (
+    SELECT b.i,
+           SUM(CASE WHEN b.s3 * 64 > t.t3 THEN 1::HUGEINT ELSE 0::HUGEINT END
+               * (1::HUGEINT << CAST(63 - (b.by * 8 + b.bx) AS INT))) AS s
+    FROM blk b JOIN tot t USING (i) GROUP BY b.i)
+),
+cidx AS (
+  SELECT i,
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0e0) / 360.0e0 * 4096.0e0) AS BIGINT), 0), 4095) AS ccx,
+    LEAST(GREATEST(CAST(FLOOR((lat + 90.0e0) / 180.0e0 * 4096.0e0) AS BIGINT), 0), 4095) AS ccy
+  FROM pts
+),
+edges(fid, ex1, ey1, ex2, ey2) AS (VALUES
+  {_field_edges_values()}
+),
+inside AS (
+  SELECT p.i, e.fid
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.i, e.fid, p.lon, p.lat
+  HAVING COUNT(*) FILTER (WHERE ((e.ey1 > p.lat) <> (e.ey2 > p.lat))
+           AND p.lon < e.ex1 + (p.lat - e.ey1) * (e.ex2 - e.ex1)
+                                / (e.ey2 - e.ey1)) % 2 = 1
+),
+mu AS (SELECT i, MIN(fid) AS mukey FROM inside GROUP BY i),
+cents(fid, cx, cy) AS (VALUES
+  {cent_values}
+),
+nn AS (
+  SELECT i, fid, d2 FROM (
+    SELECT p.i, c.fid,
+           (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY p.i ORDER BY
+             (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy),
+             c.fid) AS rn
+    FROM pts p CROSS JOIN cents c)
+  WHERE rn = 1
+),
+{tile_hit_cell_ctes(pts="pts", pid="i")}
+SELECT p.image_id, p.caption, ph.phash, p.lon, p.lat,
+       ci.ccx * 536870912 + ci.ccy AS cell,
+       (ci.ccx // 128) * 536870912 + (ci.ccy // 128) AS cell_prefix,
+       CAST(mu.mukey AS DOUBLE) AS map_unit_key,
+       nn.fid AS nearest_field, nn.d2 AS nearest_field_dist2,
+       CAST(CAST(((c.gcol*31 + c.grow*17) % 1000) / 10.0 AS REAL) AS DOUBLE)
+         AS elevation
+FROM pts p
+JOIN ph USING (i)
+JOIN cidx ci USING (i)
+JOIN nn USING (i)
+LEFT JOIN mu USING (i)
+LEFT JOIN cell c USING (i)
+ORDER BY p.image_id
+"""
+
+
+_FLAGSHIP_COLS = [
+    "image_id", "caption", "phash", "lon", "lat", "cell", "cell_prefix",
+    "map_unit_key", "nearest_field", "nearest_field_dist2", "elevation",
+]
+
+
+@register("flagship_tile_assignments", _flagship_sql())
+def flagship_tile_assignments(sf_dir: str):
+    """FULL flagship pipeline (stream documents -> image schema ->
+    decode-verify actor stage -> fused spatial enrichment: cell index + PIP
+    + kNN + elevation sampling), projected to the tile-assignment columns
+    the judge checks — every one recomputed independently in SQL."""
+    from demeter_ray.pipelines import flagship
+
+    ds = flagship.entry_pipeline(sf_dir)
+    df = ds.select_columns(_FLAGSHIP_COLS).to_pandas()
+    # nullable Int64 -> float64 (the checker's int path can't carry NA)
+    df["map_unit_key"] = df["map_unit_key"].astype("Float64").astype(np.float64)
+    return df.sort_values("image_id").reset_index(drop=True)
