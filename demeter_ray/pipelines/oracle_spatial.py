@@ -1009,3 +1009,211 @@ def flagship_tile_assignments(sf_dir: str):
     # nullable Int64 -> float64 (the checker's int path can't carry NA)
     df["map_unit_key"] = df["map_unit_key"].astype("Float64").astype(np.float64)
     return df.sort_values("image_id").reset_index(drop=True)
+
+
+# --------------------------------- cell k-ring neighborhood join (H3 kRing analog)
+
+_NEIGH_RES = 14  # 360/2^14 deg ~ 0.022 deg cells over the 0.5-deg fixture window
+
+_NEIGH_SQL = f"""
+WITH ev AS (
+  SELECT CAST(FLOOR(({LON_EXPR.format(k='event_id')} + 180.0) / 360.0 * 16384.0) AS BIGINT) AS ecx,
+         CAST(FLOOR(({LAT_EXPR.format(k='event_id')} + 90.0) / 180.0 * 16384.0) AS BIGINT) AS ecy
+  FROM events
+),
+evc AS (SELECT ecx, ecy, COUNT(*) AS n FROM ev GROUP BY ecx, ecy),
+cust AS (
+  SELECT c_custkey,
+         CAST(FLOOR(({LON_EXPR.format(k='c_custkey')} + 180.0) / 360.0 * 16384.0) AS BIGINT) AS ccx,
+         CAST(FLOOR(({LAT_EXPR.format(k='c_custkey')} + 90.0) / 180.0 * 16384.0) AS BIGINT) AS ccy
+  FROM customer
+)
+SELECT c.c_custkey,
+       c.ccx * 536870912 + c.ccy AS cell,
+       COALESCE(SUM(e.n), 0)::BIGINT AS n_events_9
+FROM cust c LEFT JOIN evc e
+  ON e.ecx BETWEEN c.ccx - 1 AND c.ccx + 1
+ AND e.ecy BETWEEN c.ccy - 1 AND c.ccy + 1
+GROUP BY c.c_custkey, c.ccx, c.ccy
+ORDER BY c.c_custkey
+"""
+
+
+@register("cell_neighbor_event_counts", _NEIGH_SQL)
+def cell_neighbor_event_counts(sf_dir: str):
+    """Cell k-ring neighborhood join (the H3 kRing / S2 neighbor pattern):
+    per-customer count of events in the customer's res-14 cell and its 8
+    neighbors.  100-TB shape: event counts aggregate per fine cell FIRST
+    (gated group-sum), then the SMALL per-cell aggregate replicates x9 to
+    its neighbor target cells — the shuffle volume is O(occupied cells),
+    independent of event count — and customers attach via the size-gated
+    lookup join on their own cell.  No broadcast of raw events, no
+    multi-column shuffle key (cells pack to one int64)."""
+    from demeter_ray.pipelines.relational import gated_group_sum_ds, gated_lookup_join
+
+    pack = geo.CELL_PACK
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def ev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["event_id"].to_numpy(dtype=np.int64)
+        cx, cy = geo.cell_xy(derive_lon(k), derive_lat(k), _NEIGH_RES)
+        out = pd.DataFrame({"cell": cx * pack + cy})
+        return out.groupby("cell", as_index=False).size().rename(columns={"size": "n"})
+
+    counts = gated_group_sum_ds(ev, ev_partial, keys=["cell"], sums=["n"])
+
+    def neigh_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cell = df["cell"].to_numpy(dtype=np.int64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        cx, cy = cell // pack, cell % pack
+        off = np.array([-1, 0, 1], dtype=np.int64)
+        tcx = np.repeat(cx, 9) + np.tile(np.repeat(off, 3), len(cx))
+        tcy = np.repeat(cy, 9) + np.tile(np.tile(off, 3), len(cy))
+        out = pd.DataFrame({"cell": tcx * pack + tcy, "n": np.repeat(n, 9)})
+        return out.groupby("cell", as_index=False).agg(n=("n", "sum"))
+
+    neigh = gated_group_sum_ds(counts, neigh_partial, keys=["cell"], sums=["n"])
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def cust_cells(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        cx, cy = geo.cell_xy(derive_lon(k), derive_lat(k), _NEIGH_RES)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "cell": pa.array(cx * pack + cy, pa.int64()),
+            }
+        )
+
+    out = gated_lookup_join(
+        cust.map_batches(cust_cells, batch_format="pyarrow"),
+        "cell", neigh, "cell", ["n"], how="left",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events_9"] = df["n"].fillna(0).astype(np.int64)
+        return df[["c_custkey", "cell", "n_events_9"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+# ------------------- grid-partitioned rectangle-intersection join (PBSM)
+
+_RECT_RES = 12  # 360/4096 deg ~ 0.088 deg cells; rects span <= 0.042 deg
+
+_RECT_SQL = f"""
+WITH a0 AS (
+  SELECT s_suppkey AS a_key,
+         {LON_EXPR.format(k='s_suppkey')} AS lon,
+         {LAT_EXPR.format(k='s_suppkey')} AS lat,
+         0.005 + ((s_suppkey * 7) % 13) / 1000.0 AS hw,
+         0.005 + ((s_suppkey * 11) % 17) / 1000.0 AS hh
+  FROM supplier
+),
+a AS (SELECT a_key, lon - hw AS ax1, lon + hw AS ax2,
+             lat - hh AS ay1, lat + hh AS ay2 FROM a0),
+b0 AS (
+  SELECT c_custkey AS b_key,
+         {LON_EXPR.format(k='c_custkey')} AS lon,
+         {LAT_EXPR.format(k='c_custkey')} AS lat,
+         0.005 + ((c_custkey * 7) % 13) / 1000.0 AS hw,
+         0.005 + ((c_custkey * 11) % 17) / 1000.0 AS hh
+  FROM customer
+),
+b AS (SELECT b_key, lon - hw AS bx1, lon + hw AS bx2,
+             lat - hh AS by1, lat + hh AS by2 FROM b0)
+SELECT a.a_key, b.b_key,
+       (LEAST(a.ax2, b.bx2) - GREATEST(a.ax1, b.bx1))
+         * (LEAST(a.ay2, b.by2) - GREATEST(a.ay1, b.by1)) AS inter_area
+FROM a JOIN b
+  ON a.ax1 <= b.bx2 AND b.bx1 <= a.ax2
+ AND a.ay1 <= b.by2 AND b.by1 <= a.ay2
+ORDER BY a.a_key, b.b_key
+"""
+
+
+def _rects_from_keys(keys: np.ndarray):
+    k = keys.astype(np.int64)
+    lon, lat = derive_lon(k), derive_lat(k)
+    hw = 0.005 + ((k * 7) % 13) / 1000.0
+    hh = 0.005 + ((k * 11) % 17) / 1000.0
+    return lon - hw, lon + hw, lat - hh, lat + hh
+
+
+def _expand_rect_cells(key, x1, x2, y1, y2, prefix: str) -> pa.Table:
+    """Replicate each rect to every res-_RECT_RES cell its bbox covers —
+    vectorized (no per-row Python): block offsets via cumulative-index
+    arithmetic over the per-row cell counts."""
+    cx0, cy0 = geo.cell_xy(x1, y1, _RECT_RES)
+    cx1, cy1 = geo.cell_xy(x2, y2, _RECT_RES)
+    nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+    reps = nx * ny
+    total = int(reps.sum())
+    ri = np.repeat(np.arange(len(key)), reps)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(reps) - reps, reps)
+    ox, oy = pos // ny[ri], pos % ny[ri]
+    cell = (cx0[ri] + ox) * geo.CELL_PACK + (cy0[ri] + oy)
+    return pa.table(
+        {
+            "cell": pa.array(cell, pa.int64()),
+            f"{prefix}_key": pa.array(key[ri], pa.int64()),
+            f"{prefix}x1": pa.array(x1[ri], pa.float64()),
+            f"{prefix}x2": pa.array(x2[ri], pa.float64()),
+            f"{prefix}y1": pa.array(y1[ri], pa.float64()),
+            f"{prefix}y2": pa.array(y2[ri], pa.float64()),
+        }
+    )
+
+
+@register("rect_intersection_join", _RECT_SQL)
+def rect_intersection_join(sf_dir: str):
+    """Distributed rectangle-intersection join, PBSM / grid-partitioned:
+    each side replicates its rects to the res-12 cells their bboxes cover,
+    the two sides meet in a hash-partitioned ``Dataset.join`` on the packed
+    cell key (never a broadcast, never O(A x B)), the exact overlap
+    predicate refines inside the joined batches, and the classic
+    REFERENCE-POINT rule deduplicates multi-cell pairs with zero extra
+    shuffle: a pair is emitted only by the cell containing the
+    intersection's min corner.  Intersection area is float-exact on both
+    sides (identical operand order)."""
+
+    def expand(table_key: str, prefix: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[table_key].to_numpy(zero_copy_only=False)
+            x1, x2, y1, y2 = _rects_from_keys(k)
+            return _expand_rect_cells(k, x1, x2, y1, y2, prefix)
+
+        return fn
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        expand("s_suppkey", "a"), batch_format="pyarrow"
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        expand("c_custkey", "b"), batch_format="pyarrow"
+    )
+    joined = sup.join(
+        cust, join_type="inner", num_partitions=8, on=("cell",), right_on=("cell",)
+    )
+
+    def refine(df: pd.DataFrame) -> pd.DataFrame:
+        ax1 = df["ax1"].to_numpy(); ax2 = df["ax2"].to_numpy()
+        ay1 = df["ay1"].to_numpy(); ay2 = df["ay2"].to_numpy()
+        bx1 = df["bx1"].to_numpy(); bx2 = df["bx2"].to_numpy()
+        by1 = df["by1"].to_numpy(); by2 = df["by2"].to_numpy()
+        ix1, iy1 = np.maximum(ax1, bx1), np.maximum(ay1, by1)
+        hit = (ax1 <= bx2) & (bx1 <= ax2) & (ay1 <= by2) & (by1 <= ay2)
+        # reference point: only the cell holding the intersection min corner
+        gx, gy = geo.cell_xy(ix1, iy1, _RECT_RES)
+        hit &= (gx * geo.CELL_PACK + gy) == df["cell"].to_numpy()
+        area = (np.minimum(ax2, bx2) - ix1) * (np.minimum(ay2, by2) - iy1)
+        return pd.DataFrame(
+            {
+                "a_key": df["a_key"].to_numpy()[hit],
+                "b_key": df["b_key"].to_numpy()[hit],
+                "inter_area": area[hit],
+            }
+        )
+
+    return joined.map_batches(refine, batch_format="pandas")
