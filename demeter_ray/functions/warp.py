@@ -13,7 +13,8 @@ pixel mapping through the CRS math in functions/geo.py:
 
 Resampling methods: ``nearest`` (categorical), ``bilinear`` (continuous),
 ``cubic`` (Keys cubic convolution, a=-0.5 — the GDAL default kernel; 4x4
-taps, valid-weight renormalization under nodata), ``average`` (area-ish:
+taps, valid-weight renormalization under nodata), ``lanczos`` (Lanczos-3
+windowed sinc, 6x6 taps, same renormalization), ``average`` (area-ish:
 supersampled nearest gather averaged per dst cell — the public
 approximation of GDAL's average kernel), ``mode`` (majority vote over the
 same supersampled window, ties to the smallest value — the categorical
@@ -225,6 +226,38 @@ def reproject_raster(
         out = np.ma.masked_array(
             np.nan_to_num(vals), mask=np.abs(wacc) <= 1e-9
         )
+    elif resampling == "lanczos":
+        # Lanczos-3 windowed sinc (GDAL Resampling.lanczos parity,
+        # reprojection.py:15-112): 6x6 taps, sinc(t)*sinc(t/3) window;
+        # wacc renormalization makes constants exact and handles nodata
+        # exactly like the cubic kernel
+        srow, scol = _src_fractional_rowcol(dst_transform, dh, dw, transform, src_crs, dst_crs)
+        rpos, cpos = srow - 0.5, scol - 0.5
+        r0, c0 = np.floor(rpos), np.floor(cpos)
+        fr, fc = rpos - r0, cpos - c0
+
+        def _lcz(t):
+            return np.where(np.abs(t) < 3.0, np.sinc(t) * np.sinc(t / 3.0), 0.0)
+
+        acc = np.zeros(srow.shape)
+        wacc = np.zeros(srow.shape)
+        for dr in range(-2, 4):
+            wr = _lcz(dr - fr)
+            ri = (r0 + dr).astype(np.int64)
+            rin = (ri >= 0) & (ri < h)
+            ris = np.clip(ri, 0, h - 1)
+            for dc in range(-2, 4):
+                wc = _lcz(dc - fc)
+                ci = (c0 + dc).astype(np.int64)
+                ok = rin & (ci >= 0) & (ci < w)
+                cis = np.clip(ci, 0, w - 1)
+                ok &= ~mask[ris, cis]
+                wgt = wr * wc
+                acc += np.where(ok, data[ris, cis] * wgt, 0.0)
+                wacc += np.where(ok, wgt, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vals = acc / wacc
+        out = np.ma.masked_array(np.nan_to_num(vals), mask=np.abs(wacc) <= 1e-9)
     elif resampling == "average":
         srow, scol = _src_fractional_rowcol(
             dst_transform, dh, dw, transform, src_crs, dst_crs, sub=supersample

@@ -1197,7 +1197,19 @@ def rect_intersection_join(sf_dir: str):
         cust, join_type="inner", num_partitions=8, on=("cell",), right_on=("cell",)
     )
 
+    _EMPTY_OUT = pd.DataFrame(
+        {
+            "a_key": pd.Series(dtype=np.int64),
+            "b_key": pd.Series(dtype=np.int64),
+            "inter_area": pd.Series(dtype=np.float64),
+        }
+    )
+
     def refine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ax1" not in df.columns:
+            # an all-empty join output loses its schema (Ray drops it at
+            # zero rows) — emit the typed empty frame
+            return _EMPTY_OUT
         ax1 = df["ax1"].to_numpy(); ax2 = df["ax2"].to_numpy()
         ay1 = df["ay1"].to_numpy(); ay2 = df["ay2"].to_numpy()
         bx1 = df["bx1"].to_numpy(); bx2 = df["bx2"].to_numpy()
@@ -1217,3 +1229,176 @@ def rect_intersection_join(sf_dir: str):
         )
 
     return joined.map_batches(refine, batch_format="pandas")
+
+
+# --------------------------------------- polygon geometry measures (shoelace)
+
+
+def _geom_stats_sql() -> str:
+    from demeter_ray.pipelines.oracle_extra import _field_edges_values
+
+    return f"""
+WITH edges(fid, ex1, ey1, ex2, ey2) AS (VALUES
+  {_field_edges_values()}
+)
+SELECT fid AS map_unit_key,
+       COUNT(*)::BIGINT AS n_vertices,
+       ROUND(ABS(SUM(ex1 * ey2 - ex2 * ey1)) / 2, 12) AS area,
+       ROUND(SUM(SQRT((ex2 - ex1) * (ex2 - ex1) + (ey2 - ey1) * (ey2 - ey1))), 12)
+         AS perimeter,
+       ROUND(AVG(ex1), 12) AS centroid_x,
+       ROUND(AVG(ey1), 12) AS centroid_y
+FROM edges GROUP BY fid ORDER BY map_unit_key
+"""
+
+
+@register("field_geometry_stats", _geom_stats_sql())
+def field_geometry_stats(sf_dir: str):
+    """Geometry-measure operator over the WKB field table: per-polygon
+    shoelace area (multipart rings share orientation, so |signed sum| is the
+    part sum), perimeter, vertex count and vertex-mean centroid — all
+    computed inside map_batches over the parsed rings (geometry parsing
+    distributes with the fields table; zero shuffle).  Float aggregates are
+    rounded to 12 decimals on both sides because SQL SUM order is
+    unspecified (~1e-18 abs sum-order noise at these magnitudes)."""
+    import ray.data as rd
+
+    from demeter_ray.sources import fixtures as fx
+
+    fd = fx.generate("tiny")
+    ds = rd.read_parquet(f"{fd}/fields.parquet", columns=["map_unit_key", "geom_wkb"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mids, nv, area, perim, cx, cy = [], [], [], [], [], []
+        for mid, wkb in zip(
+            batch["map_unit_key"].to_pylist(), batch["geom_wkb"].to_pylist()
+        ):
+            pts = np.vstack(
+                [np.asarray(r, dtype=np.float64) for rings in geo.parse_wkb(wkb)
+                 for r in rings]
+            )
+            # edge arrays exactly as the SQL VALUES flatten them: per ring,
+            # (r[:-1] -> r[1:]); vstack of closed rings keeps that pairing
+            # valid only per ring, so rebuild per ring:
+            x1s, y1s, x2s, y2s = [], [], [], []
+            for rings in geo.parse_wkb(wkb):
+                for r in rings:
+                    r = np.asarray(r, dtype=np.float64)
+                    x1s.append(r[:-1, 0]); y1s.append(r[:-1, 1])
+                    x2s.append(r[1:, 0]); y2s.append(r[1:, 1])
+            x1 = np.concatenate(x1s); y1 = np.concatenate(y1s)
+            x2 = np.concatenate(x2s); y2 = np.concatenate(y2s)
+            mids.append(mid)
+            nv.append(len(x1))
+            area.append(abs(np.sum(x1 * y2 - x2 * y1)) / 2)
+            perim.append(np.sum(np.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)))
+            cx.append(np.mean(x1)); cy.append(np.mean(y1))
+        return pa.table(
+            {
+                "map_unit_key": pa.array(mids, pa.int64()),
+                "n_vertices": pa.array(nv, pa.int64()),
+                "area": pa.array(duck_round(area, 12), pa.float64()),
+                "perimeter": pa.array(duck_round(perim, 12), pa.float64()),
+                "centroid_x": pa.array(duck_round(cx, 12), pa.float64()),
+                "centroid_y": pa.array(duck_round(cy, 12), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ----------------------------------- per-user trajectory path length
+
+_PATH_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat
+  FROM events
+),
+steps AS (
+  SELECT user_id,
+         lon - LAG(lon) OVER w AS dx,
+         lat - LAG(lat) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_points,
+       ROUND(COALESCE(SUM(SQRT(dx * dx + dy * dy)), 0.0), 9) AS path_len
+FROM steps GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("user_path_length", _PATH_SQL)
+def user_path_length(sf_dir: str):
+    """Ordered trajectory aggregate: total planar path length per user over
+    the (ts, event_id)-ordered event points.  The sessionize two-stage
+    shape: ONE range-partitioned sort, vectorized per-block segment
+    partials (within-block step-distance sums + segment endpoint coords),
+    then an O(users + blocks) ordered combine that adds only the
+    block-boundary steps — per-step sqrt operands are identical on both
+    sides, the 9-decimal round absorbs SQL's unspecified SUM order."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"]).sort(
+        ["user_id", "ts", "event_id"]
+    )
+
+    _EMPTY = {
+        "user_id": pa.array([], pa.int64()),
+        "first_ts": pa.array([], pa.int64()),
+        "first_eid": pa.array([], pa.int64()),
+        "first_lon": pa.array([], pa.float64()),
+        "first_lat": pa.array([], pa.float64()),
+        "last_lon": pa.array([], pa.float64()),
+        "last_lat": pa.array([], pa.float64()),
+        "n_pts": pa.array([], pa.int64()),
+        "inner_len": pa.array([], pa.float64()),
+    }
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive_lon(eid), derive_lat(eid)
+        n = len(uid)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], n]
+        dx = lon[1:] - lon[:-1]
+        dy = lat[1:] - lat[:-1]
+        dd = np.r_[0.0, np.sqrt(dx * dx + dy * dy)]
+        cum = np.cumsum(dd)
+        inner = cum[ends - 1] - cum[starts]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "first_ts": pa.array(us[starts], pa.int64()),
+                "first_eid": pa.array(eid[starts], pa.int64()),
+                "first_lon": pa.array(lon[starts], pa.float64()),
+                "first_lat": pa.array(lat[starts], pa.float64()),
+                "last_lon": pa.array(lon[ends - 1], pa.float64()),
+                "last_lat": pa.array(lat[ends - 1], pa.float64()),
+                "n_pts": pa.array(ends - starts, pa.int64()),
+                "inner_len": pa.array(inner, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(seg_partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype=np.int64),
+                "n_points": pd.Series(dtype=np.int64),
+                "path_len": pd.Series(dtype=np.float64),
+            }
+        )
+    parts = parts.sort_values(["user_id", "first_ts", "first_eid"]).reset_index(drop=True)
+    same = parts["user_id"].eq(parts["user_id"].shift()).to_numpy()
+    bdx = (parts["first_lon"] - parts["last_lon"].shift()).to_numpy(dtype=np.float64)
+    bdy = (parts["first_lat"] - parts["last_lat"].shift()).to_numpy(dtype=np.float64)
+    bd = np.where(same, np.sqrt(bdx * bdx + bdy * bdy), 0.0)
+    parts["step"] = parts["inner_len"].to_numpy() + bd
+    out = parts.groupby("user_id", as_index=False).agg(
+        n_points=("n_pts", "sum"), path_len=("step", "sum")
+    )
+    out["path_len"] = duck_round(out["path_len"].to_numpy(), 9)
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -231,3 +231,38 @@ def test_mode_ties_break_to_smallest_and_nodata_masks():
     )
     assert np.ma.getmaskarray(out).any()           # hole survives
     assert set(np.unique(out.compressed())).issubset({5.0})
+
+
+def test_lanczos_reproduces_constant_exactly_and_smooth_mean():
+    """Lanczos-3 with wacc renormalization reproduces constants exactly
+    (weights normalize out) and preserves the mean of a smooth field."""
+    transform = (0.001, 0.0, -93.60, 0.0, -0.001, 42.05)
+    const = _smooth_tile(50, 60, transform, lambda x, y: np.full_like(x, 42.5))
+    out, _ = warp.reproject_raster(
+        np.ma.masked_array(const), transform, "EPSG:4326", "EPSG:4326",
+        "lanczos",
+        align_to=(0.001, 0.0, -93.60 + 0.00041, 0.0, -0.001, 42.05 - 0.00017),
+    )
+    interior = ~np.ma.getmaskarray(out)
+    np.testing.assert_allclose(out.data[interior], 42.5, rtol=1e-12)
+
+    smooth = _smooth_tile(60, 80, transform,
+                          lambda x, y: 120 + 15 * np.sin(40 * x) + 10 * np.cos(55 * y))
+    out2, _ = warp.reproject_raster(
+        np.ma.masked_array(smooth), transform, "EPSG:4326", "EPSG:5070", "lanczos"
+    )
+    assert round(float(out2.mean())) == round(float(smooth.mean()))
+
+
+def test_lanczos_nodata_renormalizes_and_masks():
+    transform = (0.001, 0.0, -93.60, 0.0, -0.001, 42.05)
+    px = _smooth_tile(40, 40, transform, lambda x, y: 10 + 100 * x)
+    m = np.zeros_like(px, dtype=bool)
+    m[15:25, 15:25] = True
+    out, _ = warp.reproject_raster(
+        np.ma.masked_array(px, mask=m), transform, "EPSG:4326", "EPSG:4326",
+        "lanczos",
+        align_to=(0.001, 0.0, -93.60 + 0.0004, 0.0, -0.001, 42.05 - 0.0004),
+    )
+    assert np.ma.getmaskarray(out).any()
+    assert np.isfinite(out.filled(0)).all()
