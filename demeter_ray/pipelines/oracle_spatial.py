@@ -1402,3 +1402,107 @@ def user_path_length(sf_dir: str):
     )
     out["path_len"] = duck_round(out["path_len"].to_numpy(), 9)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ----------------------------- raster polygonize (connected-region extraction)
+
+_POLY_W = 64  # formula raster is _POLY_W x _POLY_W
+_POLY_THR = 35  # mask = ((c*c*13 + r*r*7 + c*r*3) % 100) < _POLY_THR
+
+_POLYGONIZE_SQL = f"""
+WITH RECURSIVE px AS (
+  SELECT r.r, c.c FROM generate_series(0, {_POLY_W - 1}) r(r),
+                       generate_series(0, {_POLY_W - 1}) c(c)
+  WHERE (c.c * c.c * 13 + r.r * r.r * 7 + c.c * r.r * 3) % 100 < {_POLY_THR}
+),
+m AS (SELECT r, c, r * {_POLY_W} + c AS node FROM px),
+adj AS (
+  SELECT a.node AS u, b.node AS v FROM m a JOIN m b ON b.r = a.r AND b.c = a.c + 1
+  UNION ALL
+  SELECT a.node, b.node FROM m a JOIN m b ON b.r = a.r + 1 AND b.c = a.c
+),
+bi AS (SELECT u, v FROM adj UNION SELECT v, u FROM adj),
+reach(u, v) AS (
+  SELECT node, node FROM m
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u
+),
+lbl AS (SELECT u AS node, MIN(v) AS region_id FROM reach GROUP BY u)
+SELECT l.region_id,
+       COUNT(*)::BIGINT AS n_pixels,
+       MIN(m.r)::BIGINT AS min_row, MAX(m.r)::BIGINT AS max_row,
+       MIN(m.c)::BIGINT AS min_col, MAX(m.c)::BIGINT AS max_col
+FROM lbl l JOIN m USING (node)
+GROUP BY l.region_id ORDER BY l.region_id
+"""
+
+
+def _poly_mask_rows(rows: np.ndarray):
+    """(rr, cc, node) for the masked pixels of the given raster rows —
+    formula-derived, so any task can evaluate any row without data
+    movement (the mask mirrors the SQL px CTE exactly)."""
+    W = _POLY_W
+    rr = np.repeat(rows.astype(np.int64), W)
+    cc = np.tile(np.arange(W, dtype=np.int64), len(rows))
+    keep = (cc * cc * 13 + rr * rr * 7 + cc * rr * 3) % 100 < _POLY_THR
+    rr, cc = rr[keep], cc[keep]
+    return rr, cc, rr * W + cc
+
+
+@register("raster_polygonize_regions", _POLYGONIZE_SQL)
+def raster_polygonize_regions(sf_dir: str):
+    """Raster -> vector polygonize (the gdal_polygonize analog): connected
+    regions of a thresholded raster mask via DISTRIBUTED connected-component
+    labeling.  Pixel enumeration and edge generation fan out as map_batches
+    over row stripes (vertical edges reference the next row's mask through
+    the pure formula — no inter-stripe data movement); the size-gated
+    ``connected_components`` (streamed union-find under the node cap,
+    min-label propagation + pointer jumping above it) assigns each pixel
+    its region = min reachable pixel id; per-region pixel count + bbox
+    aggregate at the end.  Oracle: recursive-CTE closure in SQL."""
+    import ray.data as rd
+
+    from demeter_ray.stages.components import connected_components
+
+    W = _POLY_W
+    stripes = rd.range(W)
+
+    def stripe_nodes(batch: pa.Table) -> pa.Table:
+        rows = batch["id"].to_numpy(zero_copy_only=False)
+        _rr, _cc, node = _poly_mask_rows(rows)
+        return pa.table({"node": pa.array(node, pa.int64())})
+
+    def stripe_edges(batch: pa.Table) -> pa.Table:
+        rows = batch["id"].to_numpy(zero_copy_only=False)
+        us, vs = [], []
+        rr, cc, node = _poly_mask_rows(rows)
+        # horizontal: (r, c) -- (r, c+1), both masked (node order = c order)
+        nxt = np.zeros(len(node), dtype=bool)
+        if len(node):
+            nxt[:-1] = (node[1:] == node[:-1] + 1) & (cc[:-1] + 1 < W)
+        us.append(node[nxt]); vs.append(node[nxt] + 1)
+        # vertical: (r, c) -- (r+1, c); the r+1 mask comes from the formula
+        below = rr + 1
+        ok = below < W
+        bkeep = (cc * cc * 13 + below * below * 7 + cc * below * 3) % 100 < _POLY_THR
+        sel = ok & bkeep
+        us.append(node[sel]); vs.append(node[sel] + W)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(us), pa.int64()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+            }
+        )
+
+    nodes_ds = stripes.map_batches(stripe_nodes, batch_format="pyarrow")
+    edges_ds = stripes.map_batches(stripe_edges, batch_format="pyarrow")
+    comp = connected_components(edges_ds, nodes_ds)
+    comp["r"] = comp["node"].to_numpy(dtype=np.int64) // W
+    comp["c"] = comp["node"].to_numpy(dtype=np.int64) % W
+    out = comp.groupby("cluster_id", as_index=False).agg(
+        n_pixels=("node", "size"),
+        min_row=("r", "min"), max_row=("r", "max"),
+        min_col=("c", "min"), max_col=("c", "max"),
+    ).rename(columns={"cluster_id": "region_id"})
+    out["n_pixels"] = out["n_pixels"].astype(np.int64)
+    return out.sort_values("region_id").reset_index(drop=True)

@@ -111,3 +111,79 @@ def test_user_path_length_bruteforce():
         assert row["n_points"] == g.size()[row["user_id"]]
         assert abs(row["path_len"] - want_len[row["user_id"]]) < 1e-8
     assert set(out["user_id"]) == set(t["user_id"])
+
+
+def test_raster_polygonize_matches_bfs_both_paths():
+    """Region extraction parity vs a brute-force BFS labeling, on BOTH
+    connected_components paths (streamed union-find and the distributed
+    min-label propagation forced via cap=0)."""
+    from collections import deque
+
+    import ray.data as rd
+
+    from demeter_ray.pipelines.oracle_spatial import (
+        _POLY_THR, _POLY_W, raster_polygonize_regions, _poly_mask_rows,
+    )
+    from demeter_ray.stages.components import connected_components
+
+    W = _POLY_W
+    r, c = np.mgrid[0:W, 0:W]
+    m = (c * c * 13 + r * r * 7 + c * r * 3) % 100 < _POLY_THR
+    lab = -np.ones((W, W), dtype=np.int64)
+    for i in range(W):
+        for j in range(W):
+            if m[i, j] and lab[i, j] < 0:
+                q = deque([(i, j)])
+                members = []
+                lab[i, j] = 0
+                while q:
+                    a, b = q.popleft()
+                    members.append((a, b))
+                    for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        x, y = a + da, b + db
+                        if 0 <= x < W and 0 <= y < W and m[x, y] and lab[x, y] < 0:
+                            lab[x, y] = 0
+                            q.append((x, y))
+                rid = min(a * W + b for a, b in members)
+                for a, b in members:
+                    lab[a, b] = rid
+    want = {}
+    for i in range(W):
+        for j in range(W):
+            if m[i, j]:
+                want.setdefault(lab[i, j], []).append((i, j))
+
+    out = raster_polygonize_regions(SF)
+    assert len(out) == len(want)
+    for _, row in out.iterrows():
+        mem = want[row["region_id"]]
+        assert row["n_pixels"] == len(mem)
+        assert row["min_row"] == min(a for a, _ in mem)
+        assert row["max_col"] == max(b for _, b in mem)
+
+    # distributed path (cap=0) must agree with the gated default
+    rows = np.arange(W)
+    rr, cc, node = _poly_mask_rows(rows)
+    nodes_ds = rd.from_arrow(
+        __import__("pyarrow").table({"node": node})
+    )
+    # reuse the operator's edge builder through its registered pipeline:
+    # rebuild edges directly for the distributed call
+    e_u, e_v = [], []
+    for i in range(W):
+        for j in range(W):
+            if m[i, j]:
+                if j + 1 < W and m[i, j + 1]:
+                    e_u.append(i * W + j); e_v.append(i * W + j + 1)
+                if i + 1 < W and m[i + 1, j]:
+                    e_u.append(i * W + j); e_v.append((i + 1) * W + j)
+    edges_ds = rd.from_arrow(
+        __import__("pyarrow").table({"u": np.array(e_u, dtype=np.int64),
+                                     "v": np.array(e_v, dtype=np.int64)})
+    )
+    dist = connected_components(edges_ds, nodes_ds, cap=0)
+    got = dict(zip(dist["node"], dist["cluster_id"]))
+    for i in range(W):
+        for j in range(W):
+            if m[i, j]:
+                assert got[i * W + j] == lab[i, j]
