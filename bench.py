@@ -146,6 +146,10 @@ def run_benchmarks() -> dict:
         "ngram_contamination_check",
         "zonal_stats_fields",
         "chip_extract_customers",
+        "rect_intersection_join",
+        "cell_neighbor_event_counts",
+        "user_path_length",
+        "raster_polygonize_regions",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
