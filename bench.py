@@ -150,6 +150,7 @@ def run_benchmarks() -> dict:
         "cell_neighbor_event_counts",
         "user_path_length",
         "raster_polygonize_regions",
+        "flow_path_length",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

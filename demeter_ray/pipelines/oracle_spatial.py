@@ -1506,3 +1506,97 @@ def raster_polygonize_regions(sf_dir: str):
     ).rename(columns={"cluster_id": "region_id"})
     out["n_pixels"] = out["n_pixels"].astype(np.int64)
     return out.sort_values("region_id").reset_index(drop=True)
+
+
+# ------------------------- flow-path tracing (distributed pointer jumping)
+
+_FLOW_W = 64  # direction = (c*13 + r*7) % 3 -> E / SE / S (acyclic by design)
+
+_FLOW_SQL = f"""
+WITH RECURSIVE g AS (
+  SELECT r.r, c.c, (c.c * 13 + r.r * 7) % 3 AS d
+  FROM generate_series(0, {_FLOW_W - 1}) r(r), generate_series(0, {_FLOW_W - 1}) c(c)
+),
+walk(r0, c0, r, c, n) AS (
+  SELECT r, c, r, c, 0 FROM g
+  UNION ALL
+  SELECT w.r0, w.c0,
+         w.r + CASE g.d WHEN 0 THEN 0 ELSE 1 END,
+         w.c + CASE g.d WHEN 2 THEN 0 ELSE 1 END,
+         w.n + 1
+  FROM walk w JOIN g ON g.r = w.r AND g.c = w.c
+)
+SELECT (r0 * {_FLOW_W} + c0)::BIGINT AS node, r0::BIGINT AS row, c0::BIGINT AS col,
+       MAX(n)::BIGINT AS path_steps
+FROM walk GROUP BY r0, c0 ORDER BY node
+"""
+
+
+@register("flow_path_length", _FLOW_SQL)
+def flow_path_length(sf_dir: str):
+    """Flow-path tracing over a formula flow-direction raster (the
+    hydrography fdr analog, restricted to E/SE/S so paths are acyclic):
+    per-cell number of downstream steps until the flow leaves the grid.
+    Distributed algorithm: POINTER JUMPING — state (node, nxt, dist)
+    doubles its horizon each round via a size-gated lookup self-join
+    (dist[x] += dist[nxt[x]]; nxt[x] = nxt[nxt[x]]), so a path of length L
+    resolves in ceil(log2 L) Dataset joins instead of L sequential steps —
+    the scale shape for 10^9-cell rasters where per-step iteration would
+    need 10^5 rounds.  Oracle: recursive-CTE walk (exact step counts)."""
+    import ray.data as rd
+
+    from demeter_ray.pipelines.relational import gated_lookup_join
+
+    W = _FLOW_W
+    stripes = rd.range(W)
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        rows = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rr = np.repeat(rows, W)
+        cc = np.tile(np.arange(W, dtype=np.int64), len(rows))
+        d = (cc * 13 + rr * 7) % 3
+        nr = rr + np.where(d == 0, 0, 1)
+        nc = cc + np.where(d == 2, 0, 1)
+        off = (nr >= W) | (nc >= W)
+        nxt = np.where(off, -1, nr * W + nc)
+        return pa.table(
+            {
+                "node": pa.array(rr * W + cc, pa.int64()),
+                "nxt": pa.array(nxt, pa.int64()),
+                "dist": pa.array(np.ones(len(rr), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    state = stripes.map_batches(init_state, batch_format="pyarrow").materialize()
+    rounds = int(np.ceil(np.log2(2 * W))) + 1  # horizon 2W covers the diagonal
+
+    for _ in range(rounds):
+        dim = state.map_batches(
+            lambda t: t.rename_columns(["jnode", "jnxt", "jdist"]),
+            batch_format="pyarrow",
+        )
+        joined = gated_lookup_join(
+            state, "nxt", dim, "jnode", ["jnxt", "jdist"], how="left"
+        )
+
+        def advance(df: pd.DataFrame) -> pd.DataFrame:
+            hasj = df["jnxt"].notna().to_numpy()
+            nxt = np.where(hasj, df["jnxt"].fillna(-1).to_numpy(dtype=np.int64),
+                           df["nxt"].to_numpy(dtype=np.int64))
+            dist = df["dist"].to_numpy(dtype=np.int64) + np.where(
+                hasj, df["jdist"].fillna(0).to_numpy(dtype=np.int64), 0
+            )
+            return pd.DataFrame({"node": df["node"], "nxt": nxt, "dist": dist})
+
+        state = joined.map_batches(advance, batch_format="pandas").materialize()
+
+    out = state.to_pandas()
+    node = out["node"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "node": node,
+            "row": node // W,
+            "col": node % W,
+            "path_steps": out["dist"].to_numpy(dtype=np.int64),
+        }
+    ).sort_values("node").reset_index(drop=True)

@@ -187,3 +187,25 @@ def test_raster_polygonize_matches_bfs_both_paths():
         for j in range(W):
             if m[i, j]:
                 assert got[i * W + j] == lab[i, j]
+
+
+def test_flow_path_length_matches_sequential_walk():
+    """Pointer-jumping flow trace parity vs a sequential per-cell walk."""
+    from demeter_ray.pipelines.oracle_spatial import _FLOW_W, flow_path_length
+
+    W = _FLOW_W
+    out = flow_path_length(SF)
+    assert len(out) == W * W
+    got = out.set_index("node")["path_steps"]
+    rng = np.random.default_rng(5)
+    for node in rng.choice(W * W, 200, replace=False):
+        r, c = int(node) // W, int(node) % W
+        steps = 0
+        while 0 <= r < W and 0 <= c < W:
+            d = (c * 13 + r * 7) % 3
+            r += 0 if d == 0 else 1
+            c += 0 if d == 2 else 1
+            steps += 1
+        assert got[node] == steps
+    # corner sanity: the SE corner exits in one step
+    assert got[(W - 1) * W + (W - 1)] == 1
