@@ -151,6 +151,11 @@ def run_benchmarks() -> dict:
         "user_path_length",
         "raster_polygonize_regions",
         "flow_path_length",
+        "dem_slope_hillshade",
+        "raster_proximity_targets",
+        "image_patch_brightest",
+        "chunk_documents_overlap",
+        "skew_kurtosis_by_flag",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

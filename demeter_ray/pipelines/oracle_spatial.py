@@ -1600,3 +1600,186 @@ def flow_path_length(sf_dir: str):
             "path_steps": out["dist"].to_numpy(dtype=np.int64),
         }
     ).sort_values("node").reset_index(drop=True)
+
+
+# --------------------- DEM slope / aspect / hillshade (Horn focal kernel)
+
+_TERRAIN_CELL = 30.0  # metres per pixel, the SRTM-like cellsize
+_TERRAIN_W = 320  # reuses the raster_sample_customers DEM formula
+
+
+def _elev_sql(r: str, c: str) -> str:
+    # identical to the 320x320 elevation formula above: ((c*31 + r*17) % 1000)/10.0
+    return f"((({c}) * 31 + ({r}) * 17) % 1000) / 10.0"
+
+
+_TERRAIN_SQL = f"""
+WITH g AS (
+  SELECT r.r, c.c,
+    {_elev_sql('r.r-1', 'c.c-1')} AS va, {_elev_sql('r.r-1', 'c.c')} AS vb,
+    {_elev_sql('r.r-1', 'c.c+1')} AS vc,
+    {_elev_sql('r.r', 'c.c-1')} AS vd, {_elev_sql('r.r', 'c.c+1')} AS vf,
+    {_elev_sql('r.r+1', 'c.c-1')} AS vg, {_elev_sql('r.r+1', 'c.c')} AS vh,
+    {_elev_sql('r.r+1', 'c.c+1')} AS vi
+  FROM generate_series(1, {_TERRAIN_W - 2}) r(r),
+       generate_series(1, {_TERRAIN_W - 2}) c(c)
+),
+d AS (
+  SELECT r, c,
+    ((vc + 2.0*vf + vi) - (va + 2.0*vd + vg)) / (8.0 * {_TERRAIN_CELL}) AS dzdx,
+    ((vg + 2.0*vh + vi) - (va + 2.0*vb + vc)) / (8.0 * {_TERRAIN_CELL}) AS dzdy
+  FROM g
+)
+SELECT (r * {_TERRAIN_W} + c)::BIGINT AS node,
+  ROUND(degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))), 6) AS slope_deg,
+  CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN -1.0
+       ELSE ROUND(CASE WHEN 90.0 - degrees(atan2(dzdy, -dzdx)) < 0.0
+                       THEN 90.0 - degrees(atan2(dzdy, -dzdx)) + 360.0
+                       ELSE 90.0 - degrees(atan2(dzdy, -dzdx)) END, 6)
+  END AS aspect_deg,
+  ROUND(GREATEST(255.0 * (cos(radians(45.0)) + sin(radians(45.0))
+        * (sin(radians(315.0)) * (-dzdx) + cos(radians(315.0)) * dzdy))
+        / sqrt(1.0 + dzdx*dzdx + dzdy*dzdy), 0.0), 6) AS hillshade
+FROM d ORDER BY node
+"""
+
+
+@register("dem_slope_hillshade", _TERRAIN_SQL)
+def dem_slope_hillshade(sf_dir: str):
+    """gdaldem slope/aspect/hillshade analog over the 320x320 formula DEM
+    (the raster_sample_customers elevation raster), via the REAL Horn focal
+    kernel (functions/terrain.py) distributed as row stripes: each task
+    evaluates its target rows PLUS a one-row halo from the pure formula —
+    the halo-exchange shape for 10^9-cell DEMs with zero inter-stripe data
+    movement (the same stripe pattern as raster_polygonize_regions).
+    Oracle: the identical Horn stencil + trig inline in SQL; ROUND(6)
+    absorbs libm atan/sin/cos ulp differences (all sums/divisions are
+    bit-identical by construction)."""
+    import ray.data as rd
+
+    from demeter_ray.functions import terrain
+
+    W, CELL = _TERRAIN_W, _TERRAIN_CELL
+
+    def elev_rows(rows: np.ndarray) -> np.ndarray:
+        cc = np.arange(W, dtype=np.int64)[None, :]
+        rr = rows.astype(np.int64)[:, None]
+        return ((cc * 31 + rr * 17) % 1000) / 10.0
+
+    def stripe_terrain(batch: pa.Table) -> pa.Table:
+        rows = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zm1, z0, zp1 = elev_rows(rows - 1), elev_rows(rows), elev_rows(rows + 1)
+        dzdx, dzdy = terrain.horn_gradients_rows(zm1, z0, zp1, CELL, CELL)
+        slope = terrain.slope_deg(dzdx, dzdy)
+        aspect = terrain.aspect_deg(dzdx, dzdy)
+        hs = terrain.hillshade(dzdx, dzdy, azimuth_deg=315.0, altitude_deg=45.0)
+        cols = np.arange(1, W - 1, dtype=np.int64)[None, :]
+        node = (rows[:, None] * W + cols).ravel()
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "slope_deg": pa.array(duck_round(slope.ravel(), 6), pa.float64()),
+                "aspect_deg": pa.array(duck_round(aspect.ravel(), 6), pa.float64()),
+                "hillshade": pa.array(duck_round(hs.ravel(), 6), pa.float64()),
+            }
+        )
+
+    out = (
+        rd.range(W - 2)
+        .map_batches(
+            lambda t: pa.table(
+                {"id": pa.array(t["id"].to_numpy(zero_copy_only=False) + 1, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(stripe_terrain, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+# ------------------------ raster proximity (distance to nearest target cell)
+
+_PROX_W = 64
+_PROX_MOD = 331  # target mask: (c*c*7 + r*5 + r*c) % 331 == 0 (~12 cells)
+
+_PROX_SQL = f"""
+WITH px AS (
+  SELECT r.r, c.c FROM generate_series(0, {_PROX_W - 1}) r(r),
+                       generate_series(0, {_PROX_W - 1}) c(c)
+),
+tg AS (
+  SELECT r, c, r * {_PROX_W} + c AS tnode FROM px
+  WHERE (c*c*7 + r*5 + r*c) % {_PROX_MOD} = 0
+),
+d AS (
+  SELECT p.r, p.c, t.tnode,
+         (p.r - t.r)*(p.r - t.r) + (p.c - t.c)*(p.c - t.c) AS d2
+  FROM px p CROSS JOIN tg t
+),
+m AS (
+  SELECT r, c, tnode, d2,
+         ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY d2, tnode) AS rn
+  FROM d
+)
+SELECT (r * {_PROX_W} + c)::BIGINT AS node, d2::BIGINT AS dist2,
+       tnode::BIGINT AS nearest_target
+FROM m WHERE rn = 1 ORDER BY node
+"""
+
+
+@register("raster_proximity_targets", _PROX_SQL)
+def raster_proximity_targets(sf_dir: str):
+    """Proximity raster (gdal_proximity analog): per-pixel squared distance
+    to the nearest target cell + that target's id (tie -> lowest target id).
+    Two distributed stages over row stripes: (1) target EXTRACTION is a
+    map_batches filter whose output is bounded by the target count (sparse
+    by construction — the driver pull is the small side, then ``ray.put``
+    broadcast); (2) per-stripe vectorized (pixels x targets) integer
+    distance matrix + argmin.  The broadcast-small-side shape: at 10^9
+    pixels the target list still rides the object store once per node.
+    All-integer output — exact, no rounding."""
+    import ray as _ray
+    import ray.data as rd
+
+    W, MOD = _PROX_W, _PROX_MOD
+    stripes = rd.range(W)
+
+    def stripe_targets(batch: pa.Table) -> pa.Table:
+        rows = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rr = np.repeat(rows, W)
+        cc = np.tile(np.arange(W, dtype=np.int64), len(rows))
+        keep = (cc * cc * 7 + rr * 5 + rr * cc) % MOD == 0
+        return pa.table(
+            {
+                "tr": pa.array(rr[keep], pa.int64()),
+                "tc": pa.array(cc[keep], pa.int64()),
+            }
+        )
+
+    tg = (
+        stripes.map_batches(stripe_targets, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["tr", "tc"])  # tnode order => argmin tie -> lowest id
+    )
+    tr = tg["tr"].to_numpy(dtype=np.int64)
+    tc = tg["tc"].to_numpy(dtype=np.int64)
+    ref = _ray.put((tr, tc, tr * W + tc))
+
+    def stripe_distance(batch: pa.Table) -> pa.Table:
+        _tr, _tc, _tn = _ray.get(ref)
+        rows = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rr = np.repeat(rows, W)
+        cc = np.tile(np.arange(W, dtype=np.int64), len(rows))
+        d2 = (rr[:, None] - _tr[None, :]) ** 2 + (cc[:, None] - _tc[None, :]) ** 2
+        best = np.argmin(d2, axis=1)  # first min = lowest tnode (sorted)
+        return pa.table(
+            {
+                "node": pa.array(rr * W + cc, pa.int64()),
+                "dist2": pa.array(d2[np.arange(len(rr)), best], pa.int64()),
+                "nearest_target": pa.array(_tn[best], pa.int64()),
+            }
+        )
+
+    out = stripes.map_batches(stripe_distance, batch_format="pyarrow").to_pandas()
+    return out.sort_values("node").reset_index(drop=True)

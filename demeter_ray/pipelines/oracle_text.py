@@ -1344,3 +1344,175 @@ def bpe_token_counts(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------------- image patch-grid pooling (brightest-chip selection)
+
+_PATCH_SQL = """
+WITH px AS (
+  SELECT d.doc_id, y.y // 4 AS py, x.x // 4 AS px,
+         CASE WHEN d.doc_id % 2 = 0
+              THEN (d.doc_id * 97 + x.x * 31 + y.y * 17 + c.c * 11) % 256
+              ELSE ((d.doc_id * 97 + x.x * 31 + y.y * 17 + c.c * 11) % 256)
+                   // 4 * 4 + 2
+         END AS v
+  FROM documents d,
+       generate_series(0, 15) AS x(x),
+       generate_series(0, 15) AS y(y),
+       generate_series(0, 2) AS c(c)
+),
+pm AS (
+  SELECT doc_id, py, px, SUM(v) / 48.0 AS pmean
+  FROM px GROUP BY doc_id, py, px
+),
+r AS (
+  SELECT doc_id, py, px, pmean,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY pmean DESC, py, px) AS rn,
+         MIN(pmean) OVER (PARTITION BY doc_id) AS worst
+  FROM pm
+)
+SELECT doc_id, py AS best_py, px AS best_px, pmean AS best_mean,
+       pmean - worst AS patch_contrast
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@register("image_patch_brightest", _PATCH_SQL)
+def image_patch_brightest(sf_dir: str):
+    """Patch-grid pooling + brightest-chip selection — the vision-training
+    step that splits each image into a PxP grid of patches (here 4x4 patches
+    of 4x4 px) and picks the most exposed one per image (tie -> lowest patch
+    index).  Exercises the LOSSY decode branch end-to-end: odd doc_ids are
+    encoded DJPG q=4 and the oracle recomputes the quantized reconstruction
+    (v//4*4+2) in SQL.  Patch means are integer-sum / 48.0 — one float op on
+    identical integers, so the whole query is exact with NO rounding.
+    Distributed shape: encode + decode + pool are each vectorized
+    map_batches over the binary column; per-image argmax happens inside the
+    batch (images never split across batches), so nothing shuffles."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def encode_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        px4 = codec.generate_pixels_batch(ids, 16, 16)
+        even = ids % 2 == 0
+        blobs = np.empty(len(ids), dtype=object)
+        if even.any():
+            blobs[even] = codec.encode_batch(px4[even], "png")
+        if (~even).any():
+            blobs[~even] = codec.encode_batch(px4[~even], "jpeg", q=4)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "bytes": pa.array(list(blobs), pa.binary())}
+        )
+
+    def pool_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        px4 = codec.decode_batch(batch["bytes"].to_pylist(), 16, 16)
+        # (N,16,16,3) -> (N, py, px) integer patch sums over 4x4x3 blocks
+        sums = (
+            px4.astype(np.int64)
+            .reshape(len(ids), 4, 4, 4, 4, 3)
+            .sum(axis=(2, 4, 5))
+        )
+        means = sums / 48.0
+        flat = means.reshape(len(ids), 16)
+        # argmax with tie -> lowest (py,px): first occurrence of the max
+        best = np.argmax(flat, axis=1)
+        rows = np.arange(len(ids))
+        worst = flat.min(axis=1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "best_py": pa.array(best // 4, pa.int64()),
+                "best_px": pa.array(best % 4, pa.int64()),
+                "best_mean": pa.array(flat[rows, best], pa.float64()),
+                "patch_contrast": pa.array(flat[rows, best] - worst, pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(encode_fn, batch_format="pyarrow", batch_size=512)
+        .map_batches(pool_fn, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------- document chunking (sliding window with overlap)
+
+_CHUNK_C = 64  # window length in whitespace tokens
+_CHUNK_S = 48  # stride (C - S = 16 tokens of overlap)
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+n AS (SELECT doc_id, ts, len(ts) AS ntok FROM t),
+s AS (
+  SELECT doc_id, ntok, ts,
+         UNNEST(generate_series(0, (ntok - 1) // {_CHUNK_S})) AS ci
+  FROM n
+)
+SELECT doc_id, ci AS chunk_idx, (ci * {_CHUNK_S})::BIGINT AS start_tok,
+       (LEAST(ci * {_CHUNK_S} + {_CHUNK_C}, ntok) - ci * {_CHUNK_S})::BIGINT
+         AS chunk_len,
+       ts[CAST(ci * {_CHUNK_S} + 1 AS BIGINT)] AS first_tok
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("chunk_documents_overlap", _CHUNK_SQL)
+def chunk_documents_overlap(sf_dir: str):
+    """Sliding-window document chunking — the RAG / training-data step that
+    splits each document into C-token windows advancing by stride S (overlap
+    C-S), emitting per chunk its start offset, actual length (tail chunks
+    truncate) and first token.  Pure flat_map shape: one vectorized
+    map_batches expands each doc into its chunks with np.repeat + a
+    list-offset gather for the first tokens — no shuffle, no per-row Python,
+    output streams.  All-integer + string columns: exact, no rounding."""
+    import pyarrow.compute as pc
+
+    C, S = _CHUNK_C, _CHUNK_S
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "start_tok": pa.array([], pa.int64()),
+                    "chunk_len": pa.array([], pa.int64()),
+                    "first_tok": pa.array([], pa.string()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        ntok = (
+            pc.add(pc.count_substring(batch["text"], " "), 1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        nchunks = (ntok - 1) // S + 1
+        doc_rep = np.repeat(np.arange(len(ids)), nchunks)
+        # per-chunk index within its doc: global arange minus each doc's base
+        base = np.r_[0, np.cumsum(nchunks)[:-1]]
+        ci = np.arange(nchunks.sum(), dtype=np.int64) - np.repeat(base, nchunks)
+        start = ci * S
+        clen = np.minimum(start + C, ntok[doc_rep]) - start
+        # first token of each chunk: list-offset gather from the flat values
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        first = pc.take(toks.values, pa.array(offs[doc_rep] + start, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_rep], pa.int64()),
+                "chunk_idx": pa.array(ci, pa.int64()),
+                "start_tok": pa.array(start, pa.int64()),
+                "chunk_len": pa.array(clen, pa.int64()),
+                "first_tok": first.cast(pa.string()),
+            }
+        )
+
+    out = ds.map_batches(expand, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)

@@ -2539,3 +2539,63 @@ def regr_price_on_quantity_by_flag(sf_dir: str):
         "price_qty_r2": duck_round(cov * cov / (vx * vy), 6),
     })
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# --------------------------- grouped skewness / excess kurtosis (moments)
+
+_SKEW_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*)::DOUBLE AS n,
+         SUM(l_quantity) AS s1,
+         SUM(l_quantity*l_quantity) AS s2,
+         SUM(l_quantity*l_quantity*l_quantity) AS s3,
+         SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  ROUND((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+        / POW(s2/n - (s1/n)*(s1/n), 1.5), 6) AS qty_skew,
+  ROUND((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+         - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6)
+    AS qty_kurtosis
+FROM m ORDER BY l_returnflag
+"""
+
+
+@register("skew_kurtosis_by_flag", _SKEW_SQL)
+def skew_kurtosis_by_flag(sf_dir: str):
+    """Grouped population skewness + excess kurtosis from MERGEABLE RAW
+    MOMENTS (n, sum x, x^2, x^3, x^4) — five numbers per (group, batch)
+    combine associatively, so the statistic never shuffles raw rows (the
+    corr/OLS sketch shape).  l_quantity is integer-valued, so every raw sum
+    is integer-exact in float64 below 2^53 and both sides' central-moment
+    expressions are written with IDENTICAL operation order — bit-equal
+    before the ROUND(6) that guards the one libm op (pow 1.5)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "n": 1.0, "s1": x, "s2": x * x, "s3": x * x * x, "s4": x * x * x * x,
+        })
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    m = partial_combine(ds, partial).groupby("l_returnflag", as_index=False).sum()
+    n = m["n"].to_numpy(np.float64)
+    s1 = m["s1"].to_numpy(np.float64)
+    s2 = m["s2"].to_numpy(np.float64)
+    s3 = m["s3"].to_numpy(np.float64)
+    s4 = m["s4"].to_numpy(np.float64)
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    skew = (s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean) / np.power(m2, 1.5)
+    kurt = (s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n)
+            - 3.0 * mean * mean * mean * mean) / (m2 * m2) - 3.0
+    out = pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        "qty_skew": duck_round(skew, 6),
+        "qty_kurtosis": duck_round(kurt, 6),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)

@@ -1,0 +1,91 @@
+"""Unit tests for the round-4 continuation operators: Horn terrain kernels,
+sliding-window chunk math, patch-grid pooling tie-breaks, proximity argmin."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from demeter_ray.functions import terrain
+
+
+def test_horn_gradients_known_window():
+    # plane z = 2x + 3y (x = col * xres, y = row * yres, +row = south):
+    # dzdx = 2 exactly; dzdy (south-positive) = 3 exactly
+    xres = yres = 5.0
+    r = np.arange(5, dtype=np.float64)[:, None]
+    c = np.arange(5, dtype=np.float64)[None, :]
+    z = 2.0 * c * xres + 3.0 * r * yres
+    dzdx, dzdy = terrain.horn_gradients(z, xres, yres)
+    assert dzdx.shape == (3, 3)
+    assert np.allclose(dzdx, 2.0) and np.allclose(dzdy, 3.0)
+
+
+def test_horn_rows_matches_2d():
+    rng = np.random.default_rng(7)
+    z = rng.uniform(0, 100, size=(8, 12))
+    full = terrain.horn_gradients(z, 30.0, 30.0)
+    rows = terrain.horn_gradients_rows(z[:-2], z[1:-1], z[2:], 30.0, 30.0)
+    assert np.array_equal(full[0], rows[0]) and np.array_equal(full[1], rows[1])
+
+
+def test_aspect_conventions():
+    # slope rising to the east (dzdx > 0) faces WEST (270 deg)
+    assert terrain.aspect_deg(np.array([1.0]), np.array([0.0]))[0] == 270.0
+    # rising to the south (dzdy > 0, south-positive) faces NORTH (0 deg)
+    assert terrain.aspect_deg(np.array([0.0]), np.array([1.0]))[0] == 0.0
+    # flat cell -> -1 sentinel
+    assert terrain.aspect_deg(np.array([0.0]), np.array([0.0]))[0] == -1.0
+
+
+def test_hillshade_flat_and_clamp():
+    # flat terrain: hs = 255 * cos(zen) regardless of azimuth
+    hs = terrain.hillshade(np.array([0.0]), np.array([0.0]), 315.0, 45.0)
+    assert np.isclose(hs[0], 255.0 * np.cos(np.radians(45.0)))
+    # a steep slope facing away from the sun clamps at 0, never negative
+    hs2 = terrain.hillshade(np.array([-50.0]), np.array([-50.0]), 315.0, 45.0)
+    assert hs2[0] == 0.0
+
+
+def test_slope_degrees_bounds():
+    dzdx = np.array([0.0, 1e9])
+    s = terrain.slope_deg(dzdx, np.zeros(2))
+    assert s[0] == 0.0 and 89.9 < s[1] < 90.0
+
+
+def test_chunk_counts_and_offsets():
+    # mirror the chunk_documents_overlap math at C=64, S=48
+    C, S = 64, 48
+    for ntok, expect in [(1, 1), (48, 1), (49, 2), (64, 2), (96, 2), (97, 3)]:
+        nchunks = (ntok - 1) // S + 1
+        assert nchunks == expect, (ntok, nchunks, expect)
+        starts = np.arange(nchunks) * S
+        lens = np.minimum(starts + C, ntok) - starts
+        assert lens[0] == min(C, ntok)
+        assert (lens >= 1).all() and starts[-1] < ntok
+
+
+def test_chunk_expand_first_tokens():
+    # the pyarrow list-offset gather picks the right first token per chunk
+    from demeter_ray.pipelines.oracle_text import chunk_documents_overlap  # noqa: F401
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens -> 3 chunks
+    toks = pc.split_pattern(pa.array([text]), pattern=" ")
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    firsts = [toks.values[offs[0] + s].as_py() for s in (0, 48, 96)]
+    assert firsts == ["w0", "w48", "w96"]
+
+
+def test_patch_argmax_tie_prefers_lowest_index():
+    # np.argmax returns the FIRST max -> lowest (py,px), matching the SQL
+    # ROW_NUMBER ORDER BY pmean DESC, py, px tie-break
+    flat = np.zeros((1, 16))
+    flat[0, 5] = flat[0, 9] = 7.0
+    assert np.argmax(flat, axis=1)[0] == 5
+
+
+def test_proximity_argmin_tie_prefers_lowest_target():
+    # equidistant targets: first min in tnode-sorted order wins
+    tr = np.array([0, 4], dtype=np.int64)
+    tc = np.array([2, 2], dtype=np.int64)
+    d2 = (2 - tr) ** 2 + (2 - tc) ** 2  # both 4
+    assert d2[0] == d2[1] and np.argmin(d2) == 0
