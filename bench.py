@@ -156,6 +156,9 @@ def run_benchmarks() -> dict:
         "image_patch_brightest",
         "chunk_documents_overlap",
         "skew_kurtosis_by_flag",
+        "rasterize_fields",
+        "haversine_nearest_centroid",
+        "image_augment_phash",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -175,3 +175,25 @@ def phash64(pixels: np.ndarray) -> int:
     bits = (blocks > blocks.mean()).ravel()
     packed = np.packbits(bits)  # big-endian bit order == the former shift loop
     return int(np.frombuffer(packed.tobytes(), dtype=">i8")[0])
+
+
+def phash64_int_batch(pixels4d: np.ndarray) -> np.ndarray:
+    """Integer-exact perceptual hash over (N,h,w,C) -> int64.
+
+    Same bit layout as ``phash64_batch`` but the block-vs-grand-mean compare
+    runs in exact rational form (block_channel_sum * 64 > total_channel_sum),
+    so ties resolve deterministically to 0 instead of depending on float
+    division rounding — the bit-stable variant for cross-engine parity
+    (the SQL oracles use exactly this form)."""
+    n, h, w, c = pixels4d.shape
+    bh, bw = h // 8, w // 8
+    s = (
+        pixels4d[:, : bh * 8, : bw * 8, :]
+        .astype(np.int64)
+        .reshape(n, 8, bh, 8, bw, c)
+        .sum(axis=(2, 4, 5))
+    )  # (N, 8, 8) integer block channel-sums
+    t = s.sum(axis=(1, 2))  # (N,) grand sums
+    bits = s * 64 > t[:, None, None]
+    packed = np.packbits(bits.reshape(n, 64), axis=1)
+    return np.frombuffer(packed.tobytes(), dtype=">i8").astype(np.int64)

@@ -1783,3 +1783,179 @@ def raster_proximity_targets(sf_dir: str):
 
     out = stripes.map_batches(stripe_distance, batch_format="pyarrow").to_pandas()
     return out.sort_values("node").reset_index(drop=True)
+
+
+# ----------------------- vector -> raster burn (gdal_rasterize analog)
+
+
+def _poly_halfplane_union(alias: str = "p") -> str:
+    """Half-plane containment union over ORACLE_POLYGONS (the _pip_sql
+    kernel), parameterized on the point-source alias."""
+    rows = []
+    for pid, verts in ORACLE_POLYGONS.items():
+        conds = []
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            conds.append(
+                f"(({x2}) - ({x1})) * ({alias}.lat - ({y1}))"
+                f" - (({y2}) - ({y1})) * ({alias}.lon - ({x1})) >= 0.0"
+            )
+        rows.append(f"SELECT {pid} AS id WHERE " + " AND ".join(conds))
+    return " UNION ALL ".join(rows)
+
+
+_RASTERIZE_SQL = f"""
+WITH px AS (
+  SELECT r.r, c.c,
+         -102.2 + (c.c + 0.5) * {_RES} AS lon,
+         36.5 - (r.r + 0.5) * {_RES} AS lat
+  FROM generate_series(0, {_RASTER_H - 1}) r(r),
+       generate_series(0, {_RASTER_W - 1}) c(c)
+),
+b AS (
+  SELECT r, c, (SELECT MIN(id) FROM ({_poly_halfplane_union('p')})) AS field_id
+  FROM px p
+)
+SELECT (r * {_RASTER_W} + c)::BIGINT AS node, field_id::BIGINT AS field_id
+FROM b WHERE field_id IS NOT NULL ORDER BY node
+"""
+
+
+@register("rasterize_fields", _RASTERIZE_SQL)
+def rasterize_fields(sf_dir: str):
+    """Vector -> raster burn (gdal_rasterize analog, the inverse of
+    raster_polygonize_regions): every pixel CENTER of the 320x320 window
+    grid is tested against the broadcast field polygons through the REAL
+    PIP actor pool (stages/pip.py — per-actor polygon index, even-odd
+    refine, min-id under overlap), and pixels inside any polygon emit
+    (node, burned field id).  Pixel-center generation fans out as row
+    stripes; the burn is the same broadcast-polygons shape as
+    pip_events_fields, so a 10^9-pixel burn streams without shuffling.
+    Oracle: half-plane tests on identical pixel-center doubles (convex
+    quads — the two kernels agree off the boundary, and both sides compute
+    bit-identical coordinates)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from demeter_ray.stages import pip as pip_stage
+
+    H, W = _RASTER_H, _RASTER_W
+    fields_tbl = pa.table(
+        {
+            "map_unit_key": pa.array(list(ORACLE_POLYGONS), pa.int64()),
+            "geom_wkb": pa.array(
+                [geo.wkb_from_rings([np.array(v)]) for v in ORACLE_POLYGONS.values()],
+                pa.binary(),
+            ),
+        }
+    )
+
+    def to_centers(batch: pa.Table) -> pa.Table:
+        rows = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rr = np.repeat(rows, W)
+        cc = np.tile(np.arange(W, dtype=np.int64), len(rows))
+        return pa.table(
+            {
+                "node": pa.array(rr * W + cc, pa.int64()),
+                "lon": pa.array(-102.2 + (cc + 0.5) * _RES, pa.float64()),
+                "lat": pa.array(36.5 - (rr + 0.5) * _RES, pa.float64()),
+            }
+        )
+
+    ds = rd.range(H).map_batches(to_centers, batch_format="pyarrow")
+    ds = pip_stage.pip_join(ds, fields_tbl, mode="min", res=12, concurrency=(1, 4))
+
+    def burn(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch["map_unit_key"])
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "node": t["node"],
+                "field_id": t["map_unit_key"].cast(pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(burn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+# ---------------------- great-circle nearest centroid (haversine kNN)
+
+_EARTH_R = 6371000.0
+
+
+def _haversine_knn_sql() -> str:
+    values = ", ".join(f"({i}, {x}, {y})" for i, x, y in ORACLE_CENTROIDS)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat
+  FROM events
+),
+cents(fid, cx, cy) AS (VALUES {values}),
+h AS (
+  SELECT p.event_id, c.fid,
+         sin(radians(c.cy - p.lat) / 2.0) * sin(radians(c.cy - p.lat) / 2.0)
+         + cos(radians(p.lat)) * cos(radians(c.cy))
+           * sin(radians(c.cx - p.lon) / 2.0) * sin(radians(c.cx - p.lon) / 2.0)
+           AS a
+  FROM pts p CROSS JOIN cents c
+),
+r AS (
+  SELECT event_id, fid, a,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY a, fid) AS rn
+  FROM h
+)
+SELECT event_id, fid AS nearest_id,
+       ROUND(2.0 * {_EARTH_R} * asin(sqrt(a)), 4) AS dist_m
+FROM r WHERE rn = 1 ORDER BY event_id
+"""
+
+
+@register("haversine_nearest_centroid", _haversine_knn_sql())
+def haversine_nearest_centroid(sf_dir: str):
+    """Geodesic nearest-field lookup: great-circle (haversine) metres
+    instead of planar squared degrees — the projection-free distance the
+    planar kNN operators approximate.  Small side broadcast via ``ray.put``;
+    each batch computes the (points x centroids) haversine kernel
+    vectorized and argmins on the monotone pre-asin term ``a`` (ties ->
+    lowest centroid id, centroids pre-sorted).  ROUND(4) = 0.1 mm guards
+    the libm sin/cos/asin ulps; every add/multiply is order-identical to
+    the SQL."""
+    import ray as _ray
+
+    cents = sorted(ORACLE_CENTROIDS)
+    cid = np.array([c[0] for c in cents], dtype=np.int64)
+    cx = np.array([c[1] for c in cents], dtype=np.float64)
+    cy = np.array([c[2] for c in cents], dtype=np.float64)
+    ref = _ray.put((cid, cx, cy))
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        _cid, _cx, _cy = _ray.get(ref)
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive_lon(k), derive_lat(k)
+        dphi = np.radians(_cy[None, :] - lat[:, None]) / 2.0
+        dlmb = np.radians(_cx[None, :] - lon[:, None]) / 2.0
+        a = (
+            np.sin(dphi) * np.sin(dphi)
+            + np.cos(np.radians(lat[:, None])) * np.cos(np.radians(_cy[None, :]))
+            * np.sin(dlmb) * np.sin(dlmb)
+        )
+        best = np.argmin(a, axis=1)  # first min = lowest fid (sorted)
+        abest = a[np.arange(len(k)), best]
+        dist = 2.0 * _EARTH_R * np.arcsin(np.sqrt(abest))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "nearest_id": pa.array(_cid[best], pa.int64()),
+                "dist_m": pa.array(duck_round(dist, 4), pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(nearest, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

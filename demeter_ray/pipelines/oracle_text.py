@@ -1516,3 +1516,82 @@ def chunk_documents_overlap(sf_dir: str):
 
     out = ds.map_batches(expand, batch_format="pyarrow").to_pandas()
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+# -------------- image augmentation: horizontal flip + perceptual-hash drift
+
+_AUG_SQL = """
+WITH px AS (
+  SELECT d.doc_id AS i, x.x, y.y,
+         (d.doc_id * 97 + x.x * 31 + y.y * 17) % 256 AS b,
+         (d.doc_id * 97 + (15 - x.x) * 31 + y.y * 17) % 256 AS bf
+  FROM documents d, generate_series(0, 15) x(x), generate_series(0, 15) y(y)
+),
+blk AS (
+  -- 3*gray summed per 2x2 block (channel residues +0/+11/+22), both the
+  -- original and the horizontally flipped image; the threshold compare is
+  -- exact-rational: block_mean > grand_mean  <=>  s3 * 64 > t3
+  SELECT i, y // 2 AS by, x // 2 AS bx,
+         SUM(b + (b + 11) % 256 + (b + 22) % 256) AS s3,
+         SUM(bf + (bf + 11) % 256 + (bf + 22) % 256) AS f3
+  FROM px GROUP BY i, y // 2, x // 2
+),
+tot AS (SELECT i, SUM(s3) AS t3, SUM(f3) AS tf3 FROM blk GROUP BY i),
+ph AS (
+  SELECT i,
+    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+         THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS phash,
+    CAST(CASE WHEN sf >= 9223372036854775808::HUGEINT
+         THEN sf - 18446744073709551616::HUGEINT ELSE sf END AS BIGINT)
+      AS phash_flip
+  FROM (
+    SELECT b.i,
+      SUM(CASE WHEN b.s3 * 64 > t.t3 THEN 1::HUGEINT ELSE 0::HUGEINT END
+          * (1::HUGEINT << CAST(63 - (b.by * 8 + b.bx) AS INT))) AS s,
+      SUM(CASE WHEN b.f3 * 64 > t.tf3 THEN 1::HUGEINT ELSE 0::HUGEINT END
+          * (1::HUGEINT << CAST(63 - (b.by * 8 + b.bx) AS INT))) AS sf
+    FROM blk b JOIN tot t USING (i) GROUP BY b.i)
+)
+SELECT i AS doc_id, phash, phash_flip,
+       bit_count(xor(phash, phash_flip))::BIGINT AS hamming
+FROM ph ORDER BY doc_id
+"""
+
+
+@register("image_augment_phash", _AUG_SQL)
+def image_augment_phash(sf_dir: str):
+    """Augmentation invariance audit — the training-data QA step that
+    measures how far a geometric augmentation (horizontal flip) moves each
+    image's perceptual hash: decode through the REAL codec roundtrip, flip
+    with one vectorized axis reversal, hash BOTH variants with the
+    integer-exact phash64_int_batch (bit-stable at block==grand-mean ties,
+    where the float-mean variant depends on division rounding), and emit the
+    per-image Hamming drift.  Everything is one
+    stateless map_batches chain over the binary column (encode -> decode ->
+    flip -> two phashes -> popcount), nothing shuffles.  Oracle: the
+    flagship's exact-rational phash SQL (blocks3*64 > total3) evaluated for
+    both the original and the x -> 15-x formula image, Hamming via
+    bit_count(xor()) — all-integer, no rounding."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def aug_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = codec.encode_batch(codec.generate_pixels_batch(ids, 16, 16), "png")
+        px4 = codec.decode_batch(blobs, 16, 16)
+        ph = codec.phash64_int_batch(px4)
+        phf = codec.phash64_int_batch(px4[:, :, ::-1, :])
+        x = np.bitwise_xor(ph.view(np.uint64), phf.view(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), 8), axis=1).sum(
+            axis=1, dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "phash": pa.array(ph, pa.int64()),
+                "phash_flip": pa.array(phf, pa.int64()),
+                "hamming": pa.array(ham, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(aug_fn, batch_format="pyarrow", batch_size=512).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -89,3 +89,44 @@ def test_proximity_argmin_tie_prefers_lowest_target():
     tc = np.array([2, 2], dtype=np.int64)
     d2 = (2 - tr) ** 2 + (2 - tc) ** 2  # both 4
     assert d2[0] == d2[1] and np.argmin(d2) == 0
+
+
+def test_phash_int_matches_float_off_ties():
+    # the integer-exact phash agrees with the float variant except at exact
+    # block==grand-mean ties (where only the integer form is deterministic)
+    from demeter_ray.functions import codec
+
+    ids = np.arange(0, 2000, dtype=np.int64)
+    px4 = codec.generate_pixels_batch(ids, 16, 16)
+    a = codec.phash64_batch(px4)
+    b = codec.phash64_int_batch(px4)
+    s = (
+        px4.astype(np.int64).reshape(len(ids), 8, 2, 8, 2, 3).sum(axis=(2, 4, 5))
+    )
+    ties = (s * 64 == s.sum(axis=(1, 2))[:, None, None]).any(axis=(1, 2))
+    assert np.array_equal(a[~ties], b[~ties])
+    assert ties.any()  # the fixture genuinely exercises the tie path
+
+
+def test_flip_phash_hamming_symmetry():
+    from demeter_ray.functions import codec
+
+    ids = np.arange(10, dtype=np.int64)
+    px4 = codec.generate_pixels_batch(ids, 16, 16)
+    ph = codec.phash64_int_batch(px4)
+    phf = codec.phash64_int_batch(px4[:, :, ::-1, :])
+    # flipping twice is the identity
+    ph2 = codec.phash64_int_batch(px4[:, :, ::-1, :][:, :, ::-1, :])
+    assert np.array_equal(ph, ph2)
+    x = np.bitwise_xor(ph.view(np.uint64), phf.view(np.uint64))
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), 8), axis=1).sum(axis=1)
+    assert ((0 <= ham) & (ham <= 64)).all()
+
+
+def test_haversine_zero_and_known_distance():
+    # 1 degree of longitude at the equator ~ 111.19 km on the 6371 km sphere
+    lat = np.array([0.0])
+    dlmb = np.radians(np.array([1.0])) / 2.0
+    a = np.cos(np.radians(lat)) * np.cos(np.radians(lat)) * np.sin(dlmb) * np.sin(dlmb)
+    d = 2.0 * 6371000.0 * np.arcsin(np.sqrt(a))
+    assert abs(d[0] - 111194.9) < 1.0
