@@ -159,6 +159,8 @@ def run_benchmarks() -> dict:
         "rasterize_fields",
         "haversine_nearest_centroid",
         "image_augment_phash",
+        "event_density_smoothed",
+        "str_rtree_leaves",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -1959,3 +1959,283 @@ def haversine_nearest_centroid(sf_dir: str):
 
     out = ds.map_batches(nearest, batch_format="pyarrow").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ------------------ focal smoothing over a DATA raster (event density)
+
+_DENS_W = 64  # bin grid over the 0.5 x 0.5 deg window
+
+_DENSITY_SQL = f"""
+WITH pts AS (
+  SELECT {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat
+  FROM events
+),
+b AS (
+  SELECT CAST(FLOOR((lon - (-102.2)) / 0.5 * {_DENS_W}.0) AS BIGINT) AS bx,
+         CAST(FLOOR((lat - 36.0) / 0.5 * {_DENS_W}.0) AS BIGINT) AS by,
+         COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+k(dx, dy, w) AS (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),(0,0,4),(0,1,2),
+                        (1,-1,1),(1,0,2),(1,1,1)),
+s AS (
+  SELECT b.bx + k.dx AS bx, b.by + k.dy AS by, SUM(b.cnt * k.w) AS wsum
+  FROM b CROSS JOIN k
+  WHERE b.bx + k.dx BETWEEN 0 AND {_DENS_W - 1}
+    AND b.by + k.dy BETWEEN 0 AND {_DENS_W - 1}
+  GROUP BY 1, 2
+)
+SELECT bx, by, wsum::BIGINT AS wsum, wsum / 16.0 AS density
+FROM s ORDER BY bx, by
+"""
+
+
+@register("event_density_smoothed", _DENSITY_SQL)
+def event_density_smoothed(sf_dir: str):
+    """Binned point density + 3x3 binomial focal smoothing (the KDE-grid /
+    heatmap operator) — a focal convolution over a DATA raster, where the
+    halo is real data, not a formula: per-batch partial bin counts reduce
+    through the size-gated group-sum, then each occupied bin REPLICATES its
+    count x9 to its neighbors with kernel weights (1,2,1;2,4,2;1,2,1) and a
+    second gated group-sum finishes the convolution — the
+    aggregate-then-replicate shape (cell_neighbor_event_counts), so the
+    shuffle is O(occupied bins), never O(points).  wsum is integer-exact;
+    density = wsum/16.0 is dyadic — NO rounding anywhere."""
+    from demeter_ray.pipelines.relational import gated_group_sum_ds
+
+    W = _DENS_W
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def bin_partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["event_id"].to_numpy(np.int64)
+        lon, lat = derive_lon(k), derive_lat(k)
+        bx = np.floor((lon - (-102.2)) / 0.5 * float(W)).astype(np.int64)
+        by = np.floor((lat - 36.0) / 0.5 * float(W)).astype(np.int64)
+        g = pd.DataFrame({"bx": bx, "by": by, "cnt": 1})
+        return g.groupby(["bx", "by"], as_index=False).sum()
+
+    counts = gated_group_sum_ds(ds, bin_partial, ["bx", "by"], ["cnt"])
+
+    KDX = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+    KDY = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int64)
+    KW = np.array([1, 2, 1, 2, 4, 2, 1, 2, 1], dtype=np.int64)
+
+    def spread_partial(b: pd.DataFrame) -> pd.DataFrame:
+        bx = np.repeat(b["bx"].to_numpy(np.int64), 9) + np.tile(KDX, len(b))
+        by = np.repeat(b["by"].to_numpy(np.int64), 9) + np.tile(KDY, len(b))
+        ws = np.repeat(b["cnt"].to_numpy(np.int64), 9) * np.tile(KW, len(b))
+        keep = (bx >= 0) & (bx < W) & (by >= 0) & (by < W)
+        g = pd.DataFrame({"bx": bx[keep], "by": by[keep], "wsum": ws[keep]})
+        return g.groupby(["bx", "by"], as_index=False).sum()
+
+    sm = gated_group_sum_ds(counts, spread_partial, ["bx", "by"], ["wsum"])
+    out = sm.to_pandas()
+    out["wsum"] = out["wsum"].astype(np.int64)
+    out["density"] = out["wsum"].to_numpy(np.float64) / 16.0
+    return out.sort_values(["bx", "by"]).reset_index(drop=True)
+
+
+# ---------------- STR-packed R-tree bulk load (spatial index leaves)
+
+_RTREE_LEAF = 64  # leaf capacity
+
+
+def _rtree_sql() -> str:
+    L = _RTREE_LEAF
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat
+  FROM events
+),
+params AS (
+  SELECT COUNT(*) AS n,
+         CAST(CEIL(SQRT(((COUNT(*) + {L - 1}) // {L})::DOUBLE)) AS BIGINT) AS s
+  FROM pts
+),
+xr AS (
+  SELECT event_id, lon, lat,
+         ROW_NUMBER() OVER (ORDER BY lon, event_id) - 1 AS xrank
+  FROM pts
+),
+sl AS (
+  SELECT x.event_id, x.lon, x.lat,
+         x.xrank // ((p.n + p.s - 1) // p.s) AS slice
+  FROM xr x, params p
+),
+yr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY slice ORDER BY lat, event_id) - 1
+            AS yrank
+  FROM sl
+)
+SELECT y.slice * (((p.n + p.s - 1) // p.s + {L - 1}) // {L}) + y.yrank // {L}
+         AS leaf_id,
+       COUNT(*)::BIGINT AS n_points,
+       MIN(y.lon) AS min_lon, MAX(y.lon) AS max_lon,
+       MIN(y.lat) AS min_lat, MAX(y.lat) AS max_lat
+FROM yr y, params p
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("str_rtree_leaves", _rtree_sql())
+def str_rtree_leaves(sf_dir: str):
+    """Sort-Tile-Recursive R-tree bulk load (the PostGIS/GEOS packed-index
+    build): points sort by x into ceil(sqrt(n/L)) vertical slices, each
+    slice sorts by y and packs runs of L into leaves; the output is every
+    leaf's MBR + population — the spatial-index layer a distributed engine
+    ships next to its data files.  Distributed as TWO range-partitioned
+    sorts, each followed by the O(blocks) running-offset carry (the
+    pack_documents shape): block partials -> driver base offsets -> a
+    second vectorized pass over the SAME materialized blocks; the leaf MBR
+    reduction is a size-gated group-sum on leaf_id.  Ranks, slices and
+    leaf ids are pure integers; MBR bounds are min/max of identical
+    doubles — exact, no rounding."""
+    import ray as _ray
+
+    from demeter_ray.pipelines.relational import partial_shuffle_combine
+
+    L = _RTREE_LEAF
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "lon": pa.array(derive_lon(k), pa.float64()),
+                "lat": pa.array(derive_lat(k), pa.float64()),
+            }
+        )
+
+    pts = ds.map_batches(to_points, batch_format="pyarrow")
+    n = pts.count()
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "leaf_id": pd.Series(dtype=np.int64),
+                "n_points": pd.Series(dtype=np.int64),
+                "min_lon": pd.Series(dtype=np.float64),
+                "max_lon": pd.Series(dtype=np.float64),
+                "min_lat": pd.Series(dtype=np.float64),
+                "max_lat": pd.Series(dtype=np.float64),
+            }
+        )
+    S = int(np.ceil(np.sqrt(float((n + L - 1) // L))))
+    slice_size = (n + S - 1) // S
+    leaves_per_slice = (slice_size + L - 1) // L
+
+    # ---- pass 1: global x-rank -> slice (one sort + O(blocks) carry)
+    sorted1 = pts.sort(["lon", "event_id"]).materialize()
+
+    def block_count1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_eid": pa.array([], pa.int64()),
+                             "first_lon": pa.array([], pa.float64()),
+                             "rows": pa.array([], pa.int64())})
+        return pa.table({
+            "first_eid": pa.array([t["event_id"][0].as_py()], pa.int64()),
+            "first_lon": pa.array([t["lon"][0].as_py()], pa.float64()),
+            "rows": pa.array([t.num_rows], pa.int64()),
+        })
+
+    parts = partial_combine(sorted1, block_count1, "pyarrow", batch_size=None)
+    parts = parts.sort_values(["first_lon", "first_eid"]).reset_index(drop=True)
+    bases = np.r_[0, np.cumsum(parts["rows"].to_numpy())[:-1]].astype(np.int64)
+    base1 = {int(e): int(b) for e, b in zip(parts["first_eid"], bases)}
+    ref1 = _ray.put((base1, slice_size))
+
+    def assign_slice(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("slice", pa.array([], pa.int64()))
+        b1, ssz = _ray.get(ref1)
+        xrank = b1[int(t["event_id"][0].as_py())] + np.arange(
+            t.num_rows, dtype=np.int64
+        )
+        return t.append_column("slice", pa.array(xrank // ssz, pa.int64()))
+
+    sliced = sorted1.map_batches(assign_slice, batch_format="pyarrow",
+                                 batch_size=None)
+
+    # ---- pass 2: per-slice y-rank (one sort + O(blocks x slices) carry)
+    sorted2 = sliced.sort(["slice", "lat", "event_id"]).materialize()
+
+    def block_count2(t: pa.Table) -> pa.Table:
+        empty = {
+            "first_eid": pa.array([], pa.int64()),
+            "slice": pa.array([], pa.int64()),
+            "o_slice": pa.array([], pa.int64()),
+            "o_lat": pa.array([], pa.float64()),
+            "o_eid": pa.array([], pa.int64()),
+            "rows": pa.array([], pa.int64()),
+        }
+        if t.num_rows == 0:
+            return pa.table(empty)
+        sl = t["slice"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        ends = np.r_[starts[1:], len(sl)]
+        feid = int(t["event_id"][0].as_py())
+        return pa.table({
+            "first_eid": pa.array(np.full(len(starts), feid), pa.int64()),
+            "slice": pa.array(sl[starts], pa.int64()),
+            "o_slice": pa.array(np.full(len(starts), sl[0]), pa.int64()),
+            "o_lat": pa.array(
+                np.full(len(starts), t["lat"][0].as_py()), pa.float64()),
+            "o_eid": pa.array(np.full(len(starts), feid), pa.int64()),
+            "rows": pa.array(ends - starts, pa.int64()),
+        })
+
+    p2 = partial_combine(sorted2, block_count2, "pyarrow", batch_size=None)
+    p2 = p2.sort_values(["o_slice", "o_lat", "o_eid"]).reset_index(drop=True)
+    ybase: dict[tuple[int, int], int] = {}
+    run: dict[int, int] = {}
+    for feid, sl, rows in zip(p2["first_eid"], p2["slice"], p2["rows"]):
+        ybase[(int(feid), int(sl))] = run.get(int(sl), 0)
+        run[int(sl)] = run.get(int(sl), 0) + int(rows)
+    ref2 = _ray.put((ybase, leaves_per_slice, L))
+
+    def leaf_partial(t: pa.Table) -> pa.Table:
+        empty = {
+            "leaf_id": pa.array([], pa.int64()),
+            "n_points": pa.array([], pa.int64()),
+            "min_lon": pa.array([], pa.float64()),
+            "max_lon": pa.array([], pa.float64()),
+            "min_lat": pa.array([], pa.float64()),
+            "max_lat": pa.array([], pa.float64()),
+        }
+        if t.num_rows == 0:
+            return pa.table(empty)
+        yb, lps, cap = _ray.get(ref2)
+        sl = t["slice"].to_numpy(zero_copy_only=False)
+        feid = int(t["event_id"][0].as_py())
+        starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(sl)]))
+        local = np.arange(len(sl), dtype=np.int64) - starts[seg]
+        base = np.array([yb[(feid, int(s))] for s in sl[starts]], dtype=np.int64)
+        yrank = base[seg] + local
+        leaf = sl * lps + yrank // cap
+        df = pd.DataFrame({
+            "leaf_id": leaf,
+            "n_points": 1,
+            "min_lon": t["lon"].to_numpy(zero_copy_only=False),
+            "max_lon": t["lon"].to_numpy(zero_copy_only=False),
+            "min_lat": t["lat"].to_numpy(zero_copy_only=False),
+            "max_lat": t["lat"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("leaf_id", as_index=False).agg(
+            n_points=("n_points", "sum"),
+            min_lon=("min_lon", "min"), max_lon=("max_lon", "max"),
+            min_lat=("min_lat", "min"), max_lat=("max_lat", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = partial_shuffle_combine(
+        sorted2, leaf_partial, ["leaf_id"],
+        ["n_points", "min_lon", "max_lon", "min_lat", "max_lat"],
+        batch_format="pyarrow", mb_kwargs={"batch_size": None},
+        agg={"n_points": "sum", "min_lon": "min", "max_lon": "max",
+             "min_lat": "min", "max_lat": "max"},
+    )
+    out["n_points"] = out["n_points"].astype(np.int64)
+    return out.sort_values("leaf_id").reset_index(drop=True)

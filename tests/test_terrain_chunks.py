@@ -130,3 +130,29 @@ def test_haversine_zero_and_known_distance():
     a = np.cos(np.radians(lat)) * np.cos(np.radians(lat)) * np.sin(dlmb) * np.sin(dlmb)
     d = 2.0 * 6371000.0 * np.arcsin(np.sqrt(a))
     assert abs(d[0] - 111194.9) < 1.0
+
+
+def test_str_packing_math():
+    # STR constants: n=10k, L=64 -> P=157 leaves, S=13 slices of 770,
+    # 13 leaves per slice; every point lands in exactly one leaf
+    n, L = 10_000, 64
+    P = (n + L - 1) // L
+    S = int(np.ceil(np.sqrt(float(P))))
+    ssz = (n + S - 1) // S
+    lps = (ssz + L - 1) // L
+    assert (P, S, ssz, lps) == (157, 13, 770, 13)
+    xrank = np.arange(n)
+    sl = xrank // ssz
+    assert sl.max() == S - 1
+    # within a full slice, yrank 0..769 packs into 13 leaves of <=64
+    yr = np.arange(ssz)
+    leaves, counts = np.unique(yr // L, return_counts=True)
+    assert len(leaves) == lps and counts.max() <= L
+
+
+def test_density_kernel_exact():
+    # one point at bin (5,5): 9 output bins with the binomial weights /16
+    KW = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]])
+    assert KW.sum() == 16
+    dens = KW / 16.0
+    assert dens[1, 1] == 0.25 and dens[0, 0] == 0.0625  # dyadic-exact
