@@ -161,6 +161,7 @@ def run_benchmarks() -> dict:
         "image_augment_phash",
         "event_density_smoothed",
         "str_rtree_leaves",
+        "distance_to_field_boundary",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -2239,3 +2239,109 @@ def str_rtree_leaves(sf_dir: str):
     )
     out["n_points"] = out["n_points"].astype(np.int64)
     return out.sort_values("leaf_id").reset_index(drop=True)
+
+
+# ------------- point -> polygon-boundary distance (setback/buffer metric)
+
+
+def _boundary_edges():
+    rows = []
+    for pid, verts in ORACLE_POLYGONS.items():
+        n = len(verts)
+        for sid in range(n):
+            x1, y1 = verts[sid]
+            x2, y2 = verts[(sid + 1) % n]
+            rows.append((pid, sid, x1, y1, x2, y2))
+    return rows
+
+
+def _boundary_sql() -> str:
+    # e0 suffixes force DOUBLE literals — bare decimals parse as DECIMAL in
+    # DuckDB, whose exact subtraction diverges from the engine's float64
+    values = ", ".join(
+        f"({fid}, {sid}, {x1!r}e0, {y1!r}e0, {x2!r}e0, {y2!r}e0)"
+        for fid, sid, x1, y1, x2, y2 in _boundary_edges()
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat
+  FROM events
+),
+e(fid, sid, x1, y1, x2, y2) AS (VALUES {values}),
+d AS (
+  SELECT p.event_id, e.fid, e.sid,
+         LEAST(GREATEST(((p.lon - e.x1) * (e.x2 - e.x1)
+                         + (p.lat - e.y1) * (e.y2 - e.y1))
+                        / ((e.x2 - e.x1) * (e.x2 - e.x1)
+                           + (e.y2 - e.y1) * (e.y2 - e.y1)), 0.0), 1.0) AS t,
+         p.lon, p.lat, e.x1, e.y1, e.x2, e.y2
+  FROM pts p CROSS JOIN e
+),
+d2 AS (
+  SELECT event_id, fid, sid,
+         (lon - (x1 + t * (x2 - x1))) * (lon - (x1 + t * (x2 - x1)))
+         + (lat - (y1 + t * (y2 - y1))) * (lat - (y1 + t * (y2 - y1))) AS d2
+  FROM d
+),
+r AS (
+  SELECT event_id, fid, sid, d2,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d2, fid, sid) AS rn
+  FROM d2
+)
+SELECT event_id, fid AS nearest_field, sid AS seg_idx, d2 AS boundary_dist2
+FROM r WHERE rn = 1 ORDER BY event_id
+"""
+
+
+@register("distance_to_field_boundary", _boundary_sql())
+def distance_to_field_boundary(sf_dir: str):
+    """Point -> polygon-BOUNDARY distance join (the setback/buffer-distance
+    primitive behind 'within X of a field edge' filters): for every event,
+    the squared distance to the nearest polygon edge segment (clamped
+    projection onto each segment) plus which (field, segment) owns it
+    (ties -> lowest field then segment).  Broadcast edge arrays, one
+    vectorized (points x segments) kernel per batch — the same
+    broadcast-small-side shape as the kNN operators.  Every FP op is
+    order-identical to the SQL (clamp = LEAST/GREATEST == np.minimum/
+    maximum), so the output is bit-exact with NO rounding."""
+    import ray as _ray
+
+    edges = _boundary_edges()  # already sorted by (fid, sid)
+    fid = np.array([e[0] for e in edges], dtype=np.int64)
+    sid = np.array([e[1] for e in edges], dtype=np.int64)
+    x1 = np.array([e[2] for e in edges], dtype=np.float64)
+    y1 = np.array([e[3] for e in edges], dtype=np.float64)
+    x2 = np.array([e[4] for e in edges], dtype=np.float64)
+    y2 = np.array([e[5] for e in edges], dtype=np.float64)
+    ref = _ray.put((fid, sid, x1, y1, x2, y2))
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def nearest_edge(batch: pa.Table) -> pa.Table:
+        _f, _s, _x1, _y1, _x2, _y2 = _ray.get(ref)
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = derive_lon(k)[:, None]
+        lat = derive_lat(k)[:, None]
+        ex, ey = (_x2 - _x1)[None, :], (_y2 - _y1)[None, :]
+        l2 = ex * ex + ey * ey
+        t = np.minimum(
+            np.maximum(((lon - _x1[None, :]) * ex + (lat - _y1[None, :]) * ey)
+                       / l2, 0.0), 1.0)
+        dx = lon - (_x1[None, :] + t * ex)
+        dy = lat - (_y1[None, :] + t * ey)
+        d2 = dx * dx + dy * dy
+        best = np.argmin(d2, axis=1)  # edge order == (fid, sid) order
+        rows = np.arange(len(k))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "nearest_field": pa.array(_f[best], pa.int64()),
+                "seg_idx": pa.array(_s[best], pa.int64()),
+                "boundary_dist2": pa.array(d2[rows, best], pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(nearest_edge, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -156,3 +156,13 @@ def test_density_kernel_exact():
     assert KW.sum() == 16
     dens = KW / 16.0
     assert dens[1, 1] == 0.25 and dens[0, 0] == 0.0625  # dyadic-exact
+
+
+def test_point_segment_distance_clamps():
+    # interior projection, clamped-to-endpoint, and on-segment cases
+    x1, y1, x2, y2 = 0.0, 0.0, 10.0, 0.0
+    for px, py, want in [(5.0, 3.0, 9.0), (-4.0, 3.0, 25.0), (7.0, 0.0, 0.0)]:
+        t = min(max(((px - x1) * (x2 - x1) + (py - y1) * (y2 - y1))
+                    / ((x2 - x1) ** 2 + (y2 - y1) ** 2), 0.0), 1.0)
+        dx, dy = px - (x1 + t * (x2 - x1)), py - (y1 + t * (y2 - y1))
+        assert dx * dx + dy * dy == want
