@@ -162,6 +162,9 @@ def run_benchmarks() -> dict:
         "event_density_smoothed",
         "str_rtree_leaves",
         "distance_to_field_boundary",
+        "image_hist_equalize_stats",
+        "raster_rle_rows",
+        "geo_harmonic_means_by_flag",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -2345,3 +2345,60 @@ def distance_to_field_boundary(sf_dir: str):
 
     out = ds.map_batches(nearest_edge, batch_format="pyarrow").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ------------------------- raster run-length encoding (per-row RLE stats)
+
+_RLE_SQL = f"""
+WITH px AS (
+  SELECT r.r, c.c FROM generate_series(0, {_POLY_W - 1}) r(r),
+                       generate_series(0, {_POLY_W - 1}) c(c)
+  WHERE (c.c * c.c * 13 + r.r * r.r * 7 + c.c * r.r * 3) % 100 < {_POLY_THR}
+),
+s AS (
+  SELECT r, c, c - ROW_NUMBER() OVER (PARTITION BY r ORDER BY c) AS grp
+  FROM px
+),
+runs AS (SELECT r, grp, COUNT(*) AS len FROM s GROUP BY r, grp)
+SELECT r::BIGINT AS row, COUNT(*)::BIGINT AS n_runs,
+       MAX(len)::BIGINT AS longest_run, SUM(len)::BIGINT AS n_masked
+FROM runs GROUP BY r ORDER BY r
+"""
+
+
+@register("raster_rle_rows", _RLE_SQL)
+def raster_rle_rows(sf_dir: str):
+    """Per-row run-length encoding stats of the thresholded mask raster
+    (the compression / sparse-encoding pass a tile store runs before
+    writing bitmask sidecars): runs per row, longest run, masked-pixel
+    count.  Row stripes vectorize the run detection (starts = mask &
+    ~mask-shifted, lengths by start-index differences) with zero
+    inter-stripe movement — rows are independent by construction.
+    Oracle: the gaps-and-islands ROW_NUMBER trick in SQL.  All-integer."""
+    import ray.data as rd
+
+    W, THR = _POLY_W, _POLY_THR
+    stripes = rd.range(W)
+
+    def rle_rows(batch: pa.Table) -> pa.Table:
+        rows = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = np.arange(W, dtype=np.int64)[None, :]
+        rr = rows[:, None]
+        mask = (cc * cc * 13 + rr * rr * 7 + cc * rr * 3) % 100 < THR
+        # pad a False column so runs never span rows when flattened
+        m = np.concatenate([mask, np.zeros((len(rows), 1), bool)], axis=1).ravel()
+        starts = np.flatnonzero(m & ~np.r_[False, m[:-1]])
+        ends = np.flatnonzero(~m & np.r_[False, m[:-1]])
+        lens = ends - starts
+        row_of = rows[starts // (W + 1)]
+        df = pd.DataFrame({"row": row_of, "n_runs": 1, "longest_run": lens,
+                           "n_masked": lens})
+        g = df.groupby("row", as_index=False).agg(
+            n_runs=("n_runs", "sum"), longest_run=("longest_run", "max"),
+            n_masked=("n_masked", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = stripes.map_batches(rle_rows, batch_format="pyarrow").to_pandas()
+    for c in ("n_runs", "longest_run", "n_masked"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("row").reset_index(drop=True)

@@ -1595,3 +1595,64 @@ def image_augment_phash(sf_dir: str):
 
     out = ds.map_batches(aug_fn, batch_format="pyarrow", batch_size=512).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------- image histogram equalization (contrast normalization)
+
+_EQ_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 97 + x.x * 31 + y.y * 17 + c.c * 11) % 256 AS v
+  FROM documents d,
+       generate_series(0, 15) AS x(x),
+       generate_series(0, 15) AS y(y),
+       generate_series(0, 2) AS c(c)
+),
+h AS (SELECT doc_id, v, COUNT(*) AS cnt FROM px GROUP BY doc_id, v),
+cdf AS (
+  SELECT doc_id, v,
+         SUM(cnt) OVER (PARTITION BY doc_id ORDER BY v) AS cum
+  FROM h
+),
+e AS (
+  SELECT p.doc_id, (c.cum * 255) // 768 AS ev
+  FROM px p JOIN cdf c ON c.doc_id = p.doc_id AND c.v = p.v
+)
+SELECT doc_id, SUM(ev) / 768.0 AS eq_mean,
+       MIN(ev)::BIGINT AS eq_min, MAX(ev)::BIGINT AS eq_max
+FROM e GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("image_hist_equalize_stats", _EQ_SQL)
+def image_hist_equalize_stats(sf_dir: str):
+    """Per-image histogram equalization (the classic contrast-normalization
+    preprocessing step): decode through the codec roundtrip, build each
+    image's 256-bin intensity histogram, remap every pixel through the
+    integer CDF (v' = cdf(v)*255 // npix) and emit the equalized mean/min/
+    max.  The whole batch vectorizes as ONE bincount over offset-packed
+    (image, value) codes + a cumsum gather — no per-image Python.  All
+    integer until the final /768.0 — exact, no rounding."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def eq_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        blobs = codec.encode_batch(codec.generate_pixels_batch(ids, 16, 16), "png")
+        px4 = codec.decode_batch(blobs, 16, 16)
+        v = px4.reshape(n, -1).astype(np.int64)  # (N, 768)
+        codes = (np.arange(n, dtype=np.int64)[:, None] * 256 + v).ravel()
+        hist = np.bincount(codes, minlength=n * 256).reshape(n, 256)
+        cdf = np.cumsum(hist, axis=1)
+        ev = (np.take_along_axis(cdf, v, axis=1) * 255) // 768
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "eq_mean": pa.array(ev.sum(axis=1) / 768.0, pa.float64()),
+                "eq_min": pa.array(ev.min(axis=1, initial=255), pa.int64()),
+                "eq_max": pa.array(ev.max(axis=1, initial=0), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(eq_fn, batch_format="pyarrow", batch_size=512).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -2599,3 +2599,41 @@ def skew_kurtosis_by_flag(sf_dir: str):
         "qty_kurtosis": duck_round(kurt, 6),
     })
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# ------------------- grouped geometric / harmonic means (log-sum moments)
+
+_GEOMEAN_SQL = """
+SELECT l_returnflag,
+       ROUND(EXP(SUM(LN(l_extendedprice)) / COUNT(*)), 4) AS price_geomean,
+       ROUND(COUNT(*) / SUM(1.0 / l_extendedprice), 6) AS price_harmean
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("geo_harmonic_means_by_flag", _GEOMEAN_SQL)
+def geo_harmonic_means_by_flag(sf_dir: str):
+    """Grouped geometric + harmonic means from mergeable log/reciprocal
+    sums (n, sum ln x, sum 1/x — three numbers per (group, batch), the
+    corr/skew sketch family).  Rounding absorbs summation-order and libm
+    ln/exp ulps; prices are strictly positive so both transforms are
+    total."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_extendedprice"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "n": 1.0, "sln": np.log(x), "sinv": 1.0 / x,
+        })
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    m = partial_combine(ds, partial).groupby("l_returnflag", as_index=False).sum()
+    out = pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        "price_geomean": duck_round(np.exp(m["sln"].to_numpy(np.float64)
+                                           / m["n"].to_numpy(np.float64)), 4),
+        "price_harmean": duck_round(m["n"].to_numpy(np.float64)
+                                    / m["sinv"].to_numpy(np.float64), 6),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)

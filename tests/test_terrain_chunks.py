@@ -166,3 +166,25 @@ def test_point_segment_distance_clamps():
                     / ((x2 - x1) ** 2 + (y2 - y1) ** 2), 0.0), 1.0)
         dx, dy = px - (x1 + t * (x2 - x1)), py - (y1 + t * (y2 - y1))
         assert dx * dx + dy * dy == want
+
+
+def test_rle_vectorized_runs():
+    # one row with runs [1,1,0,1,0,0,1,1,1]: runs of 2, 1, 3 -> 6 masked
+    mask = np.array([[1, 1, 0, 1, 0, 0, 1, 1, 1]], dtype=bool)
+    m = np.concatenate([mask, np.zeros((1, 1), bool)], axis=1).ravel()
+    starts = np.flatnonzero(m & ~np.r_[False, m[:-1]])
+    ends = np.flatnonzero(~m & np.r_[False, m[:-1]])
+    lens = ends - starts
+    assert list(lens) == [2, 1, 3] and lens.sum() == 6
+
+
+def test_hist_equalize_uniform_identity():
+    # a perfectly uniform histogram equalizes to (cdf*255)//n with cdf
+    # steps of n/256 -> ev spans 0..255 monotonically
+    v = np.tile(np.arange(256, dtype=np.int64), 3)[None, :]  # 768 px uniform
+    codes = (np.arange(1)[:, None] * 256 + v).ravel()
+    hist = np.bincount(codes, minlength=256).reshape(1, 256)
+    cdf = np.cumsum(hist, axis=1)
+    ev = (np.take_along_axis(cdf, v, axis=1) * 255) // 768
+    assert ev.min() == 0 and ev.max() == 255
+    assert (np.diff(ev[0, :256]) >= 0).all()
