@@ -165,6 +165,8 @@ def run_benchmarks() -> dict:
         "image_hist_equalize_stats",
         "raster_rle_rows",
         "geo_harmonic_means_by_flag",
+        "raster_sample_bilinear",
+        "raster_morphology_rows",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

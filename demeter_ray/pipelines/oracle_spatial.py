@@ -2402,3 +2402,173 @@ def raster_rle_rows(sf_dir: str):
     for c in ("n_runs", "longest_run", "n_masked"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("row").reset_index(drop=True)
+
+
+# -------------------- bilinear point sampling (interpolated value_at)
+
+_BILIN_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {LON_EXPR.format(k='c_custkey')} AS lon,
+         {LAT_EXPR.format(k='c_custkey')} AS lat
+  FROM customer
+),
+q AS (
+  SELECT c_custkey,
+         (lon - (-102.2)) / {_RES} - 0.5 AS cpos,
+         (36.5 - lat) / {_RES} - 0.5 AS rpos
+  FROM pts
+  WHERE lon >= -102.2 AND lon < -101.7 AND lat > 36.0 AND lat <= 36.5
+),
+g AS (
+  SELECT c_custkey, FLOOR(rpos) AS r0, FLOOR(cpos) AS c0,
+         rpos - FLOOR(rpos) AS fr, cpos - FLOOR(cpos) AS fc
+  FROM q
+),
+b AS (
+  SELECT c_custkey,
+    (CASE WHEN r0 >= 0 AND r0 < {_RASTER_H} AND c0 >= 0 AND c0 < {_RASTER_W}
+          THEN (((CAST(c0 AS BIGINT) * 31 + CAST(r0 AS BIGINT) * 17) % 1000) / 10.0)
+               * ((1.0 - fr) * (1.0 - fc)) ELSE 0.0 END
+     + CASE WHEN r0 >= 0 AND r0 < {_RASTER_H} AND c0 + 1 >= 0 AND c0 + 1 < {_RASTER_W}
+          THEN ((((CAST(c0 AS BIGINT) + 1) * 31 + CAST(r0 AS BIGINT) * 17) % 1000) / 10.0)
+               * ((1.0 - fr) * fc) ELSE 0.0 END
+     + CASE WHEN r0 + 1 >= 0 AND r0 + 1 < {_RASTER_H} AND c0 >= 0 AND c0 < {_RASTER_W}
+          THEN (((CAST(c0 AS BIGINT) * 31 + (CAST(r0 AS BIGINT) + 1) * 17) % 1000) / 10.0)
+               * (fr * (1.0 - fc)) ELSE 0.0 END
+     + CASE WHEN r0 + 1 >= 0 AND r0 + 1 < {_RASTER_H} AND c0 + 1 >= 0 AND c0 + 1 < {_RASTER_W}
+          THEN ((((CAST(c0 AS BIGINT) + 1) * 31 + (CAST(r0 AS BIGINT) + 1) * 17) % 1000) / 10.0)
+               * (fr * fc) ELSE 0.0 END) AS acc,
+    (CASE WHEN r0 >= 0 AND r0 < {_RASTER_H} AND c0 >= 0 AND c0 < {_RASTER_W}
+          THEN (1.0 - fr) * (1.0 - fc) ELSE 0.0 END
+     + CASE WHEN r0 >= 0 AND r0 < {_RASTER_H} AND c0 + 1 >= 0 AND c0 + 1 < {_RASTER_W}
+          THEN (1.0 - fr) * fc ELSE 0.0 END
+     + CASE WHEN r0 + 1 >= 0 AND r0 + 1 < {_RASTER_H} AND c0 >= 0 AND c0 < {_RASTER_W}
+          THEN fr * (1.0 - fc) ELSE 0.0 END
+     + CASE WHEN r0 + 1 >= 0 AND r0 + 1 < {_RASTER_H} AND c0 + 1 >= 0 AND c0 + 1 < {_RASTER_W}
+          THEN fr * fc ELSE 0.0 END) AS wacc
+  FROM g
+)
+SELECT p.c_custkey, p.lon, p.lat,
+       ROUND(b.acc / b.wacc, 9) AS elevation_bilinear
+FROM pts p LEFT JOIN b USING (c_custkey)
+ORDER BY p.c_custkey
+"""
+
+
+@register("raster_sample_bilinear", _BILIN_SQL)
+def raster_sample_bilinear(sf_dir: str):
+    """Bilinear-interpolated raster point sampling (the continuous-field
+    value_at a soil/elevation product needs between pixel centers) through
+    the REAL tile-sampling path (stages/sample.sample_tiles_at_bilinear —
+    same pixel-center convention, corner order and nodata renormalization
+    as the warp kernel, which until now was only golden-tested).  Oracle:
+    the 4-corner weighted sum inline in SQL over the formula DEM, corner
+    terms added in the identical order; ROUND(9) guards nothing but the
+    DECIMAL-literal parse (every op is order-identical float64)."""
+    import ray as _ray
+
+    from demeter_ray.stages.sample import sample_tiles_at_bilinear
+
+    gcol = np.arange(_RASTER_W, dtype=np.int64)[None, :]
+    grow = np.arange(_RASTER_H, dtype=np.int64)[:, None]
+    px = (((gcol * 31 + grow * 17) % 1000) / 10.0).astype(np.float64)
+    transform = (_RES, 0.0, -102.2, 0.0, -_RES, 36.5)
+    tiles = [("t0", px, transform, float("nan"),
+              geo.raster_bounds(transform, _RASTER_H, _RASTER_W))]
+    ref = _ray.put(tiles)
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def sample_fn(batch: pa.Table) -> pa.Table:
+        t = _ray.get(ref)
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = derive_lon(k), derive_lat(k)
+        vals = sample_tiles_at_bilinear(t, lon, lat)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+                "elevation_bilinear": pa.array(
+                    duck_round(vals, 9), pa.float64(), from_pandas=True),
+            }
+        )
+
+    out = ds.map_batches(sample_fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# ----------------- raster morphology (3x3 erosion / dilation counts)
+
+
+def _morph_mask_sql(r: str, c: str) -> str:
+    return (
+        f"CASE WHEN ({r}) >= 0 AND ({r}) < {_POLY_W} AND ({c}) >= 0 "
+        f"AND ({c}) < {_POLY_W} THEN "
+        f"(({c}) * ({c}) * 13 + ({r}) * ({r}) * 7 + ({c}) * ({r}) * 3) "
+        f"% 100 < {_POLY_THR} ELSE FALSE END"
+    )
+
+
+def _morph_sql() -> str:
+    neigh = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+    ero = " AND ".join(_morph_mask_sql(f"g.r + {dr}", f"g.c + {dc}")
+                       for dr, dc in neigh)
+    dil = " OR ".join(_morph_mask_sql(f"g.r + {dr}", f"g.c + {dc}")
+                      for dr, dc in neigh)
+    return f"""
+WITH g AS (
+  SELECT r.r, c.c FROM generate_series(0, {_POLY_W - 1}) r(r),
+                       generate_series(0, {_POLY_W - 1}) c(c)
+)
+SELECT g.r::BIGINT AS row,
+       COUNT(*) FILTER (WHERE {_morph_mask_sql('g.r', 'g.c')})::BIGINT
+         AS n_mask,
+       COUNT(*) FILTER (WHERE {ero})::BIGINT AS n_eroded,
+       COUNT(*) FILTER (WHERE {dil})::BIGINT AS n_dilated
+FROM g GROUP BY g.r ORDER BY row
+"""
+
+
+@register("raster_morphology_rows", _morph_sql())
+def raster_morphology_rows(sf_dir: str):
+    """3x3 binary erosion / dilation over the mask raster (the
+    mask-cleanup pass before polygonize: erosion kills speckle, dilation
+    closes pinholes), distributed as row stripes whose one-row halos come
+    from the pure mask formula (the dem_slope_hillshade halo shape — zero
+    inter-stripe movement).  Per-row counts of masked / eroded / dilated
+    pixels; out-of-grid neighbors count as unmasked.  All-integer."""
+    import ray.data as rd
+
+    W, THR = _POLY_W, _POLY_THR
+    stripes = rd.range(W)
+
+    def mask_rows(rows: np.ndarray) -> np.ndarray:
+        cc = np.arange(-1, W + 1, dtype=np.int64)[None, :]  # padded columns
+        rr = rows[:, None]
+        m = (cc * cc * 13 + rr * rr * 7 + cc * rr * 3) % 100 < THR
+        m[:, 0] = False
+        m[:, -1] = False
+        bad = (rows < 0) | (rows >= W)
+        m[bad, :] = False
+        return m
+
+    def morph(batch: pa.Table) -> pa.Table:
+        rows = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zm1, z0, zp1 = mask_rows(rows - 1), mask_rows(rows), mask_rows(rows + 1)
+        stacks = [z[:, sl] for z in (zm1, z0, zp1)
+                  for sl in (slice(0, W), slice(1, W + 1), slice(2, W + 2))]
+        ero = np.logical_and.reduce(stacks)
+        dil = np.logical_or.reduce(stacks)
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "n_mask": pa.array(z0[:, 1:-1].sum(axis=1), pa.int64()),
+                "n_eroded": pa.array(ero.sum(axis=1), pa.int64()),
+                "n_dilated": pa.array(dil.sum(axis=1), pa.int64()),
+            }
+        )
+
+    out = stripes.map_batches(morph, batch_format="pyarrow").to_pandas()
+    return out.sort_values("row").reset_index(drop=True)

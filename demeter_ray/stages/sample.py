@@ -247,3 +247,52 @@ def sharded_sample_join(
         batch_size=batch_size,
         concurrency=fitted_pool(concurrency) if isinstance(concurrency, int) else concurrency,
     )
+
+
+def sample_tiles_at_bilinear(tiles, lons, lats) -> np.ndarray:
+    """Bilinear-interpolated value_at over a tile list (float64, NaN = no
+    coverage / no usable corner).  Same pixel-center convention and corner
+    weight order as the reprojection kernel (functions/warp.py bilinear:
+    rpos = frac_row - 0.5, corners (0,0),(0,1),(1,0),(1,1), nodata corners
+    drop out and the remaining weights renormalize).  Axis-aligned
+    transforms only (b = d = 0), like every fixture raster."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    out = np.full(len(lons), np.nan, dtype=np.float64)
+    unassigned = np.ones(len(lons), dtype=bool)
+    for _tile_id, px, transform, nodata, (left, bottom, right, top) in tiles:
+        a, b, c, d, e, f = transform
+        assert b == 0.0 and d == 0.0, "bilinear sampling needs axis-aligned tiles"
+        m = unassigned & (lons >= left) & (lons < right) & (lats > bottom) & (lats <= top)
+        if not m.any():
+            continue
+        h, w = px.shape
+        cpos = (lons[m] - c) / a - 0.5
+        rpos = (lats[m] - f) / e - 0.5
+        r0, c0 = np.floor(rpos), np.floor(cpos)
+        fr, fc = rpos - r0, cpos - c0
+        data = px.astype(np.float64)
+        ndmask = np.zeros_like(data, dtype=bool)
+        if nodata is not None and not (isinstance(nodata, float) and np.isnan(nodata)):
+            ndmask = data == nodata
+        acc = np.zeros(int(m.sum()))
+        wacc = np.zeros(int(m.sum()))
+        for dr, dc, wgt in (
+            (0, 0, (1 - fr) * (1 - fc)),
+            (0, 1, (1 - fr) * fc),
+            (1, 0, fr * (1 - fc)),
+            (1, 1, fr * fc),
+        ):
+            ri = (r0 + dr).astype(np.int64)
+            ci = (c0 + dc).astype(np.int64)
+            ok = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w)
+            ris, cis = np.clip(ri, 0, h - 1), np.clip(ci, 0, w - 1)
+            ok &= ~ndmask[ris, cis]
+            acc += np.where(ok, data[ris, cis] * wgt, 0.0)
+            wacc += np.where(ok, wgt, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vals = np.where(wacc > 0, acc / wacc, np.nan)
+        out_idx = np.flatnonzero(m)
+        out[out_idx] = vals
+        unassigned[out_idx[~np.isnan(vals)]] = False
+    return out

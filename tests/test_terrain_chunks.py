@@ -188,3 +188,45 @@ def test_hist_equalize_uniform_identity():
     ev = (np.take_along_axis(cdf, v, axis=1) * 255) // 768
     assert ev.min() == 0 and ev.max() == 255
     assert (np.diff(ev[0, :256]) >= 0).all()
+
+
+def test_bilinear_sampling_known_values():
+    from demeter_ray.stages.sample import sample_tiles_at_bilinear
+    from demeter_ray.functions import geo
+
+    # 2x2 tile [[0,10],[20,30]], 1-deg pixels anchored at (0, 2): value at
+    # the exact center of the four pixels = mean 15; at a pixel center = the
+    # pixel value; outside coverage = NaN
+    px = np.array([[0.0, 10.0], [20.0, 30.0]])
+    tf = (1.0, 0.0, 0.0, 0.0, -1.0, 2.0)
+    tiles = [("t", px, tf, float("nan"), geo.raster_bounds(tf, 2, 2))]
+    v = sample_tiles_at_bilinear(tiles, np.array([1.0, 0.5, 5.0]),
+                                 np.array([1.0, 1.5, 1.0]))
+    assert v[0] == 15.0 and v[1] == 0.0 and np.isnan(v[2])
+
+
+def test_bilinear_nodata_renormalizes():
+    from demeter_ray.stages.sample import sample_tiles_at_bilinear
+    from demeter_ray.functions import geo
+
+    # nodata corner drops out; remaining three weights renormalize
+    px = np.array([[0.0, 10.0], [20.0, -9.0]])
+    tf = (1.0, 0.0, 0.0, 0.0, -1.0, 2.0)
+    tiles = [("t", px, tf, -9.0, geo.raster_bounds(tf, 2, 2))]
+    v = sample_tiles_at_bilinear(tiles, np.array([1.0]), np.array([1.0]))
+    assert np.isclose(v[0], (0.0 + 10.0 + 20.0) * 0.25 / 0.75)
+
+
+def test_morphology_erosion_subset_of_mask():
+    # erosion <= mask <= dilation per row on the polygonize fixture formula
+    W, THR = 64, 35
+    cc = np.arange(W)[None, :]
+    rr = np.arange(W)[:, None]
+    mask = (cc * cc * 13 + rr * rr * 7 + cc * rr * 3) % 100 < THR
+    padded = np.zeros((W + 2, W + 2), bool)
+    padded[1:-1, 1:-1] = mask
+    stacks = [padded[1 + dr:W + 1 + dr, 1 + dc:W + 1 + dc]
+              for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+    ero = np.logical_and.reduce(stacks)
+    dil = np.logical_or.reduce(stacks)
+    assert (ero <= mask).all() and (mask <= dil).all()
