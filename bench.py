@@ -167,6 +167,7 @@ def run_benchmarks() -> dict:
         "geo_harmonic_means_by_flag",
         "raster_sample_bilinear",
         "raster_morphology_rows",
+        "summed_area_table",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -2572,3 +2572,91 @@ def raster_morphology_rows(sf_dir: str):
 
     out = stripes.map_batches(morph, batch_format="pyarrow").to_pandas()
     return out.sort_values("row").reset_index(drop=True)
+
+
+# -------------------- summed-area table (distributed 2D prefix sum)
+
+_SAT_W = 320  # over the integer DEM formula k(r,c) = (c*31 + r*17) % 1000
+
+_SAT_SQL = f"""
+WITH g AS (
+  SELECT r.r, c.c, (c.c * 31 + r.r * 17) % 1000 AS v
+  FROM generate_series(0, {_SAT_W - 1}) r(r),
+       generate_series(0, {_SAT_W - 1}) c(c)
+),
+rc AS (
+  SELECT r, c, SUM(v) OVER (PARTITION BY r ORDER BY c) AS rowcum FROM g
+),
+s AS (
+  SELECT r, c, SUM(rowcum) OVER (PARTITION BY c ORDER BY r) AS sat FROM rc
+)
+SELECT (r * {_SAT_W} + c)::BIGINT AS node, sat::BIGINT AS sat
+FROM s WHERE r % 8 = 7 AND c % 8 = 7 ORDER BY node
+"""
+
+
+@register("summed_area_table", _SAT_SQL)
+def summed_area_table(sf_dir: str):
+    """Summed-area table (integral image) over the 320x320 integer DEM —
+    the O(1)-box-filter precomputation behind fast focal means at any
+    window size.  Distributed 2D prefix sum, two passes and no shuffle:
+    (1) each row stripe emits one W-length COLUMN-SUM partial (O(stripes
+    x W) ints to the driver); the driver prefix-sums the stripe partials
+    and cumsums each along c — because SAT(r,c) splits as
+    cumsum_c(colsum of all rows above the stripe) + the stripe's own 2D
+    cumsum — and broadcasts the per-stripe carry vectors; (2) a second
+    pass over the SAME stripes adds carry + local 2D cumsum.  The 1D
+    running-sum carry shape lifted to 2D.  All-integer, exact; output
+    subsampled to every 8th pixel."""
+    import ray as _ray
+    import ray.data as rd
+
+    W = _SAT_W
+    stripes = rd.range(W)
+
+    def stripe_rows(batch: pa.Table):
+        rows = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = np.arange(W, dtype=np.int64)[None, :]
+        return rows, (cc * 31 + rows[:, None] * 17) % 1000
+
+    def colsum_partial(batch: pa.Table) -> pa.Table:
+        rows, v = stripe_rows(batch)
+        if len(rows) == 0:
+            return pa.table({"first_row": pa.array([], pa.int64()),
+                             "colsum": pa.array([], pa.binary())})
+        return pa.table({
+            "first_row": pa.array([rows[0]], pa.int64()),
+            "colsum": pa.array([v.sum(axis=0).tobytes()], pa.binary()),
+        })
+
+    parts = partial_combine(stripes, colsum_partial, "pyarrow",
+                            batch_size=None)
+    parts = parts.sort_values("first_row").reset_index(drop=True)
+    sums = np.array([np.frombuffer(b, dtype=np.int64)
+                     for b in parts["colsum"]], dtype=np.int64)
+    above = np.zeros_like(sums)  # column sums of every row ABOVE the stripe
+    if len(sums) > 1:
+        above[1:] = np.cumsum(sums[:-1], axis=0)
+    # carry(c) = sum_{i<r0} rowcum(i,c) = cumsum_c(above)
+    carry_by_first = {int(f): np.cumsum(above[i]).tobytes()
+                      for i, f in enumerate(parts["first_row"])}
+    ref = _ray.put(carry_by_first)
+
+    def sat_pass(batch: pa.Table) -> pa.Table:
+        rows, v = stripe_rows(batch)
+        if len(rows) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "sat": pa.array([], pa.int64())})
+        carry = np.frombuffer(_ray.get(ref)[int(rows[0])], dtype=np.int64)
+        sat = np.cumsum(np.cumsum(v, axis=1), axis=0) + carry[None, :]
+        keep_r = rows % 8 == 7
+        cols = np.arange(W, dtype=np.int64)
+        keep_c = cols % 8 == 7
+        node = (rows[keep_r][:, None] * W + cols[keep_c][None, :]).ravel()
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "sat": pa.array(sat[np.ix_(keep_r, keep_c)].ravel(), pa.int64()),
+        })
+
+    out = stripes.map_batches(sat_pass, batch_format="pyarrow").to_pandas()
+    return out.sort_values("node").reset_index(drop=True)

@@ -230,3 +230,15 @@ def test_morphology_erosion_subset_of_mask():
     ero = np.logical_and.reduce(stacks)
     dil = np.logical_or.reduce(stacks)
     assert (ero <= mask).all() and (mask <= dil).all()
+
+
+def test_sat_carry_decomposition():
+    # SAT = cumsum_c(column sums above the stripe) + stripe-local 2D cumsum
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 1000, size=(12, 9)).astype(np.int64)
+    full = np.cumsum(np.cumsum(v, axis=1), axis=0)
+    for r0 in (0, 4, 8):
+        stripe = v[r0:r0 + 4]
+        carry = np.cumsum(v[:r0].sum(axis=0)) if r0 else np.zeros(9, np.int64)
+        local = np.cumsum(np.cumsum(stripe, axis=1), axis=0)
+        assert np.array_equal(full[r0:r0 + 4], local + carry[None, :])
