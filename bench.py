@@ -168,6 +168,7 @@ def run_benchmarks() -> dict:
         "raster_sample_bilinear",
         "raster_morphology_rows",
         "summed_area_table",
+        "field_tile_cover",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

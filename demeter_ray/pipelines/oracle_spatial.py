@@ -2660,3 +2660,117 @@ def summed_area_table(sf_dir: str):
 
     out = stripes.map_batches(sat_pass, batch_format="pyarrow").to_pandas()
     return out.sort_values("node").reset_index(drop=True)
+
+
+# ------------------- polygon tile cover (zoom-grid tile assignment)
+
+_COVER_RES = 64  # tiles per degree: tile (tx, ty) spans 1/64 deg
+
+
+def _cover_sql() -> str:
+    R = _COVER_RES
+    polys = []
+    for pid, verts in ORACLE_POLYGONS.items():
+        xs = [v[0] for v in verts]
+        ys = [v[1] for v in verts]
+        # candidate tiles: the polygon bbox cover
+        cand = (
+            f"SELECT {pid} AS fid, tx.tx, ty.ty "
+            f"FROM generate_series(CAST(FLOOR(({min(xs)!r}e0) * {R} ) AS BIGINT), "
+            f"                     CAST(FLOOR(({max(xs)!r}e0) * {R} ) AS BIGINT)) tx(tx), "
+            f"     generate_series(CAST(FLOOR(({min(ys)!r}e0) * {R} ) AS BIGINT), "
+            f"                     CAST(FLOOR(({max(ys)!r}e0) * {R} ) AS BIGINT)) ty(ty)"
+        )
+        # separating-axis refine: keep the tile iff for EVERY polygon edge at
+        # least one tile corner lies on the inside half-plane
+        conds = []
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            corner = (
+                f"(({x2!r}e0) - ({x1!r}e0)) * ({{cy}} - ({y1!r}e0))"
+                f" - (({y2!r}e0) - ({y1!r}e0)) * ({{cx}} - ({x1!r}e0)) >= 0.0"
+            )
+            corners = " OR ".join(
+                corner.format(cx=cx, cy=cy)
+                for cx in (f"tx / {R}.0", f"(tx + 1) / {R}.0")
+                for cy in (f"ty / {R}.0", f"(ty + 1) / {R}.0")
+            )
+            conds.append(f"({corners})")
+        polys.append(f"SELECT fid, tx, ty FROM ({cand}) WHERE "
+                     + " AND ".join(conds))
+    union = " UNION ALL ".join(polys)
+    return f"SELECT fid, tx, ty FROM ({union}) ORDER BY fid, tx, ty"
+
+
+@register("field_tile_cover", _cover_sql())
+def field_tile_cover(sf_dir: str):
+    """Polygon -> tile-grid cover (the tile-assignment primitive: which
+    1/64-deg tiles must be fetched for each field): bbox candidate tiles
+    refined by the separating-axis test for convex polygons vs axis boxes
+    (a tile survives iff every edge half-plane contains at least one tile
+    corner; the bbox pre-filter handles the box's own axes).  Distributed
+    as map_batches over the tile-grid rows with the polygon edge list
+    broadcast — the rasterize_fields shape one zoom level up, so the
+    cover streams at planetary tile counts.  Tile ids and the half-plane
+    tests run on identical doubles both sides — exact, no rounding."""
+    import ray as _ray
+    import ray.data as rd
+
+    R = _COVER_RES
+    polys = []
+    for pid, verts in ORACLE_POLYGONS.items():
+        v = np.array(verts, dtype=np.float64)
+        polys.append((pid, v))
+    ref = _ray.put(polys)
+
+    ty_lo = int(np.floor(36.0 * R))
+    ty_hi = int(np.floor(36.5 * R))
+
+    def cover_rows(batch: pa.Table) -> pa.Table:
+        ps = _ray.get(ref)
+        tys = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64) + ty_lo
+        out_f, out_x, out_y = [], [], []
+        for pid, v in ps:
+            xs, ys = v[:, 0], v[:, 1]
+            tx_lo = int(np.floor(xs.min() * R))
+            tx_hi = int(np.floor(xs.max() * R))
+            py_lo = int(np.floor(ys.min() * R))
+            py_hi = int(np.floor(ys.max() * R))
+            m = (tys >= py_lo) & (tys <= py_hi)
+            if not m.any():
+                continue
+            ty_g, tx_g = np.meshgrid(tys[m], np.arange(tx_lo, tx_hi + 1,
+                                                       dtype=np.int64),
+                                     indexing="ij")
+            ty_f, tx_f = ty_g.ravel(), tx_g.ravel()
+            cx = np.stack([tx_f / float(R), (tx_f + 1) / float(R)])
+            cy = np.stack([ty_f / float(R), (ty_f + 1) / float(R)])
+            keep = np.ones(len(tx_f), dtype=bool)
+            n = len(v)
+            for i in range(n):
+                x1, y1 = v[i]
+                x2, y2 = v[(i + 1) % n]
+                inside = np.zeros(len(tx_f), dtype=bool)
+                for a in range(2):
+                    for b in range(2):
+                        inside |= ((x2 - x1) * (cy[b] - y1)
+                                   - (y2 - y1) * (cx[a] - x1)) >= 0.0
+                keep &= inside
+            out_f.append(np.full(int(keep.sum()), pid, dtype=np.int64))
+            out_x.append(tx_f[keep])
+            out_y.append(ty_f[keep])
+        if not out_f:
+            return pa.table({"fid": pa.array([], pa.int64()),
+                             "tx": pa.array([], pa.int64()),
+                             "ty": pa.array([], pa.int64())})
+        return pa.table({
+            "fid": pa.array(np.concatenate(out_f), pa.int64()),
+            "tx": pa.array(np.concatenate(out_x), pa.int64()),
+            "ty": pa.array(np.concatenate(out_y), pa.int64()),
+        })
+
+    grid = rd.range(ty_hi - ty_lo + 1)
+    out = grid.map_batches(cover_rows, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["fid", "tx", "ty"]).reset_index(drop=True)

@@ -242,3 +242,22 @@ def test_sat_carry_decomposition():
         carry = np.cumsum(v[:r0].sum(axis=0)) if r0 else np.zeros(9, np.int64)
         local = np.cumsum(np.cumsum(stripe, axis=1), axis=0)
         assert np.array_equal(full[r0:r0 + 4], local + carry[None, :])
+
+
+def test_tile_cover_separating_axis():
+    # unit right triangle vs two boxes: one overlapping, one fully outside
+    # every edge half-plane must contain >= 1 box corner for an overlap
+    verts = np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]])
+    def overlaps(bx0, by0, bx1, by1):
+        corners = [(bx0, by0), (bx1, by0), (bx0, by1), (bx1, by1)]
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            if not any((x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1) >= 0.0
+                       for cx, cy in corners):
+                return False
+        return True
+    assert overlaps(0.5, 0.5, 1.5, 1.5)          # crosses the hypotenuse
+    assert not overlaps(1.6, 1.6, 2.5, 2.5)      # beyond the hypotenuse
+    assert overlaps(-0.5, -0.5, 0.1, 0.1)        # corner touch
