@@ -169,6 +169,7 @@ def run_benchmarks() -> dict:
         "raster_morphology_rows",
         "summed_area_table",
         "field_tile_cover",
+        "user_od_cell_flows",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

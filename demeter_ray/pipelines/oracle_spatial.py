@@ -2774,3 +2774,111 @@ def field_tile_cover(sf_dir: str):
     grid = rd.range(ty_hi - ty_lo + 1)
     out = grid.map_batches(cover_rows, batch_format="pyarrow").to_pandas()
     return out.sort_values(["fid", "tx", "ty"]).reset_index(drop=True)
+
+
+# ------------------ origin-destination cell flows (trajectory OD matrix)
+
+_OD_G = 16  # OD grid over the 0.5 x 0.5 deg window
+
+_OD_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(({LON_EXPR.format(k='event_id')} - (-102.2))
+                    / 0.5 * {_OD_G}.0) AS BIGINT)
+         + CAST(FLOOR(({LAT_EXPR.format(k='event_id')} - 36.0)
+                      / 0.5 * {_OD_G}.0) AS BIGINT) * {_OD_G} AS cell
+  FROM events
+),
+seq AS (
+  SELECT cell,
+         LEAD(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_cell
+  FROM pts
+)
+SELECT cell AS cell_from, next_cell AS cell_to, COUNT(*) AS n
+FROM seq WHERE next_cell IS NOT NULL
+GROUP BY cell_from, cell_to ORDER BY cell_from, cell_to
+"""
+
+
+@register("user_od_cell_flows", _OD_SQL)
+def user_od_cell_flows(sf_dir: str):
+    """Origin-destination flow matrix over trajectories: per-user ordered
+    event sequences binned to a coarse cell grid, consecutive (from, to)
+    cell pairs counted — the mobility-analytics OD primitive.  One
+    range-partitioned sort; within-block pairs count vectorized; each
+    block emits its first/last row so the O(blocks) boundary pairs stitch
+    on the driver (the event_transition_counts carry, with integer cells);
+    the (from, to) reduction is a size-gated group-sum.  All-integer."""
+    from demeter_ray.pipelines.relational import partial_shuffle_combine
+
+    G = _OD_G
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def with_cell(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive_lon(k), derive_lat(k)
+        cell = (np.floor((lon - (-102.2)) / 0.5 * float(G)).astype(np.int64)
+                + np.floor((lat - 36.0) / 0.5 * float(G)).astype(np.int64) * G)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "cell": pa.array(cell, pa.int64()),
+        })
+
+    sorted_ds = (ds.map_batches(with_cell, batch_format="pyarrow")
+                 .sort(["user_id", "ts", "event_id"]).materialize())
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cell_from": pa.array([], pa.int64()),
+                             "cell_to": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame({"cell_from": cell[:-1][same],
+                           "cell_to": cell[1:][same]})
+        g = df.groupby(["cell_from", "cell_to"], as_index=False).agg(
+            n=("cell_from", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = partial_shuffle_combine(
+        sorted_ds, pair_partial, ["cell_from", "cell_to"], ["n"])
+
+    def boundary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_user": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.int64()),
+                             "first_eid": pa.array([], pa.int64()),
+                             "first_cell": pa.array([], pa.int64()),
+                             "last_user": pa.array([], pa.int64()),
+                             "last_cell": pa.array([], pa.int64())})
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"first_user": pa.array([uid[0]], pa.int64()),
+                         "first_ts": pa.array([ts[0]], pa.int64()),
+                         "first_eid": pa.array([eid[0]], pa.int64()),
+                         "first_cell": pa.array([cell[0]], pa.int64()),
+                         "last_user": pa.array([uid[-1]], pa.int64()),
+                         "last_cell": pa.array([cell[-1]], pa.int64())})
+
+    bnd = (partial_combine(sorted_ds, boundary, "pyarrow", batch_size=None)
+           .sort_values(["first_user", "first_ts", "first_eid"])
+           .reset_index(drop=True))
+    if len(bnd):
+        prev_user = bnd["last_user"].shift(1)
+        prev_cell = bnd["last_cell"].shift(1)
+        join = (prev_user == bnd["first_user"]).to_numpy()
+        extra = pd.DataFrame({
+            "cell_from": prev_cell[join].to_numpy(dtype=np.int64),
+            "cell_to": bnd["first_cell"][join].to_numpy(dtype=np.int64),
+            "n": 1,
+        })
+        counts = pd.concat([counts, extra], ignore_index=True)
+    out = counts.groupby(["cell_from", "cell_to"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["cell_from", "cell_to"]).reset_index(drop=True)
