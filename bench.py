@@ -170,6 +170,7 @@ def run_benchmarks() -> dict:
         "summed_area_table",
         "field_tile_cover",
         "user_od_cell_flows",
+        "zonal_majority_fields",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -2882,3 +2882,92 @@ def user_od_cell_flows(sf_dir: str):
     out = counts.groupby(["cell_from", "cell_to"], as_index=False)["n"].sum()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["cell_from", "cell_to"]).reset_index(drop=True)
+
+
+# --------------- categorical zonal majority (modal class per polygon)
+
+_ZMAJ_SQL = f"""
+WITH px AS (
+  SELECT r.r, c.c,
+         -102.2 + (c.c + 0.5) * {_RES} AS lon,
+         36.5 - (r.r + 0.5) * {_RES} AS lat,
+         ((c.c * 31 + r.r * 17) % 1000) % 7 AS cat
+  FROM generate_series(0, {_RASTER_H - 1}) r(r),
+       generate_series(0, {_RASTER_W - 1}) c(c)
+),
+b AS (
+  SELECT cat, (SELECT MIN(id) FROM ({_poly_halfplane_union('p')})) AS fid
+  FROM px p
+),
+cnt AS (
+  SELECT fid, cat, COUNT(*) AS n FROM b WHERE fid IS NOT NULL
+  GROUP BY fid, cat
+),
+r AS (
+  SELECT fid, cat, n,
+         ROW_NUMBER() OVER (PARTITION BY fid ORDER BY n DESC, cat) AS rn
+  FROM cnt
+)
+SELECT fid AS field_id, cat::BIGINT AS majority_cat, n::BIGINT AS n_pixels
+FROM r WHERE rn = 1 ORDER BY field_id
+"""
+
+
+@register("zonal_majority_fields", _ZMAJ_SQL)
+def zonal_majority_fields(sf_dir: str):
+    """Categorical zonal statistics — the MAJORITY (modal raster class) per
+    polygon zone that land-cover summaries need, complementing the
+    numeric zonal_stats_fields: pixel centers + a 7-class categorical
+    formula raster burn through the REAL PIP actor pool, per-(zone, class)
+    partial counts through the size-gated group-sum, then a tiny per-zone
+    argmax (ties -> lowest class).  All-integer.  (sf_dir unused — the
+    raster grid is the fixture; kept for the driver's uniform call
+    shape.)"""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from demeter_ray.pipelines.relational import gated_group_sum_ds
+    from demeter_ray.stages import pip as pip_stage
+
+    H, W = _RASTER_H, _RASTER_W
+    fields_tbl = pa.table(
+        {
+            "map_unit_key": pa.array(list(ORACLE_POLYGONS), pa.int64()),
+            "geom_wkb": pa.array(
+                [geo.wkb_from_rings([np.array(v)]) for v in ORACLE_POLYGONS.values()],
+                pa.binary(),
+            ),
+        }
+    )
+
+    def to_centers(batch: pa.Table) -> pa.Table:
+        rows = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rr = np.repeat(rows, W)
+        cc = np.tile(np.arange(W, dtype=np.int64), len(rows))
+        return pa.table(
+            {
+                "cat": pa.array(((cc * 31 + rr * 17) % 1000) % 7, pa.int64()),
+                "lon": pa.array(-102.2 + (cc + 0.5) * _RES, pa.float64()),
+                "lat": pa.array(36.5 - (rr + 0.5) * _RES, pa.float64()),
+            }
+        )
+
+    ds = rd.range(H).map_batches(to_centers, batch_format="pyarrow")
+    ds = pip_stage.pip_join(ds, fields_tbl, mode="min", res=12, concurrency=(1, 4))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["map_unit_key"].notna()]
+        g = b.assign(fid=b["map_unit_key"].astype(np.int64), n=1)
+        return g.groupby(["fid", "cat"], as_index=False)["n"].sum()
+
+    counts = gated_group_sum_ds(ds, count_partial, ["fid", "cat"], ["n"])
+    df = counts.to_pandas()
+    df = df.sort_values(["fid", "n", "cat"],
+                        ascending=[True, False, True]).reset_index(drop=True)
+    top = df.groupby("fid", as_index=False).first()
+    out = pd.DataFrame({
+        "field_id": top["fid"].astype(np.int64),
+        "majority_cat": top["cat"].astype(np.int64),
+        "n_pixels": top["n"].astype(np.int64),
+    })
+    return out.sort_values("field_id").reset_index(drop=True)
