@@ -171,6 +171,7 @@ def run_benchmarks() -> dict:
         "field_tile_cover",
         "user_od_cell_flows",
         "zonal_majority_fields",
+        "inverted_index_postings",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -1656,3 +1656,80 @@ def image_hist_equalize_stats(sf_dir: str):
 
     out = ds.map_batches(eq_fn, batch_format="pyarrow", batch_size=512).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------- inverted-index postings (search-index build step)
+
+_POSTING_TERMS = ("merge", "spark", "table", "window")
+
+_POSTINGS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+u AS (
+  SELECT doc_id, ts,
+         UNNEST([{", ".join(repr(t) for t in _POSTING_TERMS)}]) AS term
+  FROM t
+)
+SELECT term, doc_id,
+       len(list_filter(ts, x -> x = term))::BIGINT AS tf,
+       list_position(ts, term)::BIGINT AS first_pos
+FROM u WHERE list_position(ts, term) > 0
+ORDER BY term, doc_id
+"""
+
+
+@register("inverted_index_postings", _POSTINGS_SQL)
+def inverted_index_postings(sf_dir: str):
+    """Inverted-index posting extraction (the search/retrieval index build
+    step): for a broadcast query vocabulary, every (term, doc) posting
+    with term frequency and 1-based first position.  One vectorized
+    map_batches pass: split once per batch, then per term a flat equality
+    scan + bincount for tf and a minimum.at scatter for first positions —
+    no per-document Python, postings stream out partitioned by the
+    batch's doc range (at index scale the postings sort/partition by term
+    downstream; here term count is fixed so the pass is shuffle-free).
+    All-integer + string.  oracle-exact."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = _POSTING_TERMS
+
+    def postings(batch: pa.Table) -> pa.Table:
+        empty = {
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0:
+            return pa.table(empty)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        docidx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        flat_pos = np.arange(len(docidx), dtype=np.int64) - offs[:-1][docidx] + 1
+        out_t, out_d, out_tf, out_fp = [], [], [], []
+        for term in terms:
+            hit = pc.equal(toks.values, term).to_numpy(zero_copy_only=False)
+            hit = np.nan_to_num(hit).astype(bool) if hit.dtype != bool else hit
+            tf = np.bincount(docidx[hit], minlength=n)
+            first = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(first, docidx[hit], flat_pos[hit])
+            has = tf > 0
+            out_t.append(np.full(int(has.sum()), term, dtype=object))
+            out_d.append(ids[has])
+            out_tf.append(tf[has].astype(np.int64))
+            out_fp.append(first[has])
+        return pa.table({
+            "term": pa.array(np.concatenate(out_t), pa.string()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+            "first_pos": pa.array(np.concatenate(out_fp), pa.int64()),
+        })
+
+    out = ds.map_batches(postings, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["term", "doc_id"]).reset_index(drop=True)
