@@ -1638,9 +1638,16 @@ def image_hist_equalize_stats(sf_dir: str):
     def eq_fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         n = len(ids)
+        if n == 0:  # reshape(0, -1) is ambiguous — keep the fn total
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "eq_mean": pa.array([], pa.float64()),
+                "eq_min": pa.array([], pa.int64()),
+                "eq_max": pa.array([], pa.int64()),
+            })
         blobs = codec.encode_batch(codec.generate_pixels_batch(ids, 16, 16), "png")
         px4 = codec.decode_batch(blobs, 16, 16)
-        v = px4.reshape(n, -1).astype(np.int64)  # (N, 768)
+        v = px4.reshape(n, 768).astype(np.int64)  # 16*16*3 per image
         codes = (np.arange(n, dtype=np.int64)[:, None] * 256 + v).ravel()
         hist = np.bincount(codes, minlength=n * 256).reshape(n, 256)
         cdf = np.cumsum(hist, axis=1)
