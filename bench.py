@@ -172,6 +172,7 @@ def run_benchmarks() -> dict:
         "user_od_cell_flows",
         "zonal_majority_fields",
         "inverted_index_postings",
+        "embedding_covariance_matrix",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -1740,3 +1740,77 @@ def inverted_index_postings(sf_dir: str):
 
     out = ds.map_batches(postings, batch_format="pyarrow").to_pandas()
     return out.sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+
+# ---------------- embedding covariance matrix (mergeable moment sketch)
+
+_COV_D = 64  # embedding dimensionality in the driver tables
+
+_COV_SQL = f"""
+WITH e AS (SELECT embedding FROM embeddings),
+n AS (SELECT COUNT(*) AS n FROM e),
+m AS (
+  SELECT i.i, SUM(CAST(embedding[i.i] AS DOUBLE)) AS s
+  FROM e, generate_series(1, {_COV_D}) i(i) GROUP BY i.i
+),
+x AS (
+  SELECT i.i, j.j,
+         SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[j.j] AS DOUBLE))
+           AS sxy
+  FROM e, generate_series(1, {_COV_D}) i(i), generate_series(1, {_COV_D}) j(j)
+  WHERE i.i <= j.j
+  GROUP BY i.i, j.j
+)
+SELECT (x.i - 1)::BIGINT AS di, (x.j - 1)::BIGINT AS dj,
+       ROUND(x.sxy / n.n - (mi.s / n.n) * (mj.s / n.n), 6) AS cov
+FROM x, n
+JOIN m mi ON mi.i = x.i
+JOIN m mj ON mj.i = x.j
+ORDER BY di, dj
+"""
+
+
+@register("embedding_covariance_matrix", _COV_SQL)
+def embedding_covariance_matrix(sf_dir: str):
+    """Population covariance matrix of the embedding columns (the PCA /
+    whitening precomputation): per-batch moment partials are ONE matmul
+    (E^T E, a d x d block) plus the column-sum vector, shipped as two
+    binary blobs per batch — O(batches x d^2) floats to the driver, never
+    a row.  The d(d+1)/2 upper triangle emits as (di, dj, cov).  float32
+    inputs widen exactly to float64 on both sides; ROUND(6) absorbs
+    summation order."""
+    import ray as _ray
+
+    D = _COV_D
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        empty = {"n": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.binary()),
+                 "xy": pa.array([], pa.binary())}
+        if batch.num_rows == 0:
+            return pa.table(empty)
+        E = _emb_matrix(batch).astype(np.float64)
+        return pa.table({
+            "n": pa.array([E.shape[0]], pa.int64()),
+            "s": pa.array([E.sum(axis=0).tobytes()], pa.binary()),
+            "xy": pa.array([(E.T @ E).tobytes()], pa.binary()),
+        })
+
+    parts = partial_combine(ds, moment_partial, "pyarrow")
+    if len(parts) == 0 or parts["n"].sum() == 0:
+        return pd.DataFrame({"di": pd.Series(dtype=np.int64),
+                             "dj": pd.Series(dtype=np.int64),
+                             "cov": pd.Series(dtype=np.float64)})
+    n = float(parts["n"].sum())
+    s = np.sum([np.frombuffer(b, dtype=np.float64) for b in parts["s"]], axis=0)
+    xy = np.sum([np.frombuffer(b, dtype=np.float64).reshape(D, D)
+                 for b in parts["xy"]], axis=0)
+    mean = s / n
+    cov = xy / n - mean[:, None] * mean[None, :]
+    iu, ju = np.triu_indices(D)
+    return pd.DataFrame({
+        "di": iu.astype(np.int64),
+        "dj": ju.astype(np.int64),
+        "cov": duck_round(cov[iu, ju], 6),
+    }).sort_values(["di", "dj"]).reset_index(drop=True)
