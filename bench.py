@@ -173,6 +173,7 @@ def run_benchmarks() -> dict:
         "zonal_majority_fields",
         "inverted_index_postings",
         "embedding_covariance_matrix",
+        "marching_squares_cases",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
