@@ -174,6 +174,7 @@ def run_benchmarks() -> dict:
         "inverted_index_postings",
         "embedding_covariance_matrix",
         "marching_squares_cases",
+        "partitioned_sink_manifest",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

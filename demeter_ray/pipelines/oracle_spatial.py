@@ -3037,3 +3037,62 @@ def marching_squares_cases(sf_dir: str):
     out["n_cells"] = out["n_cells"].astype(np.int64)
     out["ms_case"] = out["ms_case"].astype(np.int64)
     return out.sort_values("ms_case").reset_index(drop=True)
+
+
+# ----------- partitioned lineage sink manifest (driver-visible writes)
+
+_SINK_SQL = f"""
+WITH pts AS (
+  SELECT CAST(FLOOR(({LON_EXPR.format(k='event_id')} - (-102.2))
+              / 0.5 * {_OD_G}.0) AS BIGINT)
+         + CAST(FLOOR(({LAT_EXPR.format(k='event_id')} - 36.0)
+                / 0.5 * {_OD_G}.0) AS BIGINT) * {_OD_G} AS cell
+  FROM events
+)
+SELECT cell, COUNT(*) AS n_rows FROM pts GROUP BY cell ORDER BY cell
+"""
+
+
+@register("partitioned_sink_manifest", _SINK_SQL)
+def partitioned_sink_manifest(sf_dir: str):
+    """The RESUMABLE PARTITIONED SINK run end-to-end under the driver's
+    oracle: events bin to 16x16 cells, the REAL lineage sink
+    (state/lineage.write_partitioned — groupby(key) shuffle, one atomic
+    parquet + lineage sidecar per key, completed keys skipped on re-run)
+    writes every partition to scratch, and the returned MANIFEST's
+    (key, rows) is hash-compared against SQL — the north-rule
+    per-partition-lineage surface, previously golden-only, now
+    driver-checked.  Checksums/bytes stay lineage-internal (value-hash,
+    not SQL-expressible); idempotent-resume and corruption-recompute
+    behavior is pinned in tests/test_lineage.py."""
+    import shutil
+    import tempfile
+
+    from demeter_ray.state.lineage import write_partitioned
+
+    G = _OD_G
+    out_dir = tempfile.mkdtemp(prefix="sink_manifest_")
+    try:
+        ds = read_table(sf_dir, "events", columns=["event_id"])
+
+        def with_cell(batch: pa.Table) -> pa.Table:
+            k = batch["event_id"].to_numpy(zero_copy_only=False)
+            lon, lat = derive_lon(k), derive_lat(k)
+            cell = (np.floor((lon - (-102.2)) / 0.5 * float(G)).astype(np.int64)
+                    + np.floor((lat - 36.0) / 0.5 * float(G)).astype(np.int64) * G)
+            return pa.table({
+                "event_id": batch["event_id"],
+                "cell": pa.array(cell, pa.int64()),
+            })
+
+        manifest = write_partitioned(
+            ds.map_batches(with_cell, batch_format="pyarrow"),
+            out_dir, "cell", sort_cols=["event_id"],
+        )
+        out = pd.DataFrame({
+            "cell": manifest["key"].astype(np.int64),
+            "n_rows": manifest["rows"].astype(np.int64),
+        })
+        return out.sort_values("cell").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
