@@ -2713,8 +2713,12 @@ def field_tile_cover(sf_dir: str):
     corner; the bbox pre-filter handles the box's own axes).  Distributed
     as map_batches over the tile-grid rows with the polygon edge list
     broadcast — the rasterize_fields shape one zoom level up, so the
-    cover streams at planetary tile counts.  Tile ids and the half-plane
-    tests run on identical doubles both sides — exact, no rounding."""
+    cover streams at planetary tile counts.  Partitioning assumption: the
+    per-batch loop is over polygons, so at high polygon cardinality the
+    small side must shard by coarse cell first (exactly
+    stages/pip.sharded_pip_join's gate) — the fixture's 5 quads ride one
+    broadcast.  Tile ids and the half-plane tests run on identical
+    doubles both sides — exact, no rounding."""
     import ray as _ray
     import ray.data as rd
 
