@@ -175,6 +175,7 @@ def run_benchmarks() -> dict:
         "embedding_covariance_matrix",
         "marching_squares_cases",
         "partitioned_sink_manifest",
+        "within_cell_nn_distance",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

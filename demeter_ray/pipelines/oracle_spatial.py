@@ -3100,3 +3100,86 @@ def partitioned_sink_manifest(sf_dir: str):
         return out.sort_values("cell").reset_index(drop=True)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# -------------- within-cell nearest neighbor (all-pairs per partition)
+
+_NN_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat,
+         CAST(FLOOR(({LON_EXPR.format(k='event_id')} - (-102.2))
+              / 0.5 * {_OD_G}.0) AS BIGINT)
+         + CAST(FLOOR(({LAT_EXPR.format(k='event_id')} - 36.0)
+                / 0.5 * {_OD_G}.0) AS BIGINT) * {_OD_G} AS cell
+  FROM events
+),
+p AS (
+  SELECT a.event_id, b.event_id AS nn_event_id,
+         (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat) AS nn_d2,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY
+           (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat), b.event_id) AS rn
+  FROM pts a JOIN pts b ON a.cell = b.cell AND a.event_id <> b.event_id
+)
+SELECT event_id, nn_event_id, nn_d2 FROM p WHERE rn = 1 ORDER BY event_id
+"""
+
+
+@register("within_cell_nn_distance", _NN_SQL)
+def within_cell_nn_distance(sf_dir: str):
+    """Within-partition nearest neighbor — the all-pairs-inside-a-spatial-
+    partition primitive (clustering feature extraction, duplicate-site
+    detection): points shuffle ONCE on their cell, each group computes its
+    pairwise distance matrix vectorized and argmins (ties -> lowest
+    neighbor id), singleton cells drop out.  Per-group work is O(k^2) with
+    k bounded by the cell size — the partition key IS the memory bound at
+    any corpus scale.  Distances are single products of identical doubles
+    and argmin picks among identical values: BIT-exact, no rounding."""
+    G = _OD_G
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def with_cell(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive_lon(k), derive_lat(k)
+        cell = (np.floor((lon - (-102.2)) / 0.5 * float(G)).astype(np.int64)
+                + np.floor((lat - 36.0) / 0.5 * float(G)).astype(np.int64) * G)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "cell": pa.array(cell, pa.int64()),
+        })
+
+    pts = ds.map_batches(with_cell, batch_format="pyarrow")
+
+    def nn_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                                 "nn_event_id": pd.Series(dtype=np.int64),
+                                 "nn_d2": pd.Series(dtype=np.float64)})
+        g = g.sort_values("event_id").reset_index(drop=True)
+        eid = g["event_id"].to_numpy(np.int64)
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        dl = lon[:, None] - lon[None, :]
+        dt = lat[:, None] - lat[None, :]
+        d2 = dl * dl + dt * dt
+        np.fill_diagonal(d2, np.inf)
+        best = np.argmin(d2, axis=1)  # first min = lowest eid (rows sorted)
+        return pd.DataFrame({
+            "event_id": eid,
+            "nn_event_id": eid[best],
+            "nn_d2": d2[np.arange(len(eid)), best],
+        })
+
+    out = (pts.groupby("cell")
+           .map_groups(nn_group, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0:
+        return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                             "nn_event_id": pd.Series(dtype=np.int64),
+                             "nn_d2": pd.Series(dtype=np.float64)})
+    return out.sort_values("event_id").reset_index(drop=True)
