@@ -176,6 +176,7 @@ def run_benchmarks() -> dict:
         "marching_squares_cases",
         "partitioned_sink_manifest",
         "within_cell_nn_distance",
+        "hotspot_gi_star",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
