@@ -177,6 +177,7 @@ def run_benchmarks() -> dict:
         "partitioned_sink_manifest",
         "within_cell_nn_distance",
         "hotspot_gi_star",
+        "zorder_customers",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -3284,3 +3284,62 @@ def hotspot_gi_star(sf_dir: str):
         "gi_z": duck_round(z.ravel(), 6),
     })
     return out.sort_values(["bx", "by"]).reset_index(drop=True)
+
+
+# --------------- Z-order (Morton) locality key (clustering / file layout)
+
+_Z_BITS = 10  # grid 1024 x 1024 (the res-10 cell grid)
+
+
+def _zorder_sql() -> str:
+    # morton = OR over bit k of cx bit -> position 2k+1, cy bit -> 2k
+    terms = []
+    for k in range(_Z_BITS):
+        terms.append(f"(((cx >> {k}) & 1) << {2 * k + 1})")
+        terms.append(f"(((cy >> {k}) & 1) << {2 * k})")
+    morton = " + ".join(terms)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {LON_EXPR.format(k='c_custkey')} AS lon,
+         {LAT_EXPR.format(k='c_custkey')} AS lat
+  FROM customer
+),
+cells AS (
+  SELECT c_custkey,
+         CAST(FLOOR((lon + 180.0) / 360.0 * 1024.0) AS BIGINT) AS cx,
+         CAST(FLOOR((lat + 90.0) / 180.0 * 1024.0) AS BIGINT) AS cy
+  FROM pts
+)
+SELECT c_custkey, cx, cy, ({morton})::BIGINT AS morton
+FROM cells ORDER BY c_custkey
+"""
+
+
+@register("zorder_customers", _zorder_sql())
+def zorder_customers(sf_dir: str):
+    """Z-order (Morton) locality key over the res-10 cell grid — the
+    space-filling-curve clustering key a lakehouse layout optimizer sorts
+    files by (Delta OPTIMIZE ZORDER / Hudi space-curve clustering): bit
+    interleaving keeps 2D-near cells near in 1D, so range scans prune
+    both dimensions.  One vectorized bit-interleave per batch; the key
+    feeds Dataset.sort / write partitioning downstream.  All-integer."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def zorder(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = derive_lon(k), derive_lat(k)
+        cx, cy = geo.cell_xy(lon, lat, 10)
+        morton = np.zeros(len(k), dtype=np.int64)
+        for b in range(_Z_BITS):
+            morton |= ((cx >> b) & 1) << (2 * b + 1)
+            morton |= ((cy >> b) & 1) << (2 * b)
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "cx": pa.array(cx, pa.int64()),
+            "cy": pa.array(cy, pa.int64()),
+            "morton": pa.array(morton, pa.int64()),
+        })
+
+    out = ds.map_batches(zorder, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
