@@ -178,6 +178,8 @@ def run_benchmarks() -> dict:
         "within_cell_nn_distance",
         "hotspot_gi_star",
         "zorder_customers",
+        "weighted_variance_price",
+        "basket_part_pairs",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

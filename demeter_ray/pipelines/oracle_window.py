@@ -2637,3 +2637,162 @@ def geo_harmonic_means_by_flag(sf_dir: str):
                                     / m["sinv"].to_numpy(np.float64), 6),
     })
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# ------------- frequency-weighted mean / variance (weighted moments)
+
+_WVAR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         SUM(l_quantity) AS w,
+         SUM(l_quantity * l_extendedprice) AS wx,
+         SUM(l_quantity * l_extendedprice * l_extendedprice) AS wx2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(wx / w, 6) AS wmean_price,
+       ROUND(wx2 / w - (wx / w) * (wx / w), 1) AS wvar_price
+FROM m ORDER BY l_returnflag
+"""
+
+
+@register("weighted_variance_price", _WVAR_SQL)
+def weighted_variance_price(sf_dir: str):
+    """Frequency-weighted mean and population variance (quantity-weighted
+    price moments): three mergeable sums per (group, batch) — the
+    corr/skew sketch family with weights.  The x^2 sums leave the float64
+    integer-exact range (~3.6e16 at sf0.1), so the variance rounds at 1
+    decimal — summation-order error is ~1e-4 relative there."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["l_quantity"].to_numpy(np.float64)
+        x = b["l_extendedprice"].to_numpy(np.float64)
+        g = pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                          "w": w, "wx": w * x, "wx2": w * x * x})
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    m = partial_combine(ds, partial).groupby("l_returnflag", as_index=False).sum()
+    w = m["w"].to_numpy(np.float64)
+    wx = m["wx"].to_numpy(np.float64)
+    wx2 = m["wx2"].to_numpy(np.float64)
+    out = pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        "wmean_price": duck_round(wx / w, 6),
+        "wvar_price": duck_round(wx2 / w - (wx / w) * (wx / w), 1),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# ------------- market-basket pair co-occurrence (affinity analysis)
+
+_BASKET_K = 20
+
+_BASKET_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+c AS (SELECT p1, p2, COUNT(*) AS n_orders FROM p GROUP BY p1, p2),
+r AS (
+  SELECT p1, p2, n_orders,
+         ROW_NUMBER() OVER (ORDER BY n_orders DESC, p1, p2) AS rn
+  FROM c
+)
+SELECT p1, p2, n_orders FROM r WHERE rn <= {_BASKET_K}
+ORDER BY n_orders DESC, p1, p2
+"""
+
+
+@register("basket_part_pairs", _BASKET_SQL)
+def basket_part_pairs(sf_dir: str):
+    """Market-basket pair co-occurrence (affinity analysis / frequent
+    itemset mining's pair stage): distinct parts per order pair-expand,
+    count across orders, top-{_BASKET_K} by support.  Distributed shape:
+    one sort on (order, part); each block pair-expands its COMPLETE
+    orders vectorized (shifted-array trick, per-order width is tiny) and
+    ships only the rows of its two EDGE orders — O(blocks x order-width)
+    — to the driver, whose pair counts union back into the stream as one
+    extra partial batch; the (p1,p2) reduction packs the pair into ONE
+    int64 (the multi-key groupby rule) and runs the size-gated group-sum;
+    top-k finishes as per-block partial top-k + a driver merge.
+    All-integer."""
+    import ray.data as rd
+
+    from demeter_ray.pipelines.relational import (
+        dataset_from_typed_df, gated_group_sum_ds, partial_combine)
+
+    K = _BASKET_K
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    sorted_ds = ds.sort(["l_orderkey", "l_partkey"]).materialize()
+
+    def expand_pairs(ok: np.ndarray, pk: np.ndarray) -> np.ndarray:
+        """Packed (p1 << 32 | p2) pairs of consecutive-deduped sorted rows."""
+        if len(ok) == 0:
+            return np.empty(0, dtype=np.int64)
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep], pk[keep]
+        out = []
+        d = 1
+        while True:
+            same = ok[:-d] == ok[d:] if d < len(ok) else np.zeros(0, bool)
+            if not same.any():
+                break
+            out.append((pk[:-d][same] << 32) | pk[d:][same])
+            d += 1
+        return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        empty = {"packed": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "b_ok": pa.array([], pa.int64()),
+                 "b_pk": pa.array([], pa.int64()),
+                 "is_edge": pa.array([], pa.bool_())}
+        if t.num_rows == 0:
+            return pa.table(empty)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        edge = (ok == ok[0]) | (ok == ok[-1])
+        packed = expand_pairs(ok[~edge], pk[~edge])
+        vals, cnts = np.unique(packed, return_counts=True)
+        ne, ni = int(edge.sum()), len(vals)
+        return pa.table({
+            "packed": pa.array(np.r_[vals, np.zeros(ne, np.int64)], pa.int64()),
+            "n": pa.array(np.r_[cnts.astype(np.int64), np.zeros(ne, np.int64)], pa.int64()),
+            "b_ok": pa.array(np.r_[np.zeros(ni, np.int64), ok[edge]], pa.int64()),
+            "b_pk": pa.array(np.r_[np.zeros(ni, np.int64), pk[edge]], pa.int64()),
+            "is_edge": pa.array(np.r_[np.zeros(ni, bool), np.ones(ne, bool)]),
+        })
+
+    parts = partial_combine(sorted_ds, block_partial, "pyarrow",
+                            batch_size=None)
+    edge_rows = parts[parts["is_edge"]]
+    interior = parts[~parts["is_edge"]][["packed", "n"]]
+    # driver-side stitch of the edge orders (bounded by blocks x width)
+    e = (edge_rows[["b_ok", "b_pk"]].drop_duplicates()
+         .sort_values(["b_ok", "b_pk"]).reset_index(drop=True))
+    epacked = expand_pairs(e["b_ok"].to_numpy(np.int64),
+                           e["b_pk"].to_numpy(np.int64))
+    ev, ec = np.unique(epacked, return_counts=True)
+    extra = pd.DataFrame({"packed": ev, "n": ec.astype(np.int64)})
+    all_parts = pd.concat([interior, extra], ignore_index=True)
+
+    pooled = dataset_from_typed_df(all_parts)
+    counts = gated_group_sum_ds(pooled, lambda b: b, ["packed"], ["n"])
+
+    def topk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "packed"],
+                             ascending=[False, True]).head(K)
+
+    cand = partial_combine(counts, topk_partial)
+    cand = cand.sort_values(["n", "packed"],
+                            ascending=[False, True]).head(K)
+    packed = cand["packed"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "p1": packed >> 32,
+        "p2": packed & 0xFFFFFFFF,
+        "n_orders": cand["n"].to_numpy(np.int64),
+    }).reset_index(drop=True)
