@@ -180,6 +180,7 @@ def run_benchmarks() -> dict:
         "zorder_customers",
         "weighted_variance_price",
         "basket_part_pairs",
+        "empirical_variogram",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

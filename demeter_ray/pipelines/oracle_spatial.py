@@ -3343,3 +3343,97 @@ def zorder_customers(sf_dir: str):
 
     out = ds.map_batches(zorder, batch_format="pyarrow").to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# ---------------- empirical semivariogram (geostatistics / kriging prep)
+
+_VGRAM_BIN = 0.005  # lag bin width in degrees (cells are ~0.031 deg)
+
+_VGRAM_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat,
+         CAST((event_id * 7) % 100 AS DOUBLE) AS v,
+         CAST(FLOOR(({LON_EXPR.format(k='event_id')} - (-102.2))
+              / 0.5 * {_OD_G}.0) AS BIGINT)
+         + CAST(FLOOR(({LAT_EXPR.format(k='event_id')} - 36.0)
+                / 0.5 * {_OD_G}.0) AS BIGINT) * {_OD_G} AS cell
+  FROM events
+),
+p AS (
+  SELECT CAST(FLOOR(sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                         + (a.lat - b.lat) * (a.lat - b.lat))
+                    / {_VGRAM_BIN}) AS BIGINT) AS lag_bin,
+         (a.v - b.v) * (a.v - b.v) AS d2v
+  FROM pts a JOIN pts b
+    ON a.cell = b.cell AND a.event_id < b.event_id
+)
+SELECT lag_bin, COUNT(*) AS n_pairs,
+       ROUND(SUM(d2v) / (2.0 * COUNT(*)), 4) AS gamma
+FROM p GROUP BY lag_bin ORDER BY lag_bin
+"""
+
+
+@register("empirical_variogram", _VGRAM_SQL)
+def empirical_variogram(sf_dir: str):
+    """Empirical semivariogram (the kriging / spatial-correlation
+    precursor): gamma(h) = mean squared value difference / 2 over point
+    pairs binned by separation distance, pairs restricted to the same
+    spatial cell — the within-partition all-pairs shape
+    (within_cell_nn_distance), so pair volume is bounded by the
+    partition, never O(n^2) global.  Per-group vectorized distance +
+    value-difference matrices reduce to per-(bin) moment partials; the
+    tiny (bin, n, sum) rows combine driver-side.  sqrt is IEEE-exact so
+    lag bins match bit-for-bit; ROUND(4) guards the d2v summation
+    order."""
+    G = _OD_G
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def with_cols(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive_lon(k), derive_lat(k)
+        cell = (np.floor((lon - (-102.2)) / 0.5 * float(G)).astype(np.int64)
+                + np.floor((lat - 36.0) / 0.5 * float(G)).astype(np.int64) * G)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "v": pa.array(((k.astype(np.int64) * 7) % 100).astype(np.float64),
+                          pa.float64()),
+            "cell": pa.array(cell, pa.int64()),
+        })
+
+    pts = ds.map_batches(with_cols, batch_format="pyarrow")
+
+    def vgram_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"lag_bin": pd.Series(dtype=np.int64),
+                                 "n_pairs": pd.Series(dtype=np.int64),
+                                 "s_d2v": pd.Series(dtype=np.float64)})
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        v = g["v"].to_numpy(np.float64)
+        iu, ju = np.triu_indices(len(g), k=1)
+        dl = lon[iu] - lon[ju]
+        dt = lat[iu] - lat[ju]
+        lag = np.floor(np.sqrt(dl * dl + dt * dt) / _VGRAM_BIN).astype(np.int64)
+        dv = v[iu] - v[ju]
+        df = pd.DataFrame({"lag_bin": lag, "n_pairs": 1, "s_d2v": dv * dv})
+        return df.groupby("lag_bin", as_index=False).sum()
+
+    parts = (pts.groupby("cell")
+             .map_groups(vgram_group, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({"lag_bin": pd.Series(dtype=np.int64),
+                             "n_pairs": pd.Series(dtype=np.int64),
+                             "gamma": pd.Series(dtype=np.float64)})
+    agg = parts.groupby("lag_bin", as_index=False).sum()
+    out = pd.DataFrame({
+        "lag_bin": agg["lag_bin"].astype(np.int64),
+        "n_pairs": agg["n_pairs"].astype(np.int64),
+        "gamma": duck_round(agg["s_d2v"].to_numpy(np.float64)
+                            / (2.0 * agg["n_pairs"].to_numpy(np.float64)), 4),
+    })
+    return out.sort_values("lag_bin").reset_index(drop=True)
