@@ -2745,12 +2745,9 @@ def basket_part_pairs(sf_dir: str):
             d += 1
         return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
 
-    def block_partial(t: pa.Table) -> pa.Table:
+    def interior_pairs(t: pa.Table) -> pa.Table:
         empty = {"packed": pa.array([], pa.int64()),
-                 "n": pa.array([], pa.int64()),
-                 "b_ok": pa.array([], pa.int64()),
-                 "b_pk": pa.array([], pa.int64()),
-                 "is_edge": pa.array([], pa.bool_())}
+                 "n": pa.array([], pa.int64())}
         if t.num_rows == 0:
             return pa.table(empty)
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2758,29 +2755,34 @@ def basket_part_pairs(sf_dir: str):
         edge = (ok == ok[0]) | (ok == ok[-1])
         packed = expand_pairs(ok[~edge], pk[~edge])
         vals, cnts = np.unique(packed, return_counts=True)
-        ne, ni = int(edge.sum()), len(vals)
-        return pa.table({
-            "packed": pa.array(np.r_[vals, np.zeros(ne, np.int64)], pa.int64()),
-            "n": pa.array(np.r_[cnts.astype(np.int64), np.zeros(ne, np.int64)], pa.int64()),
-            "b_ok": pa.array(np.r_[np.zeros(ni, np.int64), ok[edge]], pa.int64()),
-            "b_pk": pa.array(np.r_[np.zeros(ni, np.int64), pk[edge]], pa.int64()),
-            "is_edge": pa.array(np.r_[np.zeros(ni, bool), np.ones(ne, bool)]),
-        })
+        return pa.table({"packed": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
 
-    parts = partial_combine(sorted_ds, block_partial, "pyarrow",
-                            batch_size=None)
-    edge_rows = parts[parts["is_edge"]]
-    interior = parts[~parts["is_edge"]][["packed", "n"]]
-    # driver-side stitch of the edge orders (bounded by blocks x width)
-    e = (edge_rows[["b_ok", "b_pk"]].drop_duplicates()
-         .sort_values(["b_ok", "b_pk"]).reset_index(drop=True))
+    def edge_rows_fn(t: pa.Table) -> pa.Table:
+        empty = {"b_ok": pa.array([], pa.int64()),
+                 "b_pk": pa.array([], pa.int64())}
+        if t.num_rows == 0:
+            return pa.table(empty)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        edge = (ok == ok[0]) | (ok == ok[-1])
+        return pa.table({"b_ok": pa.array(ok[edge], pa.int64()),
+                         "b_pk": pa.array(pk[edge], pa.int64())})
+
+    # interior pair partials STAY a Dataset (pair cardinality scales with
+    # data — never driver-collected); only the O(blocks x order-width)
+    # edge rows come to the driver for the boundary stitch
+    interior = sorted_ds.map_batches(interior_pairs, batch_format="pyarrow",
+                                     batch_size=None)
+    e = (partial_combine(sorted_ds, edge_rows_fn, "pyarrow", batch_size=None)
+         .drop_duplicates().sort_values(["b_ok", "b_pk"])
+         .reset_index(drop=True))
     epacked = expand_pairs(e["b_ok"].to_numpy(np.int64),
                            e["b_pk"].to_numpy(np.int64))
     ev, ec = np.unique(epacked, return_counts=True)
     extra = pd.DataFrame({"packed": ev, "n": ec.astype(np.int64)})
-    all_parts = pd.concat([interior, extra], ignore_index=True)
 
-    pooled = dataset_from_typed_df(all_parts)
+    pooled = interior.union(dataset_from_typed_df(extra))
     counts = gated_group_sum_ds(pooled, lambda b: b, ["packed"], ["n"])
 
     def topk_partial(b: pd.DataFrame) -> pd.DataFrame:
