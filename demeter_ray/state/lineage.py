@@ -174,6 +174,15 @@ def write_partitioned(
     written = (
         ds.groupby(key_col).map_groups(write_group, batch_format="pandas").to_pandas()
     )
+    if written.shape[1] == 0:
+        # Ray drops the schema when every block is empty — an empty input
+        # must still yield a TYPED manifest (edge-sweep rule)
+        written = pd.DataFrame(
+            {"key": pd.Series(dtype="int64"), "rows": pd.Series(dtype="int64"),
+             "bytes": pd.Series(dtype="int64"),
+             "checksum": pd.Series(dtype="object"),
+             "skipped": pd.Series(dtype="bool")}
+        )
     skipped = pd.DataFrame(
         {"key": sorted(done), "rows": -1, "bytes": -1, "checksum": "",
          "skipped": True}
