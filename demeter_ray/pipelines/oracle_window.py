@@ -1604,15 +1604,16 @@ def first_last_value_events(sf_dir: str):
                                kind="mergesort").groupby("user_id").first()
     lasts = parts.sort_values(["user_id", "l_us", "l_eid"],
                               kind="mergesort").groupby("user_id").last()
-    fmap = {int(u): (float(r.f_val), float(lasts.loc[u, "l_val"]))
-            for u, r in firsts.iterrows()}
-    ref = _ray.put(fmap)
+    # user_id-indexed Series pair: the attach below is a vectorized index
+    # join (Series.map with a Series arg), no per-row Python
+    ref = _ray.put((firsts["f_val"].astype("float64"),
+                    lasts["l_val"].astype("float64")))
 
     def attach(b: pd.DataFrame, m) -> pd.DataFrame:
-        fv = b["user_id"].map(lambda u: m[int(u)][0])
-        lv = b["user_id"].map(lambda u: m[int(u)][1])
+        fs, ls = m
         return pd.DataFrame({"event_id": b["event_id"], "user_id": b["user_id"],
-                             "first_val": fv, "last_val": lv})
+                             "first_val": b["user_id"].map(fs).to_numpy(),
+                             "last_val": b["user_id"].map(ls).to_numpy()})
 
     from demeter_ray.pipelines.relational import bcast
 

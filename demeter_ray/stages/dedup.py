@@ -313,6 +313,7 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float,
         order = np.lexsort((ids, bkey))
         bkey, ids = bkey[order], ids[order]
         ai, bi, capped = _bucket_pair_indices(bkey, max_bucket_pairs)
+        sentinel = empty
         if capped:
             print(
                 f"[minhash_neardup] {capped} LSH buckets exceeded the "
@@ -320,8 +321,15 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float,
                 f"connectivity chains there",
                 file=sys.stderr,
             )
+            # in-band budget report: one sentinel row per partition
+            # (a_id = -(pkey+1) keeps it unique through the distributed
+            # pair dedup; b_id carries this partition's capped-bucket
+            # count).  The driver strips these and exposes the sum as
+            # output metadata (truncated_buckets / pairs_complete).
+            pk = int(g["pkey"].iloc[0])
+            sentinel = pd.DataFrame({"a_id": [-(pk + 1)], "b_id": [capped]})
         if len(ai) == 0:
-            return empty
+            return sentinel
         # near-dup pairs share MANY bands, so the same (a, b) surfaces from
         # several buckets of this partition — dedupe at the id level BEFORE
         # the signature-estimate prefilter (the funnel's hottest compare)
@@ -338,8 +346,9 @@ def _make_partition_pairs(num_perm: int, jaccard_threshold: float,
             keep_chunks.append(uniq[s0 : s0 + 200_000][good])
         kept = np.concatenate(keep_chunks)
         if len(kept) == 0:
-            return empty
-        return pd.DataFrame({"a_id": kept[:, 0], "b_id": kept[:, 1]})
+            return sentinel
+        out = pd.DataFrame({"a_id": kept[:, 0], "b_id": kept[:, 1]})
+        return pd.concat([out, sentinel], ignore_index=True) if len(sentinel) else out
 
     return fn
 
@@ -573,14 +582,34 @@ def minhash_neardup(
     # to the driver — 30M at sf0.1); after the groupby the driver holds
     # exactly the distinct candidate set (output-bounded)
     cand_ds = _dedup_rows_ds(cand_rows, ["a_id", "b_id"], nparts).materialize()
+    # strip the in-band budget sentinels (a_id < 0) and expose their sum as
+    # output metadata: consumers detect pair-list truncation from the frame
+    # itself (attrs) instead of stderr/BASELINE.md
+    import pyarrow.compute as pc
+
+    sent = cand_ds.map_batches(
+        lambda t: t.filter(pc.less(t["a_id"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    truncated_buckets = int(sent["b_id"].sum()) if len(sent) else 0
+    if truncated_buckets:
+        cand_ds = cand_ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["a_id"], 0)),
+            batch_format="pyarrow",
+        )
+
+    def _meta(df: pd.DataFrame) -> pd.DataFrame:
+        df.attrs["truncated_buckets"] = truncated_buckets
+        df.attrs["pairs_complete"] = truncated_buckets == 0
+        return df
+
     n_cand = cand_ds.count()
     if n_cand == 0:
-        return empty
+        return _meta(empty)
     if n_cand > verify_driver_cap:
         # dup-dense regime: verify inside tasks, driver holds only the
         # verified output (parity with the driver path pinned in
         # tests/test_dedup_distributed_verify.py)
-        return _distributed_verify(sigs, cand_ds, jaccard_threshold, nparts)
+        return _meta(_distributed_verify(sigs, cand_ds, jaccard_threshold, nparts))
     cand = cand_ds.to_pandas().reset_index(drop=True)
     # exact verify on the candidate docs only: fetch their token sets and
     # compute on the driver (candidate-bounded below the cap)
@@ -594,12 +623,12 @@ def minhash_neardup(
     )
     good = jac >= jaccard_threshold
     if not good.any():
-        return empty
+        return _meta(empty)
     out = pd.DataFrame(
         {"a_id": cand["a_id"].to_numpy()[good], "b_id": cand["b_id"].to_numpy()[good],
          "jaccard": jac[good]}
     )
-    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    return _meta(out.sort_values(["a_id", "b_id"]).reset_index(drop=True))
 
 
 def ngram_jaccard_neardup(ds_docs: ray.data.Dataset, n: int = 3,

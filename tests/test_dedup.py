@@ -73,6 +73,25 @@ def test_minhash_degenerate_corpus_capped_chain(ray_session):
     assert len(out) < 2000
 
 
+def test_minhash_budget_flag_in_band(ray_session):
+    """The output is self-describing about pair-list truncation: attrs
+    flip exactly when the emission budget binds (VERDICT r4 item 3)."""
+    texts = ["alpha beta gamma delta epsilon"] * 60  # 1770 pairs/bucket
+    # cap does NOT bind: complete pair list, flag says so
+    full = dedup.minhash_neardup(_docs(texts), jaccard_threshold=0.9)
+    assert full.attrs["pairs_complete"] is True
+    assert full.attrs["truncated_buckets"] == 0
+    assert len(full) == 60 * 59 // 2
+    # cap binds: truncated list, flag + count say so
+    capped = dedup.minhash_neardup(_docs(texts), jaccard_threshold=0.9,
+                                   max_bucket_pairs=100)
+    assert capped.attrs["pairs_complete"] is False
+    assert capped.attrs["truncated_buckets"] > 0
+    assert len(capped) < len(full)
+    # sentinel rows never leak into the pair list
+    assert (capped["a_id"] >= 0).all() and (full["a_id"] >= 0).all()
+
+
 def test_simhash_pairs_and_hamming(ray_session):
     texts = (
         ["red green blue yellow purple orange"] * 3
