@@ -51,7 +51,8 @@ def ship_code_to_workers() -> None:
         "demeter_ray.functions.codec", "demeter_ray.functions.depth",
         "demeter_ray.functions.geo", "demeter_ray.functions.hashing",
         "demeter_ray.functions.scenes", "demeter_ray.functions.terrain",
-        "demeter_ray.functions.text", "demeter_ray.functions.warp",
+        "demeter_ray.functions.text", "demeter_ray.functions.tiff",
+        "demeter_ray.functions.warp",
         "demeter_ray.sources.fixtures",
         "demeter_ray.sources.tables", "demeter_ray.sources.ziptiles",
         "demeter_ray.stages.cells",

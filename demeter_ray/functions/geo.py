@@ -795,16 +795,104 @@ def webmercator_inverse(xs, ys):
 
 
 # --------------------------------------------------------------------------
+# Lambert Conformal Conic, 2 standard parallels (Snyder PP 1395 eqs.
+# 15-1..15-11, ellipsoidal) — the conic family behind most state-plane zones,
+# Lambert-93 (EPSG:2154), Statistics Canada Lambert (EPSG:3347) and the
+# CONUS met grids.  ``make_lcc`` builds a (forward, inverse) pair for any
+# parameter set; the named systems below pre-register through the public
+# ``register_crs`` hook, which is also how a user adds any further CRS
+# without patching this module (the reference's arbitrary-pyproj surface,
+# reprojection.py:15-112, reduced to a registry).
+# --------------------------------------------------------------------------
+
+
+def make_lcc(lat1: float, lat2: float, lat0: float, lon0: float,
+             fe: float = 0.0, fn: float = 0.0,
+             a: float = _GRS80_A, flat: float = _GRS80_F):
+    """(forward, inverse) closures for a Lambert Conformal Conic 2SP."""
+    e2 = flat * (2 - flat)
+    e = math.sqrt(e2)
+
+    def _t(lat):
+        s = np.sin(lat)
+        return np.tan(np.pi / 4 - lat / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    def _m(lat):
+        return math.cos(lat) / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+
+    p0, p1, p2 = map(math.radians, (lat0, lat1, lat2))
+    m1, m2 = _m(p1), _m(p2)
+    t0, t1, t2 = (float(_t(np.float64(p))) for p in (p0, p1, p2))
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    F = m1 / (n * t1**n)
+    rho0 = a * F * t0**n
+    lam0 = math.radians(lon0)
+
+    def forward(lons, lats):
+        lam = np.radians(np.asarray(lons, dtype=np.float64))
+        phi = np.radians(np.asarray(lats, dtype=np.float64))
+        rho = a * F * _t(phi) ** n
+        theta = n * (lam - lam0)
+        return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+    def inverse(xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - fe
+        y = rho0 - (np.asarray(ys, dtype=np.float64) - fn)
+        rho = np.sign(n) * np.sqrt(x * x + y * y)
+        theta = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+        tp = (rho / (a * F)) ** (1.0 / n)
+        phi = np.pi / 2 - 2 * np.arctan(tp)  # spherical first guess
+        for _ in range(8):
+            s = e * np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(tp * ((1 - s) / (1 + s)) ** (e / 2))
+        return np.degrees(lam0 + theta / n), np.degrees(phi)
+
+    return forward, inverse
+
+
+# --------------------------------------------------------------------------
 # CRS dispatch: the engine's supported projected systems.  "EPSG:4326" and
 # "EPSG:4269" are geographic (identity to lon/lat); "EPSG:326xx"/"EPSG:327xx"
 # are UTM north/south (Krüger series above); "EPSG:5070" is CONUS Albers;
-# "EPSG:3857" is Web Mercator.
+# "EPSG:3857" is Web Mercator; LCC systems and anything else arrive through
+# the ``register_crs`` extension registry (checked first).
 # --------------------------------------------------------------------------
+
+_CRS_REGISTRY: dict = {}
+
+
+def _norm_code(crs: str) -> str:
+    return str(crs).upper().replace("EPSG:", "").replace("ESRI:", "").strip()
+
+
+def register_crs(code, forward, inverse) -> None:
+    """Register a custom CRS: ``forward(lons, lats) -> (xs, ys)`` and
+    ``inverse(xs, ys) -> (lons, lats)``, vectorized over numpy float64
+    arrays.  ``code`` is an EPSG/ESRI number or string ('EPSG:2154',
+    2154, ...).  Registered codes take precedence over the built-in
+    dispatch, so a user can extend or override without patching geo.py —
+    the engine's answer to the reference's arbitrary-pyproj CRS surface."""
+    _CRS_REGISTRY[_norm_code(code)] = (forward, inverse)
+
+
+# named LCC systems, registered through the public hook itself
+register_crs("EPSG:2154", *make_lcc(44.0, 49.0, 46.5, 3.0,       # Lambert-93
+                                    700_000.0, 6_600_000.0))
+register_crs("EPSG:3347", *make_lcc(49.0, 77.0, 63.390675,       # StatCan
+                                    -91.8666666666666667,
+                                    6_200_000.0, 3_000_000.0))
+register_crs("ESRI:102004", *make_lcc(33.0, 45.0, 39.0, -96.0))  # CONUS LCC
 
 
 def crs_forward(crs: str, lons, lats):
     """lon/lat degrees -> projected (x, y) in ``crs`` units."""
-    code = crs.upper().replace("EPSG:", "")
+    code = _norm_code(crs)
+    reg = _CRS_REGISTRY.get(code)
+    if reg is not None:
+        return reg[0](lons, lats)
     if code in ("4326", "4269"):
         return np.asarray(lons, np.float64), np.asarray(lats, np.float64)
     if code == "5070":
@@ -816,19 +904,23 @@ def crs_forward(crs: str, lons, lats):
     if code.startswith("327") and len(code) == 5:
         return utm_forward(lons, lats, int(code[3:]), south=True)
     raise ValueError(
-        f"unsupported CRS {crs!r}: this engine dispatches EPSG:4326/EPSG:4269 "
+        f"unsupported CRS {crs!r}: built-in dispatch covers EPSG:4326/EPSG:4269 "
         "(geographic identity), EPSG:5070 (CONUS Albers), EPSG:3857 (Web "
-        "Mercator) and EPSG:326xx/EPSG:327xx (UTM north/south) only — the "
-        "reference accepts any "
-        "pyproj CRS (reprojection.py:15-112), but this sandbox has no "
-        "pyproj; extend crs_forward/crs_inverse with the projection math "
-        "to add one"
+        "Mercator), EPSG:326xx/EPSG:327xx (UTM north/south), and the "
+        "registered conics EPSG:2154 / EPSG:3347 / ESRI:102004 (Lambert "
+        "Conformal Conic via make_lcc) — add any other system with "
+        "geo.register_crs(code, forward, inverse) (make_lcc builds the "
+        "closures for any LCC parameter set); the reference accepts any "
+        "pyproj CRS (reprojection.py:15-112), but this sandbox has no pyproj"
     )
 
 
 def crs_inverse(crs: str, xs, ys):
     """projected (x, y) in ``crs`` units -> lon/lat degrees."""
-    code = crs.upper().replace("EPSG:", "")
+    code = _norm_code(crs)
+    reg = _CRS_REGISTRY.get(code)
+    if reg is not None:
+        return reg[1](xs, ys)
     if code in ("4326", "4269"):
         return np.asarray(xs, np.float64), np.asarray(ys, np.float64)
     if code == "5070":
@@ -841,5 +933,7 @@ def crs_inverse(crs: str, xs, ys):
         return utm_inverse(xs, ys, int(code[3:]), south=True)
     raise ValueError(
         f"unsupported CRS {crs!r}: supported codes are EPSG:4326, EPSG:4269, "
-        "EPSG:5070, EPSG:3857, EPSG:326xx and EPSG:327xx (see crs_forward)"
+        "EPSG:5070, EPSG:3857, EPSG:326xx/EPSG:327xx, the registered conics "
+        "(EPSG:2154, EPSG:3347, ESRI:102004), and anything added via "
+        "geo.register_crs (see crs_forward)"
     )

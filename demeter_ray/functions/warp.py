@@ -25,11 +25,15 @@ Everything operates on single tiles and runs inside ``map_batches`` tasks at
 scale — memory is bounded by one tile's destination grid, never a global
 mosaic.
 
-CRS support is the geo.py dispatch table ONLY (EPSG:4326/4269 identity,
-EPSG:5070 Albers, EPSG:326xx UTM) — unknown EPSG codes raise a ValueError
-listing the supported set rather than silently passing coordinates through;
-the reference's arbitrary-pyproj-CRS surface is out of scope in this
-pyproj-less sandbox (documented limitation, VERDICT r2 'What's missing' #3).
+CRS support is the geo.py dispatch table (EPSG:4326/4269 identity,
+EPSG:5070 Albers, EPSG:3857 Web Mercator, EPSG:326xx/327xx UTM, the
+registered Lambert Conformal Conics EPSG:2154/EPSG:3347/ESRI:102004) plus
+the ``geo.register_crs(code, forward, inverse)`` extension registry —
+``geo.make_lcc`` builds the closures for any further LCC parameter set
+(state plane, met grids).  Unknown EPSG codes raise a ValueError naming the
+hook rather than silently passing coordinates through; the reference's
+arbitrary-pyproj-CRS surface (reprojection.py:15-112) reduces to this
+registry in a pyproj-less sandbox.
 """
 
 from __future__ import annotations

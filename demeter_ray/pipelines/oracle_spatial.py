@@ -3437,3 +3437,77 @@ def empirical_variogram(sf_dir: str):
                             / (2.0 * agg["n_pairs"].to_numpy(np.float64)), 4),
     })
     return out.sort_values("lag_bin").reset_index(drop=True)
+
+
+# -------------- GeoTIFF strip-codec roundtrip (real .tif bytes in the loop)
+
+_GEOTIFF_SQL = """
+WITH px AS (
+  SELECT event_id // 256 AS tile_id,
+         (event_id * 7) % 1000 AS v
+  FROM events
+)
+SELECT tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(MIN(v) AS BIGINT) AS min_val,
+       CAST(MAX(v) AS BIGINT) AS max_val,
+       -102.2e0 + tile_id * 0.16e0 AS minx
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+@register("geotiff_roundtrip_stats", _GEOTIFF_SQL)
+def geotiff_roundtrip_stats(sf_dir: str):
+    """Per-tile raster statistics computed THROUGH the pure-stdlib GeoTIFF
+    strip codec (functions/tiff.py — the reference's Raster.from_file/save
+    format, raster/__init__.py:36-47,110-121): events rasterize onto 16x16
+    int32 tiles (tile_id = event_id // 256, pixel = event_id % 256, value
+    = (event_id*7) % 1000, absent pixels = nodata -1), each tile ENCODES to
+    actual .tif bytes and DECODES back inside the group task, and the stats
+    + the georeferencing column (minx from the decoded transform) come from
+    the decoded raster only.  SQL recomputes the same stats from the value
+    expression — exact because the codec is lossless."""
+    from demeter_ray.functions import tiff as _tiff
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def with_tile(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(k, pa.int64()),
+            "tile_id": pa.array(k // 256, pa.int64()),
+        })
+
+    cols = {"tile_id": np.int64, "n_valid": np.int64, "sum_val": np.int64,
+            "min_val": np.int64, "max_val": np.int64, "minx": np.float64}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+    def tile_stats(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["event_id"].to_numpy(np.int64)
+        tid = int(k[0] // 256)
+        pos = k % 256
+        grid = np.full((16, 16), -1, dtype=np.int32)
+        grid[pos // 16, pos % 16] = ((k * 7) % 1000).astype(np.int32)
+        transform = (0.01, 0.0, -102.2 + tid * 0.16, 0.0, -0.01, 37.9)
+        buf = _tiff.encode_geotiff(grid, transform, "EPSG:4326", nodata=-1.0,
+                                   rows_per_strip=8)
+        px, t, crs, nd = _tiff.decode_geotiff(buf)
+        # the roundtrip invariants ARE the operator: fail loud on any drift
+        assert crs == "EPSG:4326" and nd == -1.0 and t == transform
+        valid = px[px != np.int32(nd)].astype(np.int64)
+        minx = geo.raster_bounds(t, *px.shape)[0]
+        return pd.DataFrame({
+            "tile_id": [tid], "n_valid": [len(valid)],
+            "sum_val": [valid.sum()], "min_val": [valid.min()],
+            "max_val": [valid.max()], "minx": [minx],
+        })
+
+    parts = (ds.map_batches(with_tile, batch_format="pyarrow")
+             .groupby("tile_id").map_groups(tile_stats, batch_format="pandas")
+             .to_pandas())
+    if parts.shape[1] == 0:
+        return empty
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("tile_id").reset_index(drop=True)

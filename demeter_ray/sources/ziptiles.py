@@ -22,12 +22,21 @@ import zipfile
 import numpy as np
 import pyarrow as pa
 
+from demeter_ray.functions import tiff
 
-def write_zip_tiles(path: str, tile_rows: list[dict], vat_records: list[dict]) -> None:
+
+def write_zip_tiles(path: str, tile_rows: list[dict], vat_records: list[dict],
+                    fmt: str = "json") -> None:
     """Write the archive: tile_rows need (tile_id, dtype, h, w, transform,
-    crs, nodata, pixels-bytes); vat_records are plain dicts."""
+    crs, nodata, pixels-bytes); vat_records are plain dicts.  ``fmt="tif"``
+    stores each tile as an actual GeoTIFF member (functions/tiff.py) instead
+    of the json+bin pair — the reference's zip payload IS a grid file
+    (hydrography.py), so this is the format-faithful mode."""
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as z:
         for r in tile_rows:
+            if fmt == "tif":
+                z.writestr(f"tiles/{r['tile_id']}.tif", tiff.tile_row_to_geotiff(r))
+                continue
             header = {k: r[k] for k in ("tile_id", "dtype", "h", "w", "transform",
                                         "crs", "nodata")}
             z.writestr(f"tiles/{r['tile_id']}.json", json.dumps(header, sort_keys=True))
@@ -43,6 +52,11 @@ def read_zip_tiles(path: str, dataset: str = "cat") -> tuple[pa.Table, pa.Table]
     vat = []
     with zipfile.ZipFile(path) as z:
         names = set(z.namelist())
+        tifs = sorted(n for n in names if n.startswith("tiles/") and n.endswith(".tif"))
+        if tifs:
+            for tname in tifs:
+                tile_id = tname[len("tiles/") : -len(".tif")]
+                rows.append(tiff.geotiff_to_tile_row(z.read(tname), tile_id, dataset))
         headers = sorted(n for n in names if n.startswith("tiles/") and n.endswith(".json"))
         for hname in headers:
             header = json.loads(z.read(hname))

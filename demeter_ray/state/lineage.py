@@ -31,6 +31,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from demeter_ray.functions import tiff
+
 
 def _lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
@@ -73,6 +75,10 @@ def completed_keys(out_dir: str, verify_checksum: bool = False) -> set:
             part = _part_path(out_dir, rec["key"])
             if pq.read_metadata(part).num_rows != rec["rows"]:
                 continue  # stale/corrupt partition -> recompute
+            if "tif_bytes" in rec:
+                tpath = os.path.join(out_dir, f"part-{rec['key']}.tif")
+                if not os.path.isfile(tpath) or os.path.getsize(tpath) != rec["tif_bytes"]:
+                    continue  # raster sidecar torn/missing -> recompute
             if verify_checksum and _checksum(pq.read_table(part)) != rec["checksum"]:
                 continue
             done.add(rec["key"])
@@ -82,7 +88,7 @@ def completed_keys(out_dir: str, verify_checksum: bool = False) -> set:
 
 
 def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None,
-                    profile: dict | None = None) -> dict:
+                    profile: dict | None = None, tif_from=None) -> dict:
     """Atomically write one partition + its lineage record; returns the
     record.  Deterministic: rows sorted by ``sort_cols`` (or all columns).
 
@@ -90,7 +96,14 @@ def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None,
     ``Raster.save`` writes into the GeoTIFF header (crs / transform /
     nodata / dtype — raster/__init__.py:110-153): it round-trips through
     BOTH the lineage record and the parquet schema metadata, so a reader
-    can reconstruct the grid without the writer."""
+    can reconstruct the grid without the writer.
+
+    ``tif_from=(row_col, col_col, value_col)`` additionally rasterizes the
+    partition onto the profile's (h, w) grid and writes an ACTUAL GeoTIFF
+    sidecar ``part-{key}.tif`` (functions/tiff.py — uncompressed strips,
+    scale+tiepoint georeferencing, GDAL_NODATA), atomically, tracked by
+    the lineage record: the reference's Raster.save made real, per
+    partition.  Requires ``profile`` with h/w/dtype/transform."""
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     cols = sort_cols or sorted(df.columns)
@@ -115,6 +128,25 @@ def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None,
     # same parquet), so the record stays byte-identical across re-writers
     rec["bytes"] = os.path.getsize(tmp)
     os.replace(tmp, part)
+    if profile is not None and tif_from is not None:
+        import numpy as np
+
+        rcol, ccol, vcol = tif_from
+        h, w = int(profile["h"]), int(profile["w"])
+        nodata = profile.get("nodata")
+        px = np.full((h, w), 0 if nodata is None else nodata,
+                     dtype=profile["dtype"])
+        px[df[rcol].to_numpy(np.int64), df[ccol].to_numpy(np.int64)] = (
+            df[vcol].to_numpy().astype(profile["dtype"])
+        )
+        tif = tiff.encode_geotiff(
+            px, profile["transform"], profile.get("crs") or "EPSG:4326", nodata
+        )
+        tpath = os.path.join(out_dir, f"part-{rec['key']}.tif")
+        with open(tpath + ".tmp", "wb") as f:
+            f.write(tif)
+        os.replace(tpath + ".tmp", tpath)
+        rec["tif_bytes"] = len(tif)
     lpath = _lineage_path(out_dir, rec["key"])
     ltmp = lpath + ".tmp"
     with open(ltmp, "w") as f:
@@ -139,6 +171,7 @@ def write_partitioned(
     sort_cols=None,
     fail_on_keys: frozenset = frozenset(),
     profile_for=None,
+    tif_from=None,
 ) -> pd.DataFrame:
     """Partitioned resumable sink: groupby(key) -> one atomic file+lineage
     per key; keys already completed are skipped (their groups filter out
@@ -164,7 +197,8 @@ def write_partitioned(
         if k in fail_on_keys:
             raise RuntimeError(f"injected failure for partition {k}")
         prof = profile_for(k) if profile_for is not None else None
-        rec = write_partition(out_dir, k, g, sort_cols, profile=prof)
+        rec = write_partition(out_dir, k, g, sort_cols, profile=prof,
+                              tif_from=tif_from)
         return pd.DataFrame(
             {"key": [rec["key"]], "rows": [rec["rows"]],
              "bytes": [rec["bytes"]], "checksum": [rec["checksum"]],

@@ -328,8 +328,9 @@ def test_crs_dispatch_unknown_epsg_raises():
     from demeter_ray.functions import geo
 
     for fn in (geo.crs_forward, geo.crs_inverse):
+        # EPSG:27572 (Lambert zone II, legacy NTF datum) is NOT registered
         with pytest.raises(ValueError, match="EPSG:5070"):
-            fn("EPSG:2154", np.array([0.0]), np.array([0.0]))
+            fn("EPSG:27572", np.array([0.0]), np.array([0.0]))
     # supported codes still dispatch
     x, y = geo.crs_forward("EPSG:4269", np.array([1.0]), np.array([2.0]))
     assert x[0] == 1.0 and y[0] == 2.0

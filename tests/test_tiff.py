@@ -1,0 +1,174 @@
+"""GeoTIFF strip codec (functions/tiff.py): roundtrip, malformed input,
+zip-source members, lineage raster sidecars.
+
+Parity target: the reference's Raster.from_file / Raster.save round-trip of
+pixels + transform + crs + nodata through an actual .tif file
+(/root/reference/demeter/raster/__init__.py:36-47,110-121)."""
+
+import struct
+import zipfile
+
+import numpy as np
+import pytest
+
+from demeter_ray.functions import tiff
+
+T = (0.01, 0.0, -102.2, 0.0, -0.01, 37.9)
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "uint32", "int16",
+                                   "int32", "float32", "float64"])
+def test_roundtrip_dtypes(dtype):
+    rng = np.random.default_rng(7)
+    px = (rng.integers(0, 200, size=(33, 17)).astype(dtype)
+          if not dtype.startswith("float")
+          else rng.normal(size=(33, 17)).astype(dtype))
+    buf = tiff.encode_geotiff(px, T, "EPSG:4326", nodata=-9999.0)
+    out, t, crs, nd = tiff.decode_geotiff(buf)
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, px)
+    assert t == pytest.approx(T)
+    assert crs == "EPSG:4326"
+    assert nd == -9999.0
+
+
+def test_projected_crs_and_no_nodata():
+    px = np.arange(12, dtype=np.float32).reshape(3, 4)
+    t5070 = (30.0, 0.0, 150000.0, 0.0, -30.0, 2_000_000.0)
+    buf = tiff.encode_geotiff(px, t5070, "EPSG:5070", nodata=None)
+    out, t, crs, nd = tiff.decode_geotiff(buf)
+    np.testing.assert_array_equal(out, px)
+    assert t == pytest.approx(t5070)
+    assert crs == "EPSG:5070"
+    assert nd is None
+
+
+def test_multi_strip_odd_rows():
+    px = np.arange(101 * 13, dtype=np.int32).reshape(101, 13)
+    buf = tiff.encode_geotiff(px, T, rows_per_strip=7)
+    out, _, _, _ = tiff.decode_geotiff(buf)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_big_endian_decodes():
+    """'MM' byte order parses (hand-built minimal big-endian TIFF)."""
+    px = np.array([[1, 2], [300, 4]], dtype=">u2")
+    data = px.tobytes()
+    entries = [
+        (256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 2),
+        (279, 4, 1, len(data)), (339, 3, 1, 1),
+    ]
+    ifd = struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        raw = struct.pack(">H", val) + b"\x00\x00" if typ == 3 else struct.pack(">I", val)
+        ifd += struct.pack(">HHI", tag, typ, cnt) + raw
+    ifd += struct.pack(">I", 0)
+    buf = struct.pack(">2sHI", b"MM", 42, 8 + len(data)) + data + ifd
+    out, t, crs, nd = tiff.decode_geotiff(buf)
+    np.testing.assert_array_equal(out, px.astype(np.uint16))
+    assert out.dtype == np.dtype("uint16")
+    assert t is None and crs is None and nd is None
+
+
+def test_malformed_inputs_fail_loud():
+    px = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="north-up"):
+        tiff.encode_geotiff(px, (0.01, 0.001, 0, 0, -0.01, 0))
+    with pytest.raises(ValueError, match="dtype"):
+        tiff.encode_geotiff(np.zeros((2, 2), dtype=np.int8), T)
+    with pytest.raises(ValueError, match="shape"):
+        tiff.encode_geotiff(np.zeros(4, dtype=np.uint8), T)
+    with pytest.raises(ValueError):
+        tiff.decode_geotiff(b"")
+    with pytest.raises(ValueError):
+        tiff.decode_geotiff(b"PK\x03\x04 not a tiff")
+    good = tiff.encode_geotiff(px, T)
+    with pytest.raises((ValueError, struct.error, IndexError)):
+        tiff.decode_geotiff(good[:10])  # truncated mid-strip/IFD
+
+
+def _tile_rows():
+    rng = np.random.default_rng(3)
+    rows = []
+    for k in range(3):
+        px = rng.integers(0, 50, size=(8, 8)).astype("int32")
+        rows.append(dict(
+            tile_id=f"t{k}", dtype="int32", h=8, w=8,
+            transform=[0.01, 0.0, -102.2 + k * 0.08, 0.0, -0.01, 37.9],
+            crs="EPSG:4326", nodata=-1.0, pixels=px.tobytes(),
+        ))
+    return rows
+
+
+def test_zip_source_tif_members(tmp_path):
+    """write_zip_tiles(fmt='tif') stores real GeoTIFF members and
+    read_zip_tiles parses them to the same tile table as json+bin mode."""
+    from demeter_ray.sources import ziptiles
+
+    rows = _tile_rows()
+    vat = [dict(tile_id="t0", value=1, catchment_id=10, count=5)]
+    pj = str(tmp_path / "tiles_json.zip")
+    pt = str(tmp_path / "tiles_tif.zip")
+    ziptiles.write_zip_tiles(pj, rows, vat)
+    ziptiles.write_zip_tiles(pt, rows, vat, fmt="tif")
+    with zipfile.ZipFile(pt) as z:
+        names = z.namelist()
+        assert "tiles/t0.tif" in names and not any(n.endswith(".bin") for n in names)
+        assert z.read("tiles/t0.tif")[:4] == b"II\x2a\x00"
+    tj, vj = ziptiles.read_zip_tiles(pj)
+    tt, vt = ziptiles.read_zip_tiles(pt)
+    assert vt.equals(vj)
+    for col in ("tile_id", "h", "w", "dtype", "nodata", "transform", "crs",
+                "minx", "miny", "maxx", "maxy", "pixels"):
+        assert tt[col].to_pylist() == tj[col].to_pylist(), col
+
+
+def test_lineage_tif_sidecar(ray_session, tmp_path):
+    """write_partitioned(tif_from=...) emits a decodable per-partition
+    GeoTIFF whose pixels/georef match the partition rows; a torn sidecar
+    invalidates the partition for resume."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from demeter_ray.state import lineage
+
+    n = 64
+    df = pd.DataFrame({
+        "part": np.arange(n) % 2,
+        "row": (np.arange(n) // 2) % 8,
+        "col": (np.arange(n) // 16) * 2 % 8,
+        "value": np.arange(n, dtype=np.float64) * 1.5,
+    })
+    # one (part,row,col) per cell to keep rasterization deterministic
+    df = df.drop_duplicates(["part", "row", "col"])
+    ds = ray.data.from_pandas(df)
+    out = str(tmp_path / "sink")
+    prof = {"crs": "EPSG:5070", "transform": [30.0, 0.0, 0.0, 0.0, -30.0, 240.0],
+            "nodata": -9999.0, "dtype": "float32", "h": 8, "w": 8}
+    manifest = lineage.write_partitioned(
+        ds, out, "part", sort_cols=["row", "col"],
+        profile_for=lambda k: prof, tif_from=("row", "col", "value"),
+    )
+    assert not manifest["skipped"].any()
+    for k in (0, 1):
+        with open(os.path.join(out, f"part-{k}.tif"), "rb") as f:
+            px, t, crs, nd = tiff.decode_geotiff(f.read())
+        assert crs == "EPSG:5070" and nd == -9999.0
+        assert t == pytest.approx(tuple(prof["transform"]))
+        g = df[df["part"] == k]
+        expect = np.full((8, 8), -9999.0, dtype=np.float32)
+        expect[g["row"].to_numpy(), g["col"].to_numpy()] = (
+            g["value"].to_numpy().astype(np.float32))
+        np.testing.assert_array_equal(px, expect)
+    # resume: both partitions complete -> all skipped
+    m2 = lineage.write_partitioned(
+        ds, out, "part", sort_cols=["row", "col"],
+        profile_for=lambda k: prof, tif_from=("row", "col", "value"))
+    assert m2["skipped"].all()
+    # torn raster sidecar -> that partition recomputes
+    with open(os.path.join(out, "part-1.tif"), "wb") as f:
+        f.write(b"torn")
+    assert lineage.completed_keys(out) == {0}

@@ -266,3 +266,70 @@ def test_lanczos_nodata_renormalizes_and_masks():
     )
     assert np.ma.getmaskarray(out).any()
     assert np.isfinite(out.filled(0)).all()
+
+
+# ------------------------- Lambert Conformal Conic + register_crs (round 5)
+
+
+def test_lcc_roundtrip_and_standard_parallel_scale():
+    """EPSG:2154 / EPSG:3347 / ESRI:102004: forward∘inverse is identity and
+    the conformal scale factor is exactly 1 on both standard parallels
+    (Snyder 15-1..15-11 invariants — a wrong n/F/rho0 breaks either)."""
+    grids = {
+        "EPSG:2154": ((-4.5, 8.0), (41.5, 51.0), 3.0, (44.0, 49.0)),
+        "EPSG:3347": ((-120.0, -60.0), (45.0, 75.0), -91.8666666666666667, (49.0, 77.0)),
+        "ESRI:102004": ((-120.0, -75.0), (25.0, 49.0), -96.0, (33.0, 45.0)),
+    }
+    e2 = geo._GRS80_F * (2 - geo._GRS80_F)
+    for code, (lo_r, la_r, lon0, parallels) in grids.items():
+        LO, LA = np.meshgrid(np.linspace(*lo_r, 25), np.linspace(*la_r, 25))
+        x, y = geo.crs_forward(code, LO.ravel(), LA.ravel())
+        lo2, la2 = geo.crs_inverse(code, x, y)
+        np.testing.assert_allclose(lo2, LO.ravel(), atol=1e-9)
+        np.testing.assert_allclose(la2, LA.ravel(), atol=1e-9)
+        for latp in parallels:
+            p = np.radians(latp)
+            m = np.cos(p) / np.sqrt(1 - e2 * np.sin(p) ** 2)
+            dlon = 1e-5
+            x1, y1 = geo.crs_forward(code, np.array([lon0]), np.array([latp]))
+            x2, y2 = geo.crs_forward(code, np.array([lon0 + dlon]), np.array([latp]))
+            k = float(np.hypot(x2 - x1, y2 - y1)[0] / (geo._GRS80_A * m * np.radians(dlon)))
+            assert abs(k - 1.0) < 1e-8, (code, latp, k)
+
+
+def test_lcc_natural_origin_is_false_origin():
+    """(lon0, lat0) maps exactly to (FE, FN) by construction."""
+    x, y = geo.crs_forward("EPSG:2154", np.array([3.0]), np.array([46.5]))
+    assert abs(x[0] - 700_000.0) < 1e-6 and abs(y[0] - 6_600_000.0) < 1e-6
+
+
+def test_reproject_through_lcc_preserves_mean():
+    """4326 -> Lambert-93 -> 4326 with average keeps the mean, i.e. the
+    registered conic drives the full warp path like any built-in CRS."""
+    transform = (0.001, 0.0, 2.2, 0.0, -0.001, 48.9)  # Paris-ish tile
+    px = _smooth_tile(60, 80, transform,
+                      lambda x, y: 100 + 10 * np.sin(9 * x) * np.cos(11 * y))
+    m = np.ma.masked_array(px)
+    once, t1 = warp.reproject_raster(m, transform, "EPSG:4326", "EPSG:2154", "average")
+    back, _ = warp.reproject_raster(once, t1, "EPSG:2154", "EPSG:4326", "average")
+    assert round(float(back.mean())) == round(float(m.mean()))
+
+
+def test_register_crs_extension_point():
+    """A user-registered CRS dispatches like a built-in; unknown codes tell
+    the user about the hook."""
+    import pytest
+
+    geo.register_crs("EPSG:900914", lambda lo, la: (np.asarray(lo) * 2.0, np.asarray(la) * 3.0),
+                     lambda x, y: (np.asarray(x) / 2.0, np.asarray(y) / 3.0))
+    try:
+        x, y = geo.crs_forward("epsg:900914", np.array([1.0]), np.array([2.0]))
+        assert x[0] == 2.0 and y[0] == 6.0
+        lo, la = geo.crs_inverse("EPSG:900914", x, y)
+        assert lo[0] == 1.0 and la[0] == 2.0
+    finally:
+        geo._CRS_REGISTRY.pop("900914", None)
+    with pytest.raises(ValueError, match="register_crs"):
+        geo.crs_forward("EPSG:27572", np.array([0.0]), np.array([0.0]))
+    with pytest.raises(ValueError, match="register_crs"):
+        geo.crs_inverse("EPSG:27572", np.array([0.0]), np.array([0.0]))
