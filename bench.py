@@ -261,6 +261,75 @@ def run_flagship_only() -> dict:
             "rows_per_sec": round(n / dt, 1), "num_cpus": NUM_CPUS}
 
 
+def run_skew_leg() -> dict:
+    """One (num_cpus, salt) leg of the skew-stress measurement: the Zipfian
+    hot-prefix shuffle (50% of points in one cell prefix) through
+    flagship.skew_shuffle_pipeline.  Env: RAY_GRAFT_CPUS, SKEW_SALT."""
+    import ray
+
+    salt = int(os.environ.get("SKEW_SALT", "8"))
+    replicate = int(os.environ.get("SKEW_REPLICATE", "100"))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from demeter_ray.pipelines import flagship
+
+    # untimed warmup (session spawn + page cache), then best of 2
+    flagship.skew_shuffle_pipeline(SF_DIR, salt=salt, replicate=10)
+    best = None
+    n_rows = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = flagship.skew_shuffle_pipeline(SF_DIR, salt=salt, replicate=replicate)
+        dt = time.perf_counter() - t0
+        n_rows = int(out["n"].sum())
+        best = dt if best is None else min(best, dt)
+    ray.shutdown()
+    return {"sec": round(best, 3), "rows": n_rows, "salt": salt,
+            "rows_per_sec": round(n_rows / best, 1), "num_cpus": NUM_CPUS}
+
+
+def run_skew() -> dict:
+    """Skew-stress scaling (VERDICT r4 item 2): the Zipfian-keyed wide
+    shuffle at 4 vs 16 CPUs, salted (fan-out) vs unsalted (hot key pins one
+    task).  The salted path must hold efficiency >= 0.8; the unsalted
+    control demonstrates the Amdahl wall the salt removes."""
+
+    def leg(ncpu: int, salt: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), SKEW_SALT=str(salt))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--skew-leg"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n = int(os.environ.get("SCALE_LO", "4"))
+    hi_n = int(os.environ.get("SCALE_HI", "16"))
+    res = {}
+    n_rows = 0
+    for label, salt in (("salted", 16), ("unsalted", 1)):
+        lo, hi = leg(lo_n, salt), leg(hi_n, salt)
+        n_rows = lo["rows"]
+        res[label] = {
+            "salt": salt,
+            f"rows_per_sec_{lo_n}": lo["rows_per_sec"],
+            f"rows_per_sec_{hi_n}": hi["rows_per_sec"],
+            f"sec_{lo_n}": lo["sec"], f"sec_{hi_n}": hi["sec"],
+            "scaling_efficiency": round(
+                (hi["rows_per_sec"] / lo["rows_per_sec"]) / (hi_n / lo_n), 3),
+        }
+    return {
+        "metric": f"skew-stress scaling {lo_n}->{hi_n} cpus "
+                  "(Zipfian hot prefix = 50% of rows)",
+        "cpus": [lo_n, hi_n],
+        "rows": n_rows,
+        **res,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+
+
 def run_scaling() -> dict:
     """Same throughput-bound flagship job in fresh processes at 8 then 32
     CPUs (sandbox stand-in for N vs 4N nodes); efficiency =
@@ -302,5 +371,9 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--flagship-only" in sys.argv:
         print(json.dumps(run_flagship_only()))
+    elif "--skew-leg" in sys.argv:
+        print(json.dumps(run_skew_leg()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_benchmarks()))

@@ -192,3 +192,69 @@ def run_to_sink(fixture_dir: str, out_dir: str, concurrency: int = 4,
 
     ds = ds.map_batches(keyed, batch_format="pyarrow")
     return lineage.write_partitioned(ds, out_dir, "part_key", sort_cols=["image_id"])
+
+
+def skew_shuffle_pipeline(sf_dir: str, concurrency: int = 8, replicate: int = 40,
+                          salt: int = 8, iters: int = 48):
+    """Skew-stress workload (VERDICT r4 item 2): a wide groupby whose key
+    distribution is Zipfian-hot — HALF of all points land in ONE cell
+    prefix (the fixture geography's hot-region planting, made extreme).
+
+    ``salt > 1`` is the engine's salted fan-out: the shuffle key becomes
+    ``prefix * salt + hash(point) % salt`` so the hot prefix spreads over
+    ``salt`` independent groups, each reduced in its own task, with a
+    driver-side merge of the (prefix-bounded) salted partials — the same
+    two-phase treatment ``run_to_sink`` applies to sink partitions.
+    ``salt = 1`` is the unsalted control: one task owns the hot key, so
+    adding CPUs cannot speed up half the work (Amdahl wall — the scaling
+    bench pins that this measurably degrades 4->16 efficiency while the
+    salted path stays >=0.8).
+
+    The per-group reduce is CPU-dense vectorized math (``iters`` rounds of
+    transcendental smoothing), so the measurement tracks compute balance,
+    not disk.  Returns the merged per-prefix aggregate (driver-side frame,
+    bounded by the prefix count)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from demeter_ray.sources.tables import read_table
+
+    n_prefixes = 64  # cold prefixes; prefix 0 is the hot one
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = (ids[:, None] * replicate + np.arange(replicate)[None, :]).ravel()
+        # Zipfian head: even ids (50%) all hit prefix 0
+        prefix = np.where(ids % 2 == 0, 0, 1 + (ids * 2654435761) % (n_prefixes - 1))
+        # salt in the HIGH bits: the salted sub-keys of one prefix land far
+        # apart in key space, so the range-partitioned sort shuffle cannot
+        # re-colocate them into one block/task
+        golden = np.uint64(0x9E3779B97F4A7C15)
+        sbucket = (ids.astype(np.uint64) * golden) % np.uint64(salt)
+        part = ((sbucket << np.uint64(32)) | prefix.astype(np.uint64)).astype(np.int64)
+        value = ((ids * 40503 + 7) % 999983) / 999983.0
+        return pa.table({
+            "part_key": pa.array(part.astype(np.int64), pa.int64()),
+            "value": pa.array(value, pa.float64()),
+        })
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64).copy()
+        for _ in range(iters):
+            v = np.sin(v) * 1.1 + np.cos(v * 0.7) * 0.3
+        return pd.DataFrame({
+            "part_key": [int(g["part_key"].iloc[0])],
+            "n": [len(v)], "s": [float(v.sum())],
+        })
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    ds = ds.map_batches(to_points, batch_format="pyarrow", batch_size=2048,
+                        num_cpus=0.9)
+    parts = ds.groupby("part_key").map_groups(
+        reduce_group, batch_format="pandas").to_pandas()
+    # driver merge of salted partials back to per-prefix totals: bounded by
+    # n_prefixes * salt rows, never by the point count
+    parts["prefix"] = parts["part_key"] & 0xFFFFFFFF
+    out = parts.groupby("prefix", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    return out.sort_values("prefix").reset_index(drop=True)

@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count; ignored when a cluster address exists")
+    ap.add_argument("--source", default="documents",
+                    help="driver table streamed into the image schema")
+    ap.add_argument("--key", default=None,
+                    help="id column of --source (default <source-singular>_id)")
+    ap.add_argument("--replicate", type=int, default=1,
+                    help="images per source row (scales the job)")
     args = ap.parse_args()
 
     import ray
@@ -61,7 +67,10 @@ def main() -> None:
     from demeter_ray.state import lineage
 
     t0 = time.perf_counter()
-    ds = flagship.entry_pipeline(args.sf_dir)
+    key = args.key or {"documents": "doc_id", "events": "event_id"}.get(
+        args.source, f"{args.source.rstrip('s')}_id")
+    ds = flagship.entry_pipeline(args.sf_dir, source=args.source, key=key,
+                                 replicate=args.replicate)
 
     def part_key(batch):
         # salted partition key: the fixture geography piles into one hot

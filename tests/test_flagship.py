@@ -116,3 +116,22 @@ def test_run_to_sink_salted_resumable(ray_session, tiny_fixtures, tmp_path):
     assert got.num_rows == 60
     manifest2 = fl.run_to_sink(tiny_fixtures, out, concurrency=2)
     assert manifest2["skipped"].all()
+
+
+def test_skew_shuffle_salted_unsalted_parity(ray_session):
+    """The salted fan-out (salt in the high key bits + driver merge of
+    salted partials) returns exactly the unsalted per-prefix aggregate —
+    both branches of the skew-stress plan agree (bench --skew measures
+    their scaling, this pins their semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    from demeter_ray.pipelines import flagship
+
+    sf = "/root/testdata/sf0.001"
+    a = flagship.skew_shuffle_pipeline(sf, salt=8, replicate=4, iters=2)
+    b = flagship.skew_shuffle_pipeline(sf, salt=1, replicate=4, iters=2)
+    pd.testing.assert_frame_equal(a[["prefix", "n"]], b[["prefix", "n"]])
+    assert np.allclose(a["s"], b["s"])
+    # Zipfian head: prefix 0 owns half the rows
+    assert int(a.loc[a["prefix"] == 0, "n"].iloc[0]) * 2 == int(a["n"].sum())
