@@ -25,11 +25,42 @@ from demeter_ray.functions import geo
 from demeter_ray.stages.pools import fitted_pool
 
 
+def pack_binary_column(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow (large_)binary column -> (offsets int64, data uint8) numpy
+    views over the Arrow buffers: the broadcast payload is two flat arrays
+    (zero-copy through ray.put), never a per-element Python list."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):  # older pyarrow returns ChunkedArray
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], arr.type)
+    if len(arr) == 0:
+        return np.zeros(1, np.int64), np.empty(0, np.uint8)
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    return offs, data
+
+
+def unpack_binary(offs: np.ndarray, data: np.ndarray) -> list:
+    """(offsets, data) -> per-element memoryview slices (no byte copies;
+    struct.unpack_from in the WKB parser reads them directly)."""
+    mv = memoryview(data)
+    return [mv[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+
+
 class PIPActor:
     """map_batches callable class: polygons parsed + indexed once per actor."""
 
     def __init__(self, polys_ref, res: int = 12, mode: str = "min"):
-        ids, wkbs = ray.get(polys_ref) if not isinstance(polys_ref, tuple) else polys_ref
+        payload = ray.get(polys_ref) if not isinstance(polys_ref, tuple) else polys_ref
+        if len(payload) == 3:  # packed zero-copy form (ids, offsets, data)
+            ids, offs, data = payload
+            wkbs = unpack_binary(offs, data)
+        else:
+            ids, wkbs = payload
         self.index = geo.PolygonIndex(ids, wkbs, res=res)
         self.mode = mode
 
@@ -49,11 +80,13 @@ class PIPActor:
 
 
 def broadcast_fields(fields_table: pa.Table):
-    """ray.put the (ids, wkbs) polygon payload once; actors read it in
-    __init__ — never re-shipped per batch."""
-    ids = fields_table["map_unit_key"].to_pylist()
-    wkbs = fields_table["geom_wkb"].to_pylist()
-    return ray.put((ids, wkbs))
+    """ray.put the polygon payload once; actors read it in __init__ — never
+    re-shipped per batch.  Payload is (ids int64, wkb offsets int64, wkb
+    data uint8): three flat numpy arrays straight off the Arrow buffers, so
+    the object-store hop is zero-copy with no per-element Python objects."""
+    ids = fields_table["map_unit_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    offs, data = pack_binary_column(fields_table["geom_wkb"])
+    return ray.put((ids, offs, data))
 
 
 def pip_join(

@@ -22,6 +22,7 @@ import ray
 import ray.data
 
 from demeter_ray.functions import geo
+from demeter_ray.stages.pip import pack_binary_column, unpack_binary
 from demeter_ray.stages.pools import fitted_pool
 from demeter_ray.stages.knn import field_centroids
 from demeter_ray.stages.sample import load_tiles, sample_tiles_at
@@ -31,21 +32,23 @@ def build_spatial_state(fields_table: pa.Table, raster_tiles=None, rasters=()):
     """Driver-side: assemble the broadcast payload once.
 
     rasters: list of (out_col, dataset, statistic, depth_top) sample specs.
+    The WKB side ships as flat (offsets, data) numpy views over the Arrow
+    buffers — zero-copy into the object store, no per-element Python list.
     """
-    ids = fields_table["map_unit_key"].to_pylist()
-    wkbs = fields_table["geom_wkb"].to_pylist()
+    ids = fields_table["map_unit_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    offs, data = pack_binary_column(fields_table["geom_wkb"])
     cents = field_centroids(fields_table)
     tile_sets = []
     for out_col, dataset, stat, dtop in rasters:
         tile_sets.append((out_col, load_tiles(raster_tiles, dataset, stat, dtop)))
-    return ray.put((ids, wkbs, cents, tile_sets))
+    return ray.put((ids, offs, data, cents, tile_sets))
 
 
 class SpatialEnrichActor:
     def __init__(self, state_ref, pip_res: int = 12, fine_res: int = 12,
                  prefix_res: int = 5, salt: int = 8):
-        ids, wkbs, cents, tile_sets = ray.get(state_ref)
-        self.index = geo.PolygonIndex(ids, wkbs, res=pip_res)
+        ids, offs, data, cents, tile_sets = ray.get(state_ref)
+        self.index = geo.PolygonIndex(ids, unpack_binary(offs, data), res=pip_res)
         self.knn = geo.make_knn(*cents)
         self.tile_sets = tile_sets
         self.fine_res = fine_res

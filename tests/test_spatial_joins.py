@@ -209,3 +209,26 @@ def test_flow_path_length_matches_sequential_walk():
         assert got[node] == steps
     # corner sanity: the SE corner exits in one step
     assert got[(W - 1) * W + (W - 1)] == 1
+
+
+def test_pack_binary_column_zero_copy_roundtrip():
+    """(offsets, data) packing reproduces every WKB blob exactly, including
+    through a sliced/offset Arrow array and the empty column."""
+    import numpy as np
+    import pyarrow as pa
+
+    from demeter_ray.stages.pip import pack_binary_column, unpack_binary
+
+    blobs = [b"alpha", b"", b"\x01\x02\x03\x04", b"tail"]
+    col = pa.chunked_array([pa.array(blobs[:2], pa.binary()),
+                            pa.array(blobs[2:], pa.binary())])
+    offs, data = pack_binary_column(col)
+    assert [bytes(b) for b in unpack_binary(offs, data)] == blobs
+    # sliced array (non-zero Arrow offset)
+    sliced = pa.array(blobs, pa.binary()).slice(1, 2)
+    offs, data = pack_binary_column(sliced)
+    assert [bytes(b) for b in unpack_binary(offs, data)] == blobs[1:3]
+    # empty
+    offs, data = pack_binary_column(pa.array([], pa.binary()))
+    assert unpack_binary(offs, data) == []
+    assert offs.dtype == np.int64
