@@ -269,6 +269,7 @@ def run_skew_leg() -> dict:
 
     salt = int(os.environ.get("SKEW_SALT", "8"))
     replicate = int(os.environ.get("SKEW_REPLICATE", "100"))
+    iters = int(os.environ.get("SKEW_ITERS", "4096"))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
@@ -277,12 +278,14 @@ def run_skew_leg() -> dict:
     from demeter_ray.pipelines import flagship
 
     # untimed warmup (session spawn + page cache), then best of 2
-    flagship.skew_shuffle_pipeline(SF_DIR, salt=salt, replicate=10)
+    flagship.skew_shuffle_pipeline(SF_DIR, salt=salt, replicate=10, iters=iters,
+                                   concurrency=NUM_CPUS)
     best = None
     n_rows = 0
     for _ in range(2):
         t0 = time.perf_counter()
-        out = flagship.skew_shuffle_pipeline(SF_DIR, salt=salt, replicate=replicate)
+        out = flagship.skew_shuffle_pipeline(SF_DIR, salt=salt, replicate=replicate,
+                                             iters=iters, concurrency=NUM_CPUS)
         dt = time.perf_counter() - t0
         n_rows = int(out["n"].sum())
         best = dt if best is None else min(best, dt)
@@ -309,7 +312,7 @@ def run_skew() -> dict:
     hi_n = int(os.environ.get("SCALE_HI", "16"))
     res = {}
     n_rows = 0
-    for label, salt in (("salted", 16), ("unsalted", 1)):
+    for label, salt in (("salted", 32), ("unsalted", 1)):
         lo, hi = leg(lo_n, salt), leg(hi_n, salt)
         n_rows = lo["rows"]
         res[label] = {

