@@ -1,13 +1,16 @@
-"""Deterministic image codec + perceptual hash.
+"""Image codec front-end + perceptual hash.
 
-The sandbox has no PIL/libjpeg, so per the driver contract the *codec* is a
-deterministic stand-in while all the Ray-side plumbing (binary columns, actor
-pools, batch sizing, schema) is real:
+Formats (dispatch on leading magic bytes at decode time):
 
-- ``DRAW`` — lossless: header + raw C-order uint8 HxWxC pixels (PNG stand-in).
-- ``DJPG`` — lossy: uniform quantization with step ``q`` (JPEG stand-in); the
-  reconstruction error is bounded so PSNR >= 40 dB holds for q <= 4, matching
-  the north rule's per-row invariant (BASELINE.json input_hint).
+- ``png`` — REAL PNG bitstreams (functions/png.py: pure numpy + stdlib zlib,
+  CRC-validated chunks, all five filter types on decode).  Lossless, so the
+  north rule's allclose invariant is exact equality.
+- ``jpeg`` — ``DJPG`` lossy stand-in: uniform quantization with step ``q``
+  (the sandbox has no libjpeg; reconstruction error is bounded so
+  PSNR >= 40 dB holds for q <= 4, matching BASELINE.json input_hint).
+- ``draw`` — ``DRAW`` raw frames: header + C-order uint8 HxWxC pixels.
+  Fixed-size and zero-copy decodable; used where a stream needs
+  constant-stride frames (video containers) or zero-copy decode.
 
 ``generate_pixels`` is the shared deterministic pseudo-photo generator
 (pure integer function of the image index — FIXTURES.md §1), used both when
@@ -20,6 +23,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from demeter_ray.functions import png as _png
 
 MAGIC_RAW = b"DRAW"
 MAGIC_LOSSY = b"DJPG"
@@ -38,11 +43,13 @@ def generate_pixels(index: int, w: int, h: int, channels: int = 3) -> np.ndarray
 
 
 def encode(pixels: np.ndarray, fmt: str, q: int = 4) -> bytes:
-    """Encode HxWxC uint8 pixels. fmt 'png' -> DRAW lossless, 'jpeg' -> DJPG
-    quantized with step q."""
+    """Encode HxWxC uint8 pixels.  fmt 'png' -> real PNG (lossless), 'jpeg'
+    -> DJPG quantized with step q, 'draw' -> raw fixed-stride frame."""
     assert pixels.dtype == np.uint8 and pixels.ndim == 3
     h, w, channels = pixels.shape
     if fmt == "png":
+        return _png.encode_png(pixels)
+    if fmt == "draw":
         return struct.pack(_HDR_FMT, MAGIC_RAW, w, h, channels, 0) + pixels.tobytes()
     if fmt == "jpeg":
         quant = (pixels.astype(np.int64) // q).astype(np.uint8)
@@ -51,8 +58,10 @@ def encode(pixels: np.ndarray, fmt: str, q: int = 4) -> bytes:
 
 
 def decode(buf: bytes) -> np.ndarray:
-    """Decode DRAW/DJPG bytes -> HxWxC uint8 array (zero-copy frombuffer for
-    lossless)."""
+    """Decode PNG/DRAW/DJPG bytes -> HxWxC uint8 array (magic dispatch;
+    zero-copy frombuffer for DRAW)."""
+    if bytes(buf[:8]) == _png.PNG_SIG:
+        return _png.decode_png(buf)
     magic, w, h, channels, q = struct.unpack_from(_HDR_FMT, buf, 0)
     body = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE)
     body = body.reshape(h, w, channels)
@@ -66,7 +75,9 @@ def decode(buf: bytes) -> np.ndarray:
 
 
 def header_dims(buf: bytes) -> tuple[int, int]:
-    """(w, h) from a DRAW/DJPG header without decoding the body."""
+    """(w, h) from a PNG/DRAW/DJPG header without decoding the body."""
+    if bytes(buf[:8]) == _png.PNG_SIG:
+        return _png.png_dims(buf)
     _magic, w, h, _channels, _q = struct.unpack_from(_HDR_FMT, buf, 0)
     return w, h
 
@@ -87,10 +98,12 @@ def generate_pixels_batch(indices: np.ndarray, w: int, h: int, channels: int = 3
 
 
 def encode_batch(pixels4d: np.ndarray, fmt: str, q: int = 4) -> list[bytes]:
-    """Vectorized encode of (N,h,w,C) uint8 -> list of blobs (one header+body
-    concat per row; the quantization runs as one array op)."""
+    """Vectorized encode of (N,h,w,C) uint8 -> list of blobs (filtering /
+    quantization run as whole-stack array ops)."""
     n, h, w, channels = pixels4d.shape
     if fmt == "png":
+        return _png.encode_png_batch(pixels4d)
+    if fmt == "draw":
         hdr = struct.pack(_HDR_FMT, MAGIC_RAW, w, h, channels, 0)
         body = pixels4d
     elif fmt == "jpeg":
@@ -110,6 +123,9 @@ def decode_batch(blobs, w: int, h: int, channels: int = 3) -> np.ndarray:
     n = len(blobs)
     out = np.empty((n, h, w, channels), dtype=np.uint8)
     for k, buf in enumerate(blobs):
+        if bytes(buf[:8]) == _png.PNG_SIG:
+            out[k] = _png.decode_png(buf)
+            continue
         magic, bw, bh, bc, q = struct.unpack_from(_HDR_FMT, buf, 0)
         body = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE).reshape(bh, bw, bc)
         if magic == MAGIC_LOSSY:

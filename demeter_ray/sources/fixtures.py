@@ -41,7 +41,7 @@ SCALES = {
 }
 
 FIXTURE_ROOT = "/tmp/demeter_ray_fixtures"
-FIXTURE_VERSION = "14"
+FIXTURE_VERSION = "15"
 
 
 def fixture_dir(scale: str) -> str:

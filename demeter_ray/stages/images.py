@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray.data
 
 from demeter_ray.functions import codec
+from demeter_ray.functions import png as _png
 from demeter_ray.functions.hashing import hamming64, hamming64_pairwise
 
 
@@ -262,19 +263,23 @@ class TransformActor:
 
 
 def sample_frames(video_bytes: bytes, every: int = 2) -> list[np.ndarray]:
-    """Frame sampling over a synthetic multi-frame container: the blob is a
-    concatenation of DRAW/DJPG frames; take every ``every``-th frame.  (The
-    container format is the deterministic stand-in; the sampling plumbing —
-    offsets, stride, per-frame decode — is the real pattern.)"""
+    """Frame sampling over a multi-frame container: the blob is a
+    concatenation of encoded frames — real PNGs (self-delimiting via chunk
+    walk to IEND) or fixed-stride DRAW/DJPG.  Take every ``every``-th frame;
+    the sampling plumbing — offsets, variable stride, per-frame decode — is
+    the real pattern."""
     frames = []
     off = 0
     idx = 0
     n = len(video_bytes)
     while off < n:
-        import struct as _struct
+        if video_bytes[off : off + 8] == _png.PNG_SIG:
+            size = _png.png_frame_size(video_bytes, off)
+        else:
+            import struct as _struct
 
-        magic, w, h, c, q = _struct.unpack_from(codec._HDR_FMT, video_bytes, off)
-        size = codec._HDR_SIZE + w * h * c
+            magic, w, h, c, q = _struct.unpack_from(codec._HDR_FMT, video_bytes, off)
+            size = codec._HDR_SIZE + w * h * c
         if idx % every == 0:
             frames.append(codec.decode(video_bytes[off : off + size]))
         off += size

@@ -1,0 +1,152 @@
+"""Real PNG codec (functions/png.py): spec-structure, filters, dispatch.
+
+The decoder is validated against *independently constructed* bitstreams —
+a hand-filtered mixed-filter scanline stream (including Average and Paeth,
+which our encoder never emits) and a hand-built stored-deflate IDAT that
+bypasses zlib.compress entirely — not just against our own encoder.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from demeter_ray.functions import codec, png
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def test_roundtrip_all_shapes_and_filters():
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1, 1), (5, 3, 3), (48, 32, 3), (17, 29, 4), (64, 64, 1), (2, 2, 2)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in (0, 1, 2):
+            buf = png.encode_png(px, filter_type=ft)
+            assert buf[:8] == png.PNG_SIG
+            out = png.decode_png(buf)
+            assert out.shape == px.shape and np.array_equal(out, px)
+            assert png.png_dims(buf) == (shape[1], shape[0])
+            assert png.png_frame_size(buf) == len(buf)
+
+
+def test_decode_mixed_filters_including_average_and_paeth():
+    # Hand-filter a 6x5 RGB image with filter types [0,1,2,3,4,3] using an
+    # independent scalar reference implementation of the PNG filter spec.
+    rng = np.random.default_rng(11)
+    h, w, c = 6, 5, 3
+    raw = rng.integers(0, 256, size=(h, w * c), dtype=np.uint8)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    scan = []
+    prev = np.zeros(w * c, np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4, 3]):
+        r = raw[y].astype(np.int64)
+        row = np.zeros(w * c, np.int64)
+        for x in range(w * c):
+            a = r[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            pred = [0, a, b, (a + b) // 2, paeth(a, b, cc)][f]
+            row[x] = (r[x] - pred) % 256
+        scan.append(bytes([f]) + bytes(row.astype(np.uint8)))
+        prev = r
+    buf = (
+        png.PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(scan)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png.decode_png(buf).reshape(h, w * c), raw)
+
+
+def test_decode_hand_built_stored_deflate():
+    # IDAT built by hand as a stored (uncompressed) deflate block — the
+    # decoder must read a bitstream our encoder could never have produced.
+    data = b"\x00" + bytes(range(15))  # filter 0 + one 5px RGB row
+    stored = (
+        b"\x78\x01\x01"
+        + struct.pack("<HH", len(data), 0xFFFF ^ len(data))
+        + data
+        + struct.pack(">I", zlib.adler32(data))
+    )
+    buf = (
+        png.PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 1, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", stored)
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png.decode_png(buf).ravel(), np.arange(15, dtype=np.uint8))
+
+
+def test_crc_and_structure_errors():
+    px = codec.generate_pixels(3, 16, 16)
+    buf = bytearray(png.encode_png(px))
+    buf[30] ^= 0xFF  # corrupt inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(buf))
+    with pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"nope" + bytes(buf))
+    # interlaced + palette + 16-bit are rejected loudly
+    for ihdr, msg in [
+        (struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1), "interlace"),
+        (struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), "color type"),
+        (struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0), "bit depth"),
+    ]:
+        bad = (
+            png.PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match=msg):
+            png.decode_png(bad)
+
+
+def test_ancillary_chunks_skipped():
+    px = codec.generate_pixels(5, 8, 8)
+    buf = png.encode_png(px)
+    # splice a tEXt chunk between IHDR and IDAT
+    ihdr_end = 8 + 12 + 13
+    spliced = buf[:ihdr_end] + _chunk(b"tEXt", b"Comment\x00hi") + buf[ihdr_end:]
+    assert np.array_equal(png.decode_png(spliced), px)
+
+
+def test_codec_dispatch_and_batches():
+    px4 = codec.generate_pixels_batch(np.arange(4), 16, 16)
+    blobs = codec.encode_batch(px4, "png")
+    assert all(b[:8] == png.PNG_SIG for b in blobs)
+    assert np.array_equal(codec.decode_batch(blobs, 16, 16), px4)
+    assert codec.header_dims(blobs[0]) == (16, 16)
+    assert codec.encode_batch(np.zeros((0, 16, 16, 3), np.uint8), "png") == []
+    # draw stays the fixed-stride raw format
+    d = codec.encode(px4[0], "draw")
+    assert d[:4] == codec.MAGIC_RAW
+    assert np.array_equal(codec.decode(d), px4[0])
+    # mixed-format batch decodes per-blob
+    mixed = [blobs[0], codec.encode(px4[1], "draw"), blobs[2], codec.encode(px4[3], "jpeg")]
+    out = codec.decode_batch(mixed, 16, 16)
+    assert np.array_equal(out[0], px4[0]) and np.array_equal(out[1], px4[1])
+    assert codec.psnr(out[3], px4[3]) >= 40.0
+
+
+def test_video_container_with_real_png_frames():
+    from demeter_ray.stages.images import sample_frames
+
+    frames_in = [codec.generate_pixels(i, 8, 8) for i in range(6)]
+    blob = b"".join(codec.encode(f, "png") for f in frames_in)
+    sampled = sample_frames(blob, every=2)
+    assert len(sampled) == 3
+    for j, f in enumerate(sampled):
+        assert np.array_equal(f, frames_in[2 * j])
