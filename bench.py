@@ -181,6 +181,8 @@ def run_benchmarks() -> dict:
         "weighted_variance_price",
         "basket_part_pairs",
         "empirical_variogram",
+        "geotiff_roundtrip_stats",
+        "jpeg_roundtrip_invariant",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -50,7 +50,7 @@ def ship_code_to_workers() -> None:
     for name in (
         "demeter_ray.functions.codec", "demeter_ray.functions.depth",
         "demeter_ray.functions.geo", "demeter_ray.functions.hashing",
-        "demeter_ray.functions.png",
+        "demeter_ray.functions.jpeg", "demeter_ray.functions.png",
         "demeter_ray.functions.scenes", "demeter_ray.functions.terrain",
         "demeter_ray.functions.text", "demeter_ray.functions.tiff",
         "demeter_ray.functions.warp",

@@ -5,9 +5,15 @@ Formats (dispatch on leading magic bytes at decode time):
 - ``png`` — REAL PNG bitstreams (functions/png.py: pure numpy + stdlib zlib,
   CRC-validated chunks, all five filter types on decode).  Lossless, so the
   north rule's allclose invariant is exact equality.
-- ``jpeg`` — ``DJPG`` lossy stand-in: uniform quantization with step ``q``
-  (the sandbox has no libjpeg; reconstruction error is bounded so
-  PSNR >= 40 dB holds for q <= 4, matching BASELINE.json input_hint).
+- ``jpeg`` — REAL baseline JFIF bitstreams (functions/jpeg.py: pure
+  numpy/stdlib T.81 — FDCT, zigzag, Huffman entropy coding, in-file
+  DQT/DHT).  Roundtrip PSNR ~45 dB at the default table, above the north
+  rule's 40 dB bar.
+- ``djpg`` — lossy stand-in: uniform quantization with step ``q``.  Kept
+  for (a) SQL oracles that recompute the reconstruction (``v//q*q + q//2``
+  is expressible in SQL; a DCT is not) and (b) high-throughput bulk rows
+  where the real entropy decode would dominate a benchmark stage — the
+  documented split lives in SURVEY.md and the images fixture.
 - ``draw`` — ``DRAW`` raw frames: header + C-order uint8 HxWxC pixels.
   Fixed-size and zero-copy decodable; used where a stream needs
   constant-stride frames (video containers) or zero-copy decode.
@@ -24,6 +30,7 @@ import struct
 
 import numpy as np
 
+from demeter_ray.functions import jpeg as _jpeg
 from demeter_ray.functions import png as _png
 
 MAGIC_RAW = b"DRAW"
@@ -49,9 +56,11 @@ def encode(pixels: np.ndarray, fmt: str, q: int = 4) -> bytes:
     h, w, channels = pixels.shape
     if fmt == "png":
         return _png.encode_png(pixels)
+    if fmt == "jpeg":
+        return _jpeg.encode_jpeg(pixels)
     if fmt == "draw":
         return struct.pack(_HDR_FMT, MAGIC_RAW, w, h, channels, 0) + pixels.tobytes()
-    if fmt == "jpeg":
+    if fmt == "djpg":
         quant = (pixels.astype(np.int64) // q).astype(np.uint8)
         return struct.pack(_HDR_FMT, MAGIC_LOSSY, w, h, channels, q) + quant.tobytes()
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -62,6 +71,8 @@ def decode(buf: bytes) -> np.ndarray:
     zero-copy frombuffer for DRAW)."""
     if bytes(buf[:8]) == _png.PNG_SIG:
         return _png.decode_png(buf)
+    if bytes(buf[:2]) == _jpeg.SOI:
+        return _jpeg.decode_jpeg(buf)
     magic, w, h, channels, q = struct.unpack_from(_HDR_FMT, buf, 0)
     body = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE)
     body = body.reshape(h, w, channels)
@@ -78,6 +89,8 @@ def header_dims(buf: bytes) -> tuple[int, int]:
     """(w, h) from a PNG/DRAW/DJPG header without decoding the body."""
     if bytes(buf[:8]) == _png.PNG_SIG:
         return _png.png_dims(buf)
+    if bytes(buf[:2]) == _jpeg.SOI:
+        return _jpeg.jpeg_dims(buf)
     _magic, w, h, _channels, _q = struct.unpack_from(_HDR_FMT, buf, 0)
     return w, h
 
@@ -103,10 +116,12 @@ def encode_batch(pixels4d: np.ndarray, fmt: str, q: int = 4) -> list[bytes]:
     n, h, w, channels = pixels4d.shape
     if fmt == "png":
         return _png.encode_png_batch(pixels4d)
+    if fmt == "jpeg":
+        return _jpeg.encode_jpeg_batch(pixels4d)
     if fmt == "draw":
         hdr = struct.pack(_HDR_FMT, MAGIC_RAW, w, h, channels, 0)
         body = pixels4d
-    elif fmt == "jpeg":
+    elif fmt == "djpg":
         hdr = struct.pack(_HDR_FMT, MAGIC_LOSSY, w, h, channels, q)
         body = (pixels4d.astype(np.int64) // q).astype(np.uint8)
     else:
@@ -125,6 +140,9 @@ def decode_batch(blobs, w: int, h: int, channels: int = 3) -> np.ndarray:
     for k, buf in enumerate(blobs):
         if bytes(buf[:8]) == _png.PNG_SIG:
             out[k] = _png.decode_png(buf)
+            continue
+        if bytes(buf[:2]) == _jpeg.SOI:
+            out[k] = _jpeg.decode_jpeg(buf)
             continue
         magic, bw, bh, bc, q = struct.unpack_from(_HDR_FMT, buf, 0)
         body = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE).reshape(bh, bw, bc)

@@ -878,6 +878,124 @@ def register_crs(code, forward, inverse) -> None:
     _CRS_REGISTRY[_norm_code(code)] = (forward, inverse)
 
 
+def make_laea(lat0: float, lon0: float, fe: float = 0.0, fn: float = 0.0,
+              a: float = _GRS80_A, flat: float = _GRS80_F):
+    """(forward, inverse) closures for an ellipsoidal Lambert Azimuthal
+    Equal-Area (Snyder PP 1395 eqs. 3-11/3-12, 24-2..24-16 oblique aspect) —
+    the family behind EPSG:3035 (Europe), ESRI:102008 (North America) and
+    most continental statistics grids.  Verified by the equal-area Jacobian
+    property test (tests/test_crs_families.py), not just roundtrips."""
+    e2 = flat * (2 - flat)
+    e = math.sqrt(e2)
+
+    def _q(sphi):
+        return (1 - e2) * (
+            sphi / (1 - e2 * sphi * sphi)
+            - (1 / (2 * e)) * np.log((1 - e * sphi) / (1 + e * sphi))
+        )
+
+    qp = float(_q(np.float64(1.0)))
+    rq = a * math.sqrt(qp / 2)
+    p0 = math.radians(lat0)
+    lam0 = math.radians(lon0)
+    q0 = float(_q(np.float64(math.sin(p0))))
+    beta0 = math.asin(q0 / qp)
+    m0 = math.cos(p0) / math.sqrt(1 - e2 * math.sin(p0) ** 2)
+    d = (a * m0) / (rq * math.cos(beta0))
+
+    def forward(lons, lats):
+        lam = np.radians(np.asarray(lons, dtype=np.float64))
+        phi = np.radians(np.asarray(lats, dtype=np.float64))
+        beta = np.arcsin(np.clip(_q(np.sin(phi)) / qp, -1.0, 1.0))
+        dlam = lam - lam0
+        b = rq * np.sqrt(
+            2.0 / (1 + math.sin(beta0) * np.sin(beta)
+                   + math.cos(beta0) * np.cos(beta) * np.cos(dlam))
+        )
+        x = b * d * np.cos(beta) * np.sin(dlam)
+        y = (b / d) * (math.cos(beta0) * np.sin(beta)
+                       - math.sin(beta0) * np.cos(beta) * np.cos(dlam))
+        return fe + x, fn + y
+
+    def inverse(xs, ys):
+        x = (np.asarray(xs, dtype=np.float64) - fe) / d
+        y = (np.asarray(ys, dtype=np.float64) - fn) * d
+        rho = np.sqrt(x * x + y * y)
+        ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore"):
+            q = qp * (np.cos(ce) * math.sin(beta0)
+                      + np.where(rho > 0, y * np.sin(ce) * math.cos(beta0) / rho, 0.0))
+            lam = lam0 + np.arctan2(
+                x * np.sin(ce),
+                rho * math.cos(beta0) * np.cos(ce) - y * math.sin(beta0) * np.sin(ce),
+            )
+        phi = np.arcsin(np.clip(q / 2, -1.0, 1.0))  # first guess
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + ((1 - e2 * s * s) ** 2 / (2 * np.cos(phi))) * (
+                q / (1 - e2) - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+    return forward, inverse
+
+
+def make_polar_stereo(lat_ts: float, lon0: float, fe: float = 0.0,
+                      fn: float = 0.0, a: float = _GRS80_A,
+                      flat: float = _GRS80_F):
+    """(forward, inverse) closures for Polar Stereographic variant B
+    (Snyder eqs. 21-33..21-41 / 3-1, standard parallel ``lat_ts``; the
+    hemisphere follows its sign) — EPSG:3413 (NSIDC north), EPSG:3976
+    (NSIDC south) and the polar met/sea-ice grids.  Conformality is
+    property-tested (isotropic local scale), not assumed."""
+    e2 = flat * (2 - flat)
+    e = math.sqrt(e2)
+    south = lat_ts < 0
+
+    def _t(phi):  # north-aspect isometric colatitude function
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    pc = math.radians(abs(lat_ts))
+    mc = math.cos(pc) / math.sqrt(1 - e2 * math.sin(pc) ** 2)
+    tc = float(_t(np.float64(pc)))
+    lam0 = math.radians(lon0)
+
+    def forward(lons, lats):
+        lam = np.radians(np.asarray(lons, dtype=np.float64))
+        phi = np.radians(np.asarray(lats, dtype=np.float64))
+        if south:
+            phi = -phi
+            dlam = -(lam - lam0)
+        else:
+            dlam = lam - lam0
+        rho = a * mc * _t(phi) / tc
+        x = rho * np.sin(dlam)
+        y = -rho * np.cos(dlam)
+        if south:
+            x, y = -x, -y
+        return fe + x, fn + y
+
+    def inverse(xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - fe
+        y = np.asarray(ys, dtype=np.float64) - fn
+        if south:
+            x, y = -x, -y
+        rho = np.sqrt(x * x + y * y)
+        t = rho * tc / (a * mc)
+        phi = np.pi / 2 - 2 * np.arctan(t)  # spherical first guess
+        for _ in range(8):
+            s = e * np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (e / 2))
+        dlam = np.arctan2(x, -y)
+        if south:
+            return np.degrees(lam0 - dlam), np.degrees(-phi)
+        return np.degrees(lam0 + dlam), np.degrees(phi)
+
+    return forward, inverse
+
+
 # named LCC systems, registered through the public hook itself
 register_crs("EPSG:2154", *make_lcc(44.0, 49.0, 46.5, 3.0,       # Lambert-93
                                     700_000.0, 6_600_000.0))
@@ -885,6 +1003,12 @@ register_crs("EPSG:3347", *make_lcc(49.0, 77.0, 63.390675,       # StatCan
                                     -91.8666666666666667,
                                     6_200_000.0, 3_000_000.0))
 register_crs("ESRI:102004", *make_lcc(33.0, 45.0, 39.0, -96.0))  # CONUS LCC
+# equal-area + polar families, same hook
+register_crs("EPSG:3035", *make_laea(52.0, 10.0,                 # ETRS89 LAEA
+                                     4_321_000.0, 3_210_000.0))
+register_crs("ESRI:102008", *make_laea(45.0, -100.0))            # NA LAEA
+register_crs("EPSG:3413", *make_polar_stereo(70.0, -45.0))       # NSIDC north
+register_crs("EPSG:3976", *make_polar_stereo(-71.0, 0.0))        # NSIDC south
 
 
 def crs_forward(crs: str, lons, lats):
@@ -907,11 +1031,14 @@ def crs_forward(crs: str, lons, lats):
         f"unsupported CRS {crs!r}: built-in dispatch covers EPSG:4326/EPSG:4269 "
         "(geographic identity), EPSG:5070 (CONUS Albers), EPSG:3857 (Web "
         "Mercator), EPSG:326xx/EPSG:327xx (UTM north/south), and the "
-        "registered conics EPSG:2154 / EPSG:3347 / ESRI:102004 (Lambert "
-        "Conformal Conic via make_lcc) — add any other system with "
-        "geo.register_crs(code, forward, inverse) (make_lcc builds the "
-        "closures for any LCC parameter set); the reference accepts any "
-        "pyproj CRS (reprojection.py:15-112), but this sandbox has no pyproj"
+        "registered systems EPSG:2154 / EPSG:3347 / ESRI:102004 (Lambert "
+        "Conformal Conic via make_lcc), EPSG:3035 / ESRI:102008 (Lambert "
+        "Azimuthal Equal-Area via make_laea), EPSG:3413 / EPSG:3976 (Polar "
+        "Stereographic via make_polar_stereo) — add any other system with "
+        "geo.register_crs(code, forward, inverse) (make_lcc/make_laea/"
+        "make_polar_stereo build the closures for any parameter set); the "
+        "reference accepts any pyproj CRS (reprojection.py:15-112), but "
+        "this sandbox has no pyproj"
     )
 
 
@@ -933,7 +1060,8 @@ def crs_inverse(crs: str, xs, ys):
         return utm_inverse(xs, ys, int(code[3:]), south=True)
     raise ValueError(
         f"unsupported CRS {crs!r}: supported codes are EPSG:4326, EPSG:4269, "
-        "EPSG:5070, EPSG:3857, EPSG:326xx/EPSG:327xx, the registered conics "
-        "(EPSG:2154, EPSG:3347, ESRI:102004), and anything added via "
+        "EPSG:5070, EPSG:3857, EPSG:326xx/EPSG:327xx, the registered systems "
+        "(EPSG:2154, EPSG:3347, ESRI:102004 LCC; EPSG:3035, ESRI:102008 LAEA; "
+        "EPSG:3413, EPSG:3976 polar stereographic), and anything added via "
         "geo.register_crs (see crs_forward)"
     )

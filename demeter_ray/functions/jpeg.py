@@ -1,0 +1,513 @@
+"""Real baseline JPEG codec (ITU-T T.81 / JFIF) in pure numpy + stdlib.
+
+Round-4 verdict "What's missing #3" second half: real JPEG bitstreams to
+replace the DJPG quantization stand-in.  This emits and parses genuine
+baseline sequential JPEG — SOI/APP0/DQT/SOF0/DHT/SOS/EOI segments, 8x8
+FDCT/IDCT, zigzag, run-length + Huffman entropy coding with 0xFF byte
+stuffing — decodable by any standard JPEG reader.
+
+Scope (fail-loud outside it): baseline DCT (SOF0), 8-bit precision,
+grayscale or YCbCr 4:4:4 (sampling factors 1x1 — no chroma subsampling,
+which is what keeps PSNR comfortably above the north rule's 40 dB bar).
+The decoder reads ANY Huffman/quant tables from the file's DHT/DQT
+segments, so it is not restricted to our own encoder's choices.
+
+Table choices (all carried in-file, so fully spec-compliant):
+- Quantization: a smooth frequency ramp ``1 + (i+j)//2`` scaled by the
+  ``quality`` knob — expected MSE ~1.7 at scale 1 => PSNR ~45 dB on
+  noise-like content (the Annex K tables are only *examples* in T.81).
+- Huffman: canonical fixed-length codes declared in DHT — 4-bit codes for
+  the 12 DC categories, 8-bit codes for the 162 AC run/size symbols.
+  Both satisfy Kraft and avoid the reserved all-ones codeword.  Fixed
+  lengths trade a little compression for a fully vectorizable bit-packer.
+
+Reference parity: the reference decodes imagery via rasterio/PIL
+(/root/reference/demeter/raster/__init__.py:36-47); this is the
+from-scratch equivalent for the lossy half of the image payload axis.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+SOI = b"\xff\xd8"
+EOI = b"\xff\xd9"
+
+
+def _zigzag_order() -> np.ndarray:
+    """Natural index for each zigzag position (generated, not memorized)."""
+    order = []
+    for d in range(15):
+        cells = [(i, d - i) for i in range(8) if 0 <= d - i < 8]
+        if d % 2 == 0:
+            cells = cells[::-1]  # even diagonals run bottom-left -> top-right
+        order.extend(i * 8 + j for i, j in cells)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()  # zigzag position -> natural position
+UNZIGZAG = np.argsort(ZIGZAG)  # natural position -> zigzag position
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix T: T @ B @ T.T == the T.81 FDCT."""
+    k = np.arange(8, dtype=np.float64)[:, None]
+    n = np.arange(8, dtype=np.float64)[None, :]
+    t = np.sqrt(2.0 / 8.0) * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    t[0] = np.sqrt(1.0 / 8.0)
+    return t
+
+
+_DCT = _dct_matrix()
+
+
+def quant_table(scale: float = 1.0) -> np.ndarray:
+    """Frequency-ramp quantization table ``clip(round((1+(i+j)//4)*scale))``.
+    At scale 1 the expected roundtrip PSNR is ~45 dB on noise-like content —
+    comfortable margin over the north rule's 40 dB per-row invariant."""
+    i = np.arange(8)[:, None]
+    j = np.arange(8)[None, :]
+    base = 1 + (i + j) // 4
+    return np.clip(np.round(base * scale), 1, 255).astype(np.int64)
+
+
+# --- canonical Huffman tables (declared in DHT; fixed code lengths) ---------
+
+_DC_SYMBOLS = np.arange(12, dtype=np.uint8)  # categories 0..11, 4-bit codes
+_AC_SYMBOLS = np.array(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+    dtype=np.uint8,
+)  # EOB, ZRL, then run/size — 162 symbols, 8-bit codes
+
+_DC_CODE = {int(s): (i, 4) for i, s in enumerate(_DC_SYMBOLS)}
+_AC_CODE = {int(s): (i, 8) for i, s in enumerate(_AC_SYMBOLS)}
+
+
+def _dht_payload() -> bytes:
+    """One DHT segment carrying both tables (class 0 id 0, class 1 id 0)."""
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # twelve 4-bit codes
+    ac_bits = [0] * 16
+    ac_bits[7] = 162  # 162 8-bit codes
+    return (
+        bytes([0x00]) + bytes(dc_bits) + _DC_SYMBOLS.tobytes()
+        + bytes([0x10]) + bytes(ac_bits) + _AC_SYMBOLS.tobytes()
+    )
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+# --- color transform (BT.601 full-range, the JFIF convention) ---------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+# --- bit packing (vectorized) ------------------------------------------------
+
+
+def _pack_bits(values: np.ndarray, nbits: np.ndarray) -> bytes:
+    """MSB-first pack of (value, nbits) pairs -> byte-stuffed entropy data."""
+    values = values.astype(np.int64)
+    nbits = nbits.astype(np.int64)
+    keep = nbits > 0
+    values, nbits = values[keep], nbits[keep]
+    total = int(nbits.sum())
+    if total == 0:
+        return b""
+    ends = np.cumsum(nbits)
+    starts = ends - nbits
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, nbits)
+    vals = np.repeat(values, nbits)
+    nb = np.repeat(nbits, nbits)
+    bits = ((vals >> (nb - 1 - j)) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])  # 1-fill per spec
+    data = np.packbits(bits)
+    stuff = np.flatnonzero(data == 0xFF) + 1
+    if stuff.size:
+        data = np.insert(data, stuff, 0)
+    return data.tobytes()
+
+
+def _bit_length(v: np.ndarray) -> np.ndarray:
+    """Category (number of magnitude bits) of each value, vectorized."""
+    out = np.zeros(v.shape, dtype=np.int64)
+    a = np.abs(v.astype(np.int64))
+    nz = a > 0
+    out[nz] = np.floor(np.log2(a[nz])).astype(np.int64) + 1
+    return out
+
+
+# --- encoder -----------------------------------------------------------------
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H,W) float plane -> (nblocks, 64) quantized zigzag coefficients, with
+    blocks in raster order.  H and W must already be multiples of 8."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coef = np.einsum("ij,njk,lk->nil", _DCT, blocks - 128.0, _DCT)
+    qz = np.round(coef / q).astype(np.int64)
+    return qz.reshape(-1, 64)[:, ZIGZAG]
+
+
+def encode_jpeg(pixels: np.ndarray, quality: float = 1.0) -> bytes:
+    """HxWx3 (RGB) or HxWx1 / HxW (gray) uint8 -> baseline JFIF bytes.
+
+    ``quality`` scales the ramp quantization table (1.0 => PSNR ~45 dB;
+    larger = coarser).  Sampling is 4:4:4 (no chroma subsampling).
+    """
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError(f"jpeg encode needs uint8, got {px.dtype}")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError(f"jpeg encode needs HxWx1 or HxWx3, got {px.shape}")
+    h, w, ncomp = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("jpeg encode needs non-empty image")
+    # pad to multiples of 8 by edge replication
+    ph, pw = (-h) % 8, (-w) % 8
+    fpx = px.astype(np.float64)
+    if ph or pw:
+        fpx = np.pad(fpx, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    planes = (
+        [fpx[:, :, 0]] if ncomp == 1 else list(np.moveaxis(_rgb_to_ycbcr(fpx), -1, 0))
+    )
+    q = quant_table(quality)
+    zz = [_fdct_quant(p, q) for p in planes]  # per comp: (nblocks, 64)
+    nblocks = zz[0].shape[0]
+
+    vals: list[int] = []
+    bits: list[int] = []
+    pred = [0] * ncomp
+    dc_code, ac_code = _DC_CODE, _AC_CODE
+    for b in range(nblocks):  # MCU order == raster block order at 4:4:4
+        for comp in range(ncomp):
+            row = zz[comp][b]
+            dc = int(row[0])
+            diff = dc - pred[comp]
+            pred[comp] = dc
+            s = int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
+            code, ln = dc_code[s]
+            vals.append(code)
+            bits.append(ln)
+            if s:
+                mag = diff if diff >= 0 else diff + (1 << s) - 1
+                vals.append(mag)
+                bits.append(s)
+            ac = row[1:]
+            nz = np.flatnonzero(ac)
+            prev = -1
+            for pos in nz:
+                run = int(pos) - prev - 1
+                while run >= 16:
+                    code, ln = ac_code[0xF0]
+                    vals.append(code)
+                    bits.append(ln)
+                    run -= 16
+                v = int(ac[pos])
+                s = v.bit_length() if v >= 0 else (-v).bit_length()
+                code, ln = ac_code[(run << 4) | s]
+                vals.append(code)
+                bits.append(ln)
+                vals.append(v if v >= 0 else v + (1 << s) - 1)
+                bits.append(s)
+                prev = int(pos)
+            if len(nz) == 0 or nz[-1] != 62:
+                code, ln = ac_code[0x00]
+                vals.append(code)
+                bits.append(ln)
+    scan = _pack_bits(np.array(vals, dtype=np.int64), np.array(bits, dtype=np.int64))
+
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    dqt = bytes([0x00]) + q.ravel()[ZIGZAG].astype(np.uint8).tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+    )
+    sos = bytes([ncomp]) + b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
+    sos += bytes([0, 63, 0])
+    return (
+        SOI
+        + _seg(0xE0, app0)
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, _dht_payload())
+        + _seg(0xDA, sos)
+        + scan
+        + EOI
+    )
+
+
+def encode_jpeg_batch(pixels4d: np.ndarray, quality: float = 1.0) -> list[bytes]:
+    """(N,h,w,C) uint8 -> list of JPEG blobs (entropy coding is per-image)."""
+    px = np.asarray(pixels4d)
+    if px.ndim != 4:
+        raise ValueError(f"expected (N,h,w,C), got {px.shape}")
+    return [encode_jpeg(px[k], quality) for k in range(px.shape[0])]
+
+
+# --- decoder -----------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical Huffman decoder built from a DHT (BITS + HUFFVAL), compiled
+    to a 16-bit-window lookup table: one list index replaces the per-bit
+    walk (codes are at most 16 bits, so a 16-bit peek always disambiguates)."""
+
+    def __init__(self, bits: np.ndarray, huffval: np.ndarray):
+        lut = [None] * 65536  # (symbol, codelen) per 16-bit window
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(int(bits[ln - 1])):
+                lo = code << (16 - ln)
+                entry = (int(huffval[k]), ln)
+                for wdw in range(lo, lo + (1 << (16 - ln))):
+                    lut[wdw] = entry
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut = lut
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed scan bytes: a Python-int buffer,
+    refilled in 8-byte gulps; past end-of-stream it pads with 1 bits (the
+    spec's fill value) so a trailing EOB parses cleanly."""
+
+    __slots__ = ("data", "pos", "buf", "cnt")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.cnt = 0
+
+    def _fill(self, need: int) -> None:
+        self.buf &= (1 << self.cnt) - 1  # trim consumed high bits (keep the int small)
+        while self.cnt < need:
+            chunk = self.data[self.pos : self.pos + 8]
+            if chunk:
+                self.buf = (self.buf << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                self.cnt += 8 * len(chunk)
+                self.pos += len(chunk)
+            else:
+                self.buf = (self.buf << 16) | 0xFFFF  # 1-fill past stream end
+                self.cnt += 16
+
+    def read_symbol(self, table: _HuffTable) -> int:
+        if self.cnt < 16:
+            self._fill(16)
+        wdw = (self.buf >> (self.cnt - 16)) & 0xFFFF
+        entry = table.lut[wdw]
+        if entry is None:
+            raise ValueError("bad Huffman code in JPEG scan")
+        sym, ln = entry
+        self.cnt -= ln
+        return sym
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        if self.cnt < s:
+            self._fill(s)
+        v = (self.buf >> (self.cnt - s)) & ((1 << s) - 1)
+        self.cnt -= s
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+
+def jpeg_dims(buf: bytes) -> tuple[int, int]:
+    """(w, h) from the SOF0 header without decoding the scan."""
+    pos = 2
+    n = len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = buf[pos + 1]
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        if marker == 0xC0:
+            _prec, h, w = struct.unpack_from(">BHH", buf, pos + 4)
+            return w, h
+        pos += 2 + ln
+    raise ValueError("no SOF0 in JPEG")
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> HxWxC uint8 (C = 1 or 3).  Reads quant and
+    Huffman tables from the file; requires SOF0, 8-bit, 1x1 sampling."""
+    if bytes(buf[:2]) != SOI:
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    n = len(buf)
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    sof = None
+    comps = []  # (id, qtab)
+    scan_comps = []  # (comp_index, dc_table, ac_table)
+    scan_start = None
+    while pos + 2 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        seg = buf[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0x0F
+                s += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[s : s + 64], dtype=np.uint8).astype(np.int64)
+                    s += 64
+                else:
+                    tbl = np.frombuffer(seg[s : s + 128], dtype=">u2").astype(np.int64)
+                    s += 128
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = tbl  # DQT entries arrive in zigzag order
+                qtables[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0x0F
+                s += 1
+                bits = np.frombuffer(seg[s : s + 16], dtype=np.uint8)
+                s += 16
+                cnt = int(bits.sum())
+                huffval = np.frombuffer(seg[s : s + cnt], dtype=np.uint8)
+                s += cnt
+                htables[(tc, th)] = _HuffTable(bits, huffval)
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("unsupported JPEG sampling (only 4:4:4 / 1x1)")
+                comps.append((cid, tq))
+            sof = (h, w, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG SOF marker 0x{marker:02x} (baseline only)")
+        elif marker == 0xDD:
+            raise ValueError("JPEG restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
+                idx = next(i for i, (id2, _) in enumerate(comps) if id2 == cid)
+                scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, nc = sof
+    # find EOI and unstuff the entropy data
+    raw = np.frombuffer(buf, dtype=np.uint8, offset=scan_start)
+    ff = raw == 0xFF
+    nxt = np.zeros_like(ff)
+    nxt[:-1] = raw[1:] == 0xD9
+    eoi_candidates = np.flatnonzero(ff & nxt)
+    # skip stuffed FF00 pairs when locating EOI
+    end = None
+    for c in eoi_candidates:
+        # count is fine: stuffed pairs are FF 00, never FF D9
+        end = int(c)
+        break
+    if end is None:
+        raise ValueError("JPEG missing EOI")
+    scan_bytes = raw[:end]
+    is_ff = scan_bytes == 0xFF
+    follows = np.zeros(len(scan_bytes), dtype=np.uint8)
+    follows[:-1] = scan_bytes[1:]
+    if end > 0 and is_ff[-1]:
+        follows[-1] = 0xD9  # the located EOI
+    bad = is_ff & (follows != 0x00) & (follows != 0xD9)
+    if bad.any():
+        raise ValueError("unexpected marker inside JPEG scan (restart markers unsupported)")
+    stuffed_zero = np.zeros(len(scan_bytes), dtype=bool)
+    stuffed_zero[1:] = is_ff[:-1] & (scan_bytes[1:] == 0x00)
+    scan_bytes = scan_bytes[~stuffed_zero]
+    reader = _BitReader(scan_bytes.tobytes())
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    nblocks = bh * bw
+    coefs = [np.zeros((nblocks, 64), dtype=np.float64) for _ in range(nc)]
+    pred = [0] * nc
+    tables = [
+        (ci, htables[(0, dc_t)], htables[(1, ac_t)]) for ci, dc_t, ac_t in scan_comps
+    ]
+    for b in range(nblocks):
+        for ci, dct, act in tables:
+            s = reader.read_symbol(dct)
+            pred[ci] += reader.receive_extend(s)
+            block = coefs[ci][b]
+            block[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = reader.read_symbol(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient overflow")
+                block[k] = reader.receive_extend(s)
+                k += 1
+    planes = []
+    for ci in range(nc):
+        q = qtables[comps[ci][1]]
+        nat = np.empty((nblocks, 64), dtype=np.float64)
+        nat[:, ZIGZAG] = coefs[ci]
+        blocks = nat.reshape(nblocks, 8, 8) * q
+        spat = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT) + 128.0
+        plane = (
+            spat.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        planes.append(plane[:h, :w])
+    if nc == 1:
+        out = planes[0][:, :, None]
+    else:
+        out = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_batch(blobs) -> np.ndarray:
+    """N same-shaped JPEG blobs -> (N,h,w,C) uint8."""
+    out = None
+    for k, b in enumerate(blobs):
+        px = decode_jpeg(b)
+        if out is None:
+            out = np.empty((len(blobs),) + px.shape, dtype=np.uint8)
+        out[k] = px
+    return out if out is not None else np.empty((0, 0, 0, 0), dtype=np.uint8)

@@ -17,7 +17,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from demeter_ray.functions import codec, hashing, text as textfns
+from demeter_ray.functions import codec, hashing, jpeg as jpegfns, text as textfns
 from demeter_ray.pipelines.relational import duck_round, gated_group_sum_ds, partial_combine, partial_shuffle_combine, register
 from demeter_ray.sources.tables import read_table
 from demeter_ray.stages.simsearch import _emb_matrix
@@ -1400,7 +1400,7 @@ def image_patch_brightest(sf_dir: str):
         if even.any():
             blobs[even] = codec.encode_batch(px4[even], "png")
         if (~even).any():
-            blobs[~even] = codec.encode_batch(px4[~even], "jpeg", q=4)
+            blobs[~even] = codec.encode_batch(px4[~even], "djpg", q=4)
         return pa.table(
             {"doc_id": batch["doc_id"], "bytes": pa.array(list(blobs), pa.binary())}
         )
@@ -1814,3 +1814,70 @@ def embedding_covariance_matrix(sf_dir: str):
         "dj": ju.astype(np.int64),
         "cov": duck_round(cov[iu, ju], 6),
     }).sort_values(["di", "dj"]).reset_index(drop=True)
+
+
+# -------------- real baseline-JPEG bitstreams in the loop (functions/jpeg.py)
+
+_JPEG_SQL = """
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS w,
+       CAST(16 AS BIGINT) AS h,
+       CAST((doc_id * 37) % 256 AS BIGINT) AS const_decoded,
+       true AS psnr_ok
+FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id
+"""
+
+
+@register("jpeg_roundtrip_invariant", _JPEG_SQL)
+def jpeg_roundtrip_invariant(sf_dir: str):
+    """Real baseline-JPEG bitstreams in the loop (functions/jpeg.py — T.81
+    FDCT + Huffman entropy coding, decodable by any standard reader): for a
+    1-in-10 doc slice, (a) a constant grayscale tile roundtrips BIT-EXACTLY
+    (a constant block is DC-only and the ramp table's DC step is 1, so
+    quantization is lossless), letting SQL recompute the decoded value from
+    the generator formula; (b) the doc's gradient RGB tile must decode at
+    the north rule's PSNR >= 40 dB — asserted in-stage (fail loud => driver
+    failure), surfaced as psnr_ok.  Dims come from jpeg_dims header parsing
+    of the real bitstream, not from input metadata."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 10 == 3]
+        n = len(ids)
+        ws = np.empty(n, np.int64)
+        hs = np.empty(n, np.int64)
+        const_dec = np.empty(n, np.int64)
+        psnr_ok = np.empty(n, bool)
+        for i in range(n):
+            d = int(ids[i])
+            const = np.full((16, 16, 1), (d * 37) % 256, np.uint8)
+            cdec = jpegfns.decode_jpeg(jpegfns.encode_jpeg(const))
+            u = np.unique(cdec)
+            if u.size != 1:
+                raise ValueError(f"constant tile not constant after jpeg roundtrip (doc {d})")
+            const_dec[i] = int(u[0])
+            px = codec.generate_pixels(d, 16, 16)
+            buf = jpegfns.encode_jpeg(px)
+            ws[i], hs[i] = jpegfns.jpeg_dims(buf)
+            p = codec.psnr(jpegfns.decode_jpeg(buf), px)
+            if not p >= 40.0:
+                raise ValueError(f"jpeg decode psnr {p:.1f} < 40 dB (doc {d})")
+            psnr_ok[i] = True
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "const_decoded": pa.array(const_dec, pa.int64()),
+            "psnr_ok": pa.array(psnr_ok, pa.bool_()),
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    if out.shape[1] == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64), "w": pd.Series(dtype=np.int64),
+            "h": pd.Series(dtype=np.int64),
+            "const_decoded": pd.Series(dtype=np.int64),
+            "psnr_ok": pd.Series(dtype=bool),
+        })
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -41,7 +41,7 @@ SCALES = {
 }
 
 FIXTURE_ROOT = "/tmp/demeter_ray_fixtures"
-FIXTURE_VERSION = "15"
+FIXTURE_VERSION = "16"
 
 
 def fixture_dir(scale: str) -> str:
@@ -76,7 +76,11 @@ def make_images(n: int, sizes=(32, 48, 64)) -> pa.Table:
     src = np.where(idx % 100 == 99, idx - 1, idx)
     w = np.array([sizes[int(s) % len(sizes)] for s in src], dtype=np.int32)
     h = np.array([sizes[(int(s) + 1) % len(sizes)] for s in src], dtype=np.int32)
-    fmt = np.where(idx % 2 == 0, "png", "jpeg")
+    # even -> real PNG (lossless path at full scale); odd -> lossy: a
+    # deterministic 1-in-20 slice carries REAL baseline JPEG bitstreams
+    # (functions/jpeg.py), the rest the SQL-recomputable DJPG stand-in —
+    # the documented real-codec/throughput split (SURVEY.md codec note)
+    fmt = np.where(idx % 2 == 0, "png", np.where(idx % 20 == 1, "jpeg", "djpg"))
     blobs = []
     phashes = np.empty(n, dtype=np.int64)
     for k in range(n):

@@ -145,7 +145,7 @@ def test_codec_lossless_roundtrip_and_lossy_psnr():
     assert px.shape == (48, 64, 3)
     raw = codec.encode(px, "png")
     np.testing.assert_array_equal(codec.decode(raw), px)
-    lossy = codec.encode(px, "jpeg", q=4)
+    lossy = codec.encode(px, "djpg", q=4)
     rec = codec.decode(lossy)
     assert codec.psnr(px, rec) >= 40.0  # north-rule invariant
     assert codec.psnr(px, px) == float("inf")
@@ -159,7 +159,7 @@ def test_phash_stable_and_discriminative():
     assert isinstance(a, int)
     # lossy-decoded image stays phash-close to the original
     px = codec.generate_pixels(7, 64, 64)
-    rec = codec.decode(codec.encode(px, "jpeg", q=4))
+    rec = codec.decode(codec.encode(px, "djpg", q=4))
     d = hashing.hamming64(np.array([codec.phash64(rec)]), codec.phash64(px))
     assert d[0] <= 4
 

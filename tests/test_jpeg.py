@@ -1,0 +1,132 @@
+"""Real baseline JPEG codec (functions/jpeg.py).
+
+The decoder is validated against an *independently hand-assembled* bitstream
+— custom variable-length Huffman tables and a 16-bit-precision DQT that our
+encoder never produces, with expected pixels computed by an explicit
+double-loop IDCT straight from the T.81 definition — not just against our
+own encoder's roundtrip.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from demeter_ray.functions import codec, jpeg
+
+
+def test_roundtrip_shapes_and_psnr():
+    rng = np.random.default_rng(3)
+    for shape in [(16, 16, 3), (48, 32, 3), (33, 41, 3), (64, 64, 1), (8, 8, 3), (1, 1, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        buf = jpeg.encode_jpeg(px)
+        assert buf[:2] == jpeg.SOI and buf[-2:] == jpeg.EOI
+        out = jpeg.decode_jpeg(buf)
+        assert out.shape == shape
+        assert codec.psnr(out, px) >= 40.0  # noise is the worst case
+        assert jpeg.jpeg_dims(buf) == (shape[1], shape[0])
+
+
+def test_roundtrip_gradient_fixture_content():
+    px = codec.generate_pixels(7, 48, 32)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px))
+    assert codec.psnr(out, px) >= 44.0
+
+
+def test_decode_hand_assembled_foreign_bitstream():
+    # One 8x8 grayscale block; quantized coefficients (zigzag order):
+    #   DC=3, zz1 (nat 0,1) = -2, zz5 (nat 0,2) = 1, rest 0.
+    # Quant table: flat 16, declared with 16-bit precision (Pq=1).
+    # Huffman: custom tables with code lengths 1/2/3 — shapes our encoder
+    # (fixed 4/8-bit codes) can never emit.
+    qval = 16
+    # DC table: single symbol (category 2) with a 1-bit code "0"
+    dc_bits = [0] * 16
+    dc_bits[0] = 1
+    dc_vals = bytes([2])
+    # AC table: 0x00(EOB)="00", 0x02="01" (2 bits), 0x31="100" (3 bits)
+    ac_bits = [0] * 16
+    ac_bits[1] = 2
+    ac_bits[2] = 1
+    ac_vals = bytes([0x00, 0x02, 0x31])
+    # scan bits: DC "0"+"11"(diff 3) | AC 0x02 "01"+mag(-2)="01"
+    #            | 0x31 "100"+mag(1)="1" | EOB "00" | pad 1s
+    bitstr = "0" + "11" + "01" + "01" + "100" + "1" + "00"
+    bitstr += "1" * ((-len(bitstr)) % 8)
+    scan = bytes(int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = bytes([0x10]) + b"".join(struct.pack(">H", qval) for _ in range(64))
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(dc_bits) + dc_vals + bytes([0x10]) + bytes(ac_bits) + ac_vals
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    buf = jpeg.SOI + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht) + seg(0xDA, sos) + scan + jpeg.EOI
+
+    out = jpeg.decode_jpeg(buf)
+    assert out.shape == (8, 8, 1)
+
+    # reference: explicit T.81 IDCT double loop over the dequantized coefs
+    S = np.zeros((8, 8))
+    S[0, 0], S[0, 1], S[0, 2] = 3 * qval, -2 * qval, 1 * qval
+    ref = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv * S[u, v]
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                    )
+            ref[y, x] = acc / 4 + 128
+    ref = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+    assert np.array_equal(out[:, :, 0], ref)
+
+
+def test_unsupported_features_fail_loud():
+    px = codec.generate_pixels(1, 16, 16)
+    buf = bytearray(jpeg.encode_jpeg(px))
+    # flip SOF0 -> SOF2 (progressive)
+    idx = bytes(buf).find(b"\xff\xc0")
+    buf[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        jpeg.decode_jpeg(bytes(buf))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"\x00\x01" + bytes(buf))
+    # 2x2 sampling factor rejected
+    buf = bytearray(jpeg.encode_jpeg(px))
+    idx = bytes(buf).find(b"\xff\xc0")
+    buf[idx + 11] = 0x22  # first component's sampling byte (FF C0 len2 prec h2 w2 nc cid samp)
+    with pytest.raises(ValueError, match="sampling"):
+        jpeg.decode_jpeg(bytes(buf))
+
+
+def test_codec_dispatch_fmt_jpeg_is_real():
+    px4 = codec.generate_pixels_batch(np.arange(3), 16, 16)
+    blobs = codec.encode_batch(px4, "jpeg")
+    assert all(b[:2] == jpeg.SOI for b in blobs)
+    out = codec.decode_batch(blobs, 16, 16)
+    for k in range(3):
+        assert codec.psnr(out[k], px4[k]) >= 40.0
+    assert codec.header_dims(blobs[0]) == (16, 16)
+    # djpg keeps the SQL-recomputable quantization semantics
+    d = codec.encode(px4[0], "djpg", q=4)
+    assert d[:4] == codec.MAGIC_LOSSY
+    rec = codec.decode(d)
+    assert np.array_equal(rec, (px4[0].astype(np.int64) // 4 * 4 + 2).astype(np.uint8))
+    assert codec.encode_batch(np.zeros((0, 8, 8, 3), np.uint8), "jpeg") == []
+
+
+def test_quality_knob_monotone():
+    px = codec.generate_pixels(9, 32, 32)
+    fine = jpeg.encode_jpeg(px, quality=1.0)
+    coarse = jpeg.encode_jpeg(px, quality=6.0)
+    p_fine = codec.psnr(jpeg.decode_jpeg(fine), px)
+    p_coarse = codec.psnr(jpeg.decode_jpeg(coarse), px)
+    assert p_fine > p_coarse
+    assert len(coarse) < len(fine)

@@ -27,10 +27,10 @@ def test_codec_roundtrip(idx, w, h, q):
     # lossless: exact
     assert np.array_equal(codec.decode(codec.encode(px, "png")), px)
     # lossy: midpoint reconstruction error bounded by the quant step
-    rec = codec.decode(codec.encode(px, "jpeg", q=q))
+    rec = codec.decode(codec.encode(px, "djpg", q=q))
     err = np.abs(rec.astype(np.int64) - px.astype(np.int64))
     assert err.max() <= (q + 1) // 2 + q // 2  # floor(v/q)*q + q//2 bound
-    assert codec.header_dims(codec.encode(px, "jpeg", q=q)) == (w, h)
+    assert codec.header_dims(codec.encode(px, "djpg", q=q)) == (w, h)
 
 
 @given(idx=st.integers(0, 2**31), w=st.integers(8, 16), h=st.integers(8, 16))

@@ -333,3 +333,80 @@ def test_register_crs_extension_point():
         geo.crs_forward("EPSG:27572", np.array([0.0]), np.array([0.0]))
     with pytest.raises(ValueError, match="register_crs"):
         geo.crs_inverse("EPSG:27572", np.array([0.0]), np.array([0.0]))
+
+
+# ---------------- LAEA + Polar Stereographic families (round 5, session 2)
+
+
+def test_laea_roundtrip_and_equal_area_property():
+    """EPSG:3035 / ESRI:102008: forward∘inverse is identity, the projection
+    center maps exactly to the false origin, and the Jacobian determinant
+    equals the ellipsoidal area element a²(1-e²)cosφ/(1-e²sin²φ)² — the
+    defining EQUAL-AREA property (independent of the forward formulas)."""
+    grids = {
+        "EPSG:3035": ((-10.0, 30.0), (35.0, 70.0)),
+        "ESRI:102008": ((-130.0, -70.0), (20.0, 60.0)),
+    }
+    for code, (lo_r, la_r) in grids.items():
+        LO, LA = np.meshgrid(np.linspace(*lo_r, 20), np.linspace(*la_r, 20))
+        x, y = geo.crs_forward(code, LO.ravel(), LA.ravel())
+        lo2, la2 = geo.crs_inverse(code, x, y)
+        np.testing.assert_allclose(lo2, LO.ravel(), atol=1e-9)
+        np.testing.assert_allclose(la2, LA.ravel(), atol=1e-9)
+    x, y = geo.crs_forward("EPSG:3035", np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 4_321_000.0) < 1e-6 and abs(y[0] - 3_210_000.0) < 1e-6
+    a, f = geo._GRS80_A, geo._GRS80_F
+    e2 = f * (2 - f)
+    fwd, _ = geo.make_laea(52.0, 10.0)
+    h = 1e-6
+    for lon, lat in [(5.0, 45.0), (25.0, 60.0), (-3.0, 38.0)]:
+        xs, ys = fwd([lon, lon + h, lon], [lat, lat, lat + h])
+        det = abs(
+            (xs[1] - xs[0]) * (ys[2] - ys[0]) - (ys[1] - ys[0]) * (xs[2] - xs[0])
+        ) / np.radians(h) ** 2
+        s = np.sin(np.radians(lat))
+        expect = a * a * (1 - e2) * np.cos(np.radians(lat)) / (1 - e2 * s * s) ** 2
+        assert abs(det / expect - 1) < 1e-5, (lon, lat)
+
+
+def test_polar_stereo_roundtrip_and_conformality():
+    """EPSG:3413 (north) / EPSG:3976 (south): identity roundtrips over each
+    polar cap, the pole maps to the origin, the local scale is isotropic
+    (h == k — the defining CONFORMAL property) and equals 1 on the standard
+    parallel."""
+    for code, la_r, pole in [("EPSG:3413", (60.0, 89.5), 90.0),
+                             ("EPSG:3976", (-89.5, -55.0), -90.0)]:
+        LO, LA = np.meshgrid(np.linspace(-180, 180, 25), np.linspace(*la_r, 15))
+        x, y = geo.crs_forward(code, LO.ravel(), LA.ravel())
+        lo2, la2 = geo.crs_inverse(code, x, y)
+        dlon = np.abs((lo2 - LO.ravel() + 180) % 360 - 180)
+        assert dlon.max() < 1e-9 and np.abs(la2 - LA.ravel()).max() < 1e-9
+        x, y = geo.crs_forward(code, np.array([0.0]), np.array([pole]))
+        assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    a, f = geo._GRS80_A, geo._GRS80_F
+    e2 = f * (2 - f)
+    fwd, _ = geo.make_polar_stereo(70.0, -45.0)
+    h = 1e-6
+    for lon, lat in [(30.0, 75.0), (-120.0, 65.0), (0.0, 70.0)]:
+        xs, ys = fwd([lon, lon + h, lon], [lat, lat, lat + h])
+        s = np.sin(np.radians(lat))
+        nu = a / np.sqrt(1 - e2 * s * s)
+        rho_m = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        k = np.hypot(xs[1] - xs[0], ys[1] - ys[0]) / np.radians(h) / (
+            nu * np.cos(np.radians(lat)))
+        hh = np.hypot(xs[2] - xs[0], ys[2] - ys[0]) / np.radians(h) / rho_m
+        assert abs(hh / k - 1) < 1e-5, (lon, lat)
+        if lat == 70.0:
+            assert abs(k - 1.0) < 1e-6  # scale 1 on the standard parallel
+
+
+def test_reproject_through_laea_preserves_mean():
+    """4326 -> ETRS89-LAEA -> 4326 with average keeps the mean — the
+    registered equal-area system drives the full warp path."""
+    transform = (0.001, 0.0, 9.8, 0.0, -0.001, 52.2)  # central-Europe tile
+    px = _smooth_tile(60, 80, transform,
+                      lambda x, y: 100 + 10 * np.sin(9 * x) * np.cos(11 * y))
+    m = np.ma.masked_array(px)
+    once, t1 = warp.reproject_raster(m, transform, "EPSG:4326", "EPSG:3035", "average")
+    back, _ = warp.reproject_raster(once, t1, "EPSG:3035", "EPSG:4326", "average")
+    assert round(float(back.mean())) == round(float(m.mean()))
