@@ -159,6 +159,154 @@ def _bit_length(v: np.ndarray) -> np.ndarray:
 
 # --- encoder -----------------------------------------------------------------
 
+_AC_SYM2IDX = np.full(256, -1, dtype=np.int64)
+for _i, _s in enumerate(_AC_SYMBOLS):
+    _AC_SYM2IDX[int(_s)] = _i
+
+
+def _entropy_units_loop(zz_list) -> tuple[np.ndarray, np.ndarray]:
+    """Reference scalar entropy coder (T.81 F.1.2 order, one unit at a
+    time) — kept as the independent oracle for the vectorized builder
+    (tests assert byte-identical scans on random images)."""
+    ncomp = len(zz_list)
+    nblocks = zz_list[0].shape[0]
+    vals: list[int] = []
+    bits: list[int] = []
+    pred = [0] * ncomp
+    dc_code, ac_code = _DC_CODE, _AC_CODE
+    for b in range(nblocks):  # MCU order == raster block order at 4:4:4
+        for comp in range(ncomp):
+            row = zz_list[comp][b]
+            dc = int(row[0])
+            diff = dc - pred[comp]
+            pred[comp] = dc
+            s = int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
+            code, ln = dc_code[s]
+            vals.append(code)
+            bits.append(ln)
+            if s:
+                vals.append(diff if diff >= 0 else diff + (1 << s) - 1)
+                bits.append(s)
+            ac = row[1:]
+            nz = np.flatnonzero(ac)
+            prev = -1
+            for pos in nz:
+                run = int(pos) - prev - 1
+                while run >= 16:
+                    code, ln = ac_code[0xF0]
+                    vals.append(code)
+                    bits.append(ln)
+                    run -= 16
+                v = int(ac[pos])
+                s = v.bit_length() if v >= 0 else (-v).bit_length()
+                code, ln = ac_code[(run << 4) | s]
+                vals.append(code)
+                bits.append(ln)
+                vals.append(v if v >= 0 else v + (1 << s) - 1)
+                bits.append(s)
+                prev = int(pos)
+            if len(nz) == 0 or nz[-1] != 62:
+                code, ln = ac_code[0x00]
+                vals.append(code)
+                bits.append(ln)
+    return np.array(vals, dtype=np.int64), np.array(bits, dtype=np.int64)
+
+
+def _entropy_units(zz_list) -> tuple[np.ndarray, np.ndarray]:
+    """Fully vectorized entropy-unit builder: every (value, nbits) unit of
+    the interleaved scan — DC code+magnitude, ZRL runs, AC run/size
+    code+magnitude, EOB — is computed as whole-array numpy ops and placed
+    by an explicit (stream row, unit rank) lexsort.  No per-coefficient
+    Python.  Byte-identical to ``_entropy_units_loop`` (property-tested)."""
+    ncomp = len(zz_list)
+    nblocks = zz_list[0].shape[0]
+    # stream rows in MCU order: block-major, component-minor
+    flat = np.stack(zz_list, axis=1).reshape(ncomp * nblocks, 64)
+    m = flat.shape[0]
+    # --- DC: per-component diff along the block axis ---
+    dcm = flat[:, 0].reshape(nblocks, ncomp)
+    diff = np.empty_like(dcm)
+    diff[0] = dcm[0]
+    diff[1:] = dcm[1:] - dcm[:-1]
+    diff = diff.reshape(m)
+    s_dc = _bit_length(diff)
+    mag_dc = np.where(diff >= 0, diff, diff + (np.int64(1) << s_dc) - 1)
+    # --- AC nonzeros (np.nonzero is row-major: grouped by row, cols ascending)
+    ac = flat[:, 1:]
+    rows, cols = np.nonzero(ac)
+    v = ac[rows, cols]
+    s_ac = _bit_length(v)
+    nnz = len(rows)
+    first = np.ones(nnz, dtype=bool)
+    if nnz:
+        first[1:] = rows[1:] != rows[:-1]
+    prev = np.where(first, -1, np.concatenate([[np.int64(-1)], cols[:-1]]))
+    run = cols - prev - 1
+    zc = run // 16  # ZRL units before this coefficient
+    sym = ((run % 16) << 4) | s_ac
+    mag_ac = np.where(v >= 0, v, v + (np.int64(1) << s_ac) - 1)
+    # unit rank of each AC code within its row: 2 DC units, then for each
+    # prior coefficient 2 units + its ZRLs, then this coefficient's ZRLs
+    nnz_per_row = np.bincount(rows, minlength=m).astype(np.int64)
+    row_first_idx = np.concatenate([[0], np.cumsum(nnz_per_row)[:-1]])
+    j = np.arange(nnz, dtype=np.int64) - np.repeat(row_first_idx, nnz_per_row)
+    g = np.cumsum(zc)
+    gz = np.concatenate([[np.int64(0)], g])
+    czc_incl = g - gz[np.repeat(row_first_idx, nnz_per_row)]
+    rank_code = 2 + 2 * j + czc_incl
+    # --- ZRL expansion ---
+    zsel = np.flatnonzero(zc > 0)
+    z_idx = np.repeat(zsel, zc[zsel])
+    if len(z_idx):
+        zcs = np.cumsum(zc[zsel])
+        off = np.arange(len(z_idx), dtype=np.int64) - np.repeat(zcs - zc[zsel], zc[zsel])
+        z_rank = rank_code[z_idx] - zc[z_idx] + off
+        z_rows = rows[z_idx]
+    else:
+        z_rank = np.empty(0, dtype=np.int64)
+        z_rows = np.empty(0, dtype=np.int64)
+    # --- EOB: rows whose last nonzero is not coefficient 63 (or empty rows)
+    last_col = np.full(m, -1, dtype=np.int64)
+    if nnz:
+        ends = np.concatenate([np.flatnonzero(first)[1:] - 1, [nnz - 1]])
+        last_col[rows[ends]] = cols[ends]
+    eob_rows = np.flatnonzero(last_col != 62)
+    zc_per_row = np.zeros(m, dtype=np.int64)
+    if nnz:
+        np.add.at(zc_per_row, rows, zc)
+    eob_rank = 2 + 2 * nnz_per_row[eob_rows] + zc_per_row[eob_rows]
+    # --- assemble (row, rank, value, nbits) and lexsort into stream order
+    zrl_code = np.int64(_AC_CODE[0xF0][0])
+    eob_code = np.int64(_AC_CODE[0x00][0])
+    u_rows = np.concatenate([
+        np.arange(m, dtype=np.int64),          # DC code
+        np.arange(m, dtype=np.int64),          # DC magnitude
+        z_rows, rows, rows, eob_rows,
+    ])
+    u_rank = np.concatenate([
+        np.zeros(m, dtype=np.int64),
+        np.ones(m, dtype=np.int64),
+        z_rank, rank_code, rank_code + 1, eob_rank,
+    ])
+    u_vals = np.concatenate([
+        s_dc, mag_dc,
+        np.full(len(z_rows), zrl_code),
+        _AC_SYM2IDX[sym], mag_ac,
+        np.full(len(eob_rows), eob_code),
+    ])
+    u_bits = np.concatenate([
+        np.full(m, 4, dtype=np.int64), s_dc,
+        np.full(len(z_rows), 8, dtype=np.int64),
+        np.full(nnz, 8, dtype=np.int64), s_ac,
+        np.full(len(eob_rows), 8, dtype=np.int64),
+    ])
+    order = np.lexsort((u_rank, u_rows))
+    u_vals, u_bits = u_vals[order], u_bits[order]
+    # zero-magnitude units (DC diff 0) carry no bits — drop them so the unit
+    # stream is element-identical to the scalar reference coder
+    keep = u_bits > 0
+    return u_vals[keep], u_bits[keep]
+
 
 def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """(H,W) float plane -> (nblocks, 64) quantized zigzag coefficients, with
@@ -198,49 +346,8 @@ def encode_jpeg(pixels: np.ndarray, quality: float = 1.0) -> bytes:
     )
     q = quant_table(quality)
     zz = [_fdct_quant(p, q) for p in planes]  # per comp: (nblocks, 64)
-    nblocks = zz[0].shape[0]
-
-    vals: list[int] = []
-    bits: list[int] = []
-    pred = [0] * ncomp
-    dc_code, ac_code = _DC_CODE, _AC_CODE
-    for b in range(nblocks):  # MCU order == raster block order at 4:4:4
-        for comp in range(ncomp):
-            row = zz[comp][b]
-            dc = int(row[0])
-            diff = dc - pred[comp]
-            pred[comp] = dc
-            s = int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
-            code, ln = dc_code[s]
-            vals.append(code)
-            bits.append(ln)
-            if s:
-                mag = diff if diff >= 0 else diff + (1 << s) - 1
-                vals.append(mag)
-                bits.append(s)
-            ac = row[1:]
-            nz = np.flatnonzero(ac)
-            prev = -1
-            for pos in nz:
-                run = int(pos) - prev - 1
-                while run >= 16:
-                    code, ln = ac_code[0xF0]
-                    vals.append(code)
-                    bits.append(ln)
-                    run -= 16
-                v = int(ac[pos])
-                s = v.bit_length() if v >= 0 else (-v).bit_length()
-                code, ln = ac_code[(run << 4) | s]
-                vals.append(code)
-                bits.append(ln)
-                vals.append(v if v >= 0 else v + (1 << s) - 1)
-                bits.append(s)
-                prev = int(pos)
-            if len(nz) == 0 or nz[-1] != 62:
-                code, ln = ac_code[0x00]
-                vals.append(code)
-                bits.append(ln)
-    scan = _pack_bits(np.array(vals, dtype=np.int64), np.array(bits, dtype=np.int64))
+    vals, bits = _entropy_units(zz)
+    scan = _pack_bits(vals, bits)
 
     app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
     dqt = bytes([0x00]) + q.ravel()[ZIGZAG].astype(np.uint8).tobytes()

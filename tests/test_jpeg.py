@@ -130,3 +130,26 @@ def test_quality_knob_monotone():
     p_coarse = codec.psnr(jpeg.decode_jpeg(coarse), px)
     assert p_fine > p_coarse
     assert len(coarse) < len(fine)
+
+
+def test_vectorized_entropy_coder_equals_scalar_reference():
+    """The vectorized entropy-unit builder must be ELEMENT-IDENTICAL to the
+    scalar T.81 F.1.2 reference coder on adversarial coefficient patterns
+    (long zero runs, ZRL chains, coefficient-63 endings, zero DC diffs)."""
+    rng = np.random.default_rng(17)
+    cases = [rng.integers(0, 256, size=s, dtype=np.uint8)
+             for s in [(8, 8, 1), (16, 16, 3), (48, 32, 3), (64, 64, 1)]]
+    cases.append(np.full((16, 16, 3), 255, np.uint8))  # saturated: long runs
+    cases.append(np.zeros((16, 16, 1), np.uint8))      # all-zero: EOB-only
+    cases.append(codec.generate_pixels(5, 48, 32))
+    cb = (np.indices((16, 16)).sum(0) % 2 * 255).astype(np.uint8)[:, :, None]
+    cases.append(np.repeat(cb, 3, axis=2))             # checkerboard: coef 63
+    q = jpeg.quant_table(1.0)
+    for px in cases:
+        fpx = px.astype(np.float64)
+        planes = ([fpx[:, :, 0]] if px.shape[2] == 1
+                  else list(np.moveaxis(jpeg._rgb_to_ycbcr(fpx), -1, 0)))
+        zz = [jpeg._fdct_quant(p, q) for p in planes]
+        v1, b1 = jpeg._entropy_units_loop(zz)
+        v2, b2 = jpeg._entropy_units(zz)
+        assert np.array_equal(v1, v2) and np.array_equal(b1, b2)
