@@ -466,7 +466,10 @@ def jpeg_dims(buf: bytes) -> tuple[int, int]:
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> HxWxC uint8 (C = 1 or 3).  Reads quant and
-    Huffman tables from the file; requires SOF0, 8-bit, 1x1 sampling."""
+    Huffman tables from the file; requires SOF0 and 8-bit precision.
+    Sampling factors 1 and 2 are supported per component — i.e. 4:4:4,
+    4:2:2, 4:4:0 and the ubiquitous 4:2:0 all decode (chroma is replicated
+    back to full resolution)."""
     if bytes(buf[:2]) != SOI:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -474,7 +477,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}
     sof = None
-    comps = []  # (id, qtab)
+    comps = []  # (id, h_samp, v_samp, qtab)
     scan_comps = []  # (comp_index, dc_table, ac_table)
     scan_start = None
     while pos + 2 <= n:
@@ -516,9 +519,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported JPEG precision {prec}")
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("unsupported JPEG sampling (only 4:4:4 / 1x1)")
-                comps.append((cid, tq))
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"unsupported JPEG sampling {hs}x{vs} (factors 1 and 2 only)"
+                    )
+                comps.append((cid, hs, vs, tq))
             sof = (h, w, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -529,7 +535,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             ns = seg[0]
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
-                idx = next(i for i, (id2, _) in enumerate(comps) if id2 == cid)
+                idx = next(i for i, cdef in enumerate(comps) if cdef[0] == cid)
                 scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
             scan_start = pos + 2 + ln
             break
@@ -564,43 +570,62 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     stuffed_zero[1:] = is_ff[:-1] & (scan_bytes[1:] == 0x00)
     scan_bytes = scan_bytes[~stuffed_zero]
     reader = _BitReader(scan_bytes.tobytes())
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    nblocks = bh * bw
-    coefs = [np.zeros((nblocks, 64), dtype=np.float64) for _ in range(nc)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_cols = (w + 8 * hmax - 1) // (8 * hmax)
+    mcu_rows = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-comp block grids (mcu_rows*v_i, mcu_cols*h_i) of 64 coefficients
+    grid_dims = [(mcu_rows * v_i, mcu_cols * h_i) for _cid, h_i, v_i, _tq in comps]
+    coefs = [np.zeros((gr * gc, 64), dtype=np.float64) for gr, gc in grid_dims]
     pred = [0] * nc
     tables = [
-        (ci, htables[(0, dc_t)], htables[(1, ac_t)]) for ci, dc_t, ac_t in scan_comps
+        (ci, comps[ci][1], comps[ci][2], htables[(0, dc_t)], htables[(1, ac_t)])
+        for ci, dc_t, ac_t in scan_comps
     ]
-    for b in range(nblocks):
-        for ci, dct, act in tables:
-            s = reader.read_symbol(dct)
-            pred[ci] += reader.receive_extend(s)
-            block = coefs[ci][b]
-            block[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = reader.read_symbol(act)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("JPEG AC coefficient overflow")
-                block[k] = reader.receive_extend(s)
-                k += 1
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci, h_i, v_i, dct, act in tables:
+                gc = grid_dims[ci][1]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        s = reader.read_symbol(dct)
+                        pred[ci] += reader.receive_extend(s)
+                        block = coefs[ci][(my * v_i + by) * gc + (mx * h_i + bx)]
+                        block[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overflow")
+                            block[k] = reader.receive_extend(s)
+                            k += 1
     planes = []
     for ci in range(nc):
-        q = qtables[comps[ci][1]]
-        nat = np.empty((nblocks, 64), dtype=np.float64)
+        _cid, h_i, v_i, tq = comps[ci]
+        gr, gc = grid_dims[ci]
+        q = qtables[tq]
+        nat = np.empty((gr * gc, 64), dtype=np.float64)
         nat[:, ZIGZAG] = coefs[ci]
-        blocks = nat.reshape(nblocks, 8, 8) * q
+        blocks = nat.reshape(-1, 8, 8) * q
         spat = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT) + 128.0
         plane = (
-            spat.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            spat.reshape(gr, gc, 8, 8).transpose(0, 2, 1, 3).reshape(gr * 8, gc * 8)
         )
+        # crop to the component's true extent, then replicate back to full res
+        ch = (h * v_i + vmax - 1) // vmax
+        cw = (w * h_i + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        if v_i != vmax:
+            plane = np.repeat(plane, vmax // v_i, axis=0)
+        if h_i != hmax:
+            plane = np.repeat(plane, hmax // h_i, axis=1)
         planes.append(plane[:h, :w])
     if nc == 1:
         out = planes[0][:, :, None]

@@ -98,10 +98,10 @@ def test_unsupported_features_fail_loud():
         jpeg.decode_jpeg(bytes(buf))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"\x00\x01" + bytes(buf))
-    # 2x2 sampling factor rejected
+    # sampling factor 3 rejected (1 and 2 are supported: 4:4:4/4:2:2/4:2:0)
     buf = bytearray(jpeg.encode_jpeg(px))
     idx = bytes(buf).find(b"\xff\xc0")
-    buf[idx + 11] = 0x22  # first component's sampling byte (FF C0 len2 prec h2 w2 nc cid samp)
+    buf[idx + 11] = 0x33  # first component's sampling byte (FF C0 len2 prec h2 w2 nc cid samp)
     with pytest.raises(ValueError, match="sampling"):
         jpeg.decode_jpeg(bytes(buf))
 
@@ -153,3 +153,62 @@ def test_vectorized_entropy_coder_equals_scalar_reference():
         v1, b1 = jpeg._entropy_units_loop(zz)
         v2, b2 = jpeg._entropy_units(zz)
         assert np.array_equal(v1, v2) and np.array_equal(b1, b2)
+
+
+def test_decode_hand_built_420_subsampled():
+    """A hand-assembled 4:2:0 file (one MCU: four Y blocks + Cb + Cr,
+    DC-only constant blocks) decodes to the analytically expected RGB —
+    the ubiquitous chroma-subsampled layout of real-world JPEGs."""
+    import zlib  # noqa: F401  (parity with other hand-built tests' imports)
+
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    dc_vals = bytes(range(12))
+    ac_bits = [0] * 16
+    ac_bits[1] = 1
+    ac_vals = bytes([0x00])  # AC table: EOB only, code "00"
+
+    def enc_dc(diff):
+        s = int(abs(diff)).bit_length()
+        bits = format(s, "04b")
+        if s:
+            mag = diff if diff >= 0 else diff + (1 << s) - 1
+            bits += format(mag, f"0{s}b")
+        return bits
+
+    ydc = [160, 80, -40, 24]  # quantized DCs of the four Y quadrants
+    stream = ""
+    prev = 0
+    for d in ydc:
+        stream += enc_dc(d - prev) + "00"
+        prev = d
+    stream += enc_dc(16) + "00" + enc_dc(-16) + "00"  # Cb, Cr
+    stream += "1" * ((-len(stream)) % 8)
+    scan = bytes(int(stream[i : i + 8], 2) for i in range(0, len(stream), 8))
+    stuffed = bytearray()
+    for b in scan:
+        stuffed.append(b)
+        if b == 0xFF:
+            stuffed.append(0)
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof = (struct.pack(">BHHB", 8, 16, 16, 3)
+           + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]))
+    dht = (bytes([0x00]) + bytes(dc_bits) + dc_vals
+           + bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    buf = (jpeg.SOI + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht)
+           + seg(0xDA, sos) + bytes(stuffed) + jpeg.EOI)
+
+    px = jpeg.decode_jpeg(buf)
+    assert px.shape == (16, 16, 3)
+    cb, cr = 16 / 8 + 128, -16 / 8 + 128
+    for qi, (qy, qx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        y = ydc[qi] / 8 + 128  # DC-only block: constant spatial value DC/8
+        exp = jpeg._ycbcr_to_rgb(np.array([[[y, cb, cr]]]))
+        exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)[0, 0]
+        got = px[qy * 8 : (qy + 1) * 8, qx * 8 : (qx + 1) * 8]
+        assert (got == exp).all(), (qi, exp, got[0, 0])
