@@ -464,6 +464,30 @@ def jpeg_dims(buf: bytes) -> tuple[int, int]:
     raise ValueError("no SOF0 in JPEG")
 
 
+def jpeg_frame_size(buf: bytes, offset: int = 0) -> int:
+    """Byte length of the JPEG starting at ``offset`` (walk segments to SOS,
+    then scan the entropy data for the EOI marker, honoring 0xFF00 byte
+    stuffing) — lets concatenated-JPEG containers delimit frames."""
+    if bytes(buf[offset : offset + 2]) != SOI:
+        raise ValueError("not a JPEG at offset")
+    pos = offset + 2
+    n = len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = buf[pos + 1]
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        if marker == 0xDA:  # SOS: entropy data follows until EOI
+            pos += 2 + ln
+            while pos + 1 < n:
+                if buf[pos] == 0xFF and buf[pos + 1] == 0xD9:
+                    return pos + 2 - offset
+                pos += 2 if (buf[pos] == 0xFF and buf[pos + 1] == 0x00) else 1
+            raise ValueError("truncated JPEG: no EOI")
+        pos += 2 + ln
+    raise ValueError("truncated JPEG: no SOS")
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> HxWxC uint8 (C = 1 or 3).  Reads quant and
     Huffman tables from the file; requires SOF0 and 8-bit precision.

@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray.data
 
 from demeter_ray.functions import codec
+from demeter_ray.functions import jpeg as _jpeg
 from demeter_ray.functions import png as _png
 from demeter_ray.functions.hashing import hamming64, hamming64_pairwise
 
@@ -275,6 +276,8 @@ def sample_frames(video_bytes: bytes, every: int = 2) -> list[np.ndarray]:
     while off < n:
         if video_bytes[off : off + 8] == _png.PNG_SIG:
             size = _png.png_frame_size(video_bytes, off)
+        elif video_bytes[off : off + 2] == _jpeg.SOI:
+            size = _jpeg.jpeg_frame_size(video_bytes, off)
         else:
             import struct as _struct
 

@@ -212,3 +212,21 @@ def test_decode_hand_built_420_subsampled():
         exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)[0, 0]
         got = px[qy * 8 : (qy + 1) * 8, qx * 8 : (qx + 1) * 8]
         assert (got == exp).all(), (qi, exp, got[0, 0])
+
+
+def test_video_container_with_mixed_real_frames():
+    """Frame sampling over a container that concatenates real PNG, real
+    JPEG and raw DRAW frames — each self-delimiting via its own format."""
+    from demeter_ray.stages.images import sample_frames
+
+    frames_in = [codec.generate_pixels(i, 8, 8) for i in range(6)]
+    fmts = ["png", "jpeg", "draw", "png", "jpeg", "draw"]
+    blob = b"".join(codec.encode(f, m) for f, m in zip(frames_in, fmts))
+    sampled = sample_frames(blob, every=2)
+    assert len(sampled) == 3
+    for j, f in enumerate(sampled):
+        src = frames_in[2 * j]
+        if fmts[2 * j] == "jpeg":
+            assert codec.psnr(f, src) >= 40.0
+        else:
+            assert np.array_equal(f, src)

@@ -179,3 +179,36 @@ def test_duck_round_matches_duckdb(vals, k):
         "SELECT ROUND(v, ?) AS r FROM (SELECT UNNEST(?) AS v)", [k, vals]
     ).df()["r"].to_numpy()
     assert np.allclose(got, want, rtol=0, atol=0, equal_nan=True)
+
+
+@given(seed=st.integers(0, 2**31), w=st.integers(1, 20), h=st.integers(1, 20),
+       c=st.sampled_from([1, 3, 4]), ft=st.sampled_from([0, 1, 2]))
+@settings(**SET)
+def test_real_png_roundtrip_property(seed, w, h, c, ft):
+    """Arbitrary uint8 payloads survive the REAL PNG bitstream exactly, for
+    every encoder filter type and channel count."""
+    from demeter_ray.functions import png
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, c), np.uint8)
+    buf = png.encode_png(px, filter_type=ft)
+    assert np.array_equal(png.decode_png(buf), px)
+    assert png.png_dims(buf) == (w, h)
+    assert png.png_frame_size(buf) == len(buf)
+
+
+@given(seed=st.integers(0, 2**31), w=st.integers(1, 20), h=st.integers(1, 20),
+       c=st.sampled_from([1, 3]))
+@settings(max_examples=25, deadline=None)
+def test_real_jpeg_roundtrip_property(seed, w, h, c):
+    """Arbitrary uint8 payloads (noise — the worst case) survive the REAL
+    baseline JPEG bitstream at PSNR >= 40 dB; header dims and frame
+    delimiting stay exact."""
+    from demeter_ray.functions import jpeg
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, c), np.uint8)
+    buf = jpeg.encode_jpeg(px)
+    out = jpeg.decode_jpeg(buf)
+    assert out.shape == (h, w, c)
+    assert codec.psnr(out, px) >= 40.0
+    assert jpeg.jpeg_dims(buf) == (w, h)
+    assert jpeg.jpeg_frame_size(buf) == len(buf)
