@@ -320,11 +320,18 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return qz.reshape(-1, 64)[:, ZIGZAG]
 
 
-def encode_jpeg(pixels: np.ndarray, quality: float = 1.0) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, quality: float = 1.0, restart_interval: int = 0
+) -> bytes:
     """HxWx3 (RGB) or HxWx1 / HxW (gray) uint8 -> baseline JFIF bytes.
 
     ``quality`` scales the ramp quantization table (1.0 => PSNR ~45 dB;
     larger = coarser).  Sampling is 4:4:4 (no chroma subsampling).
+    ``restart_interval`` > 0 emits a DRI segment and splits the scan into
+    byte-aligned restart segments of that many MCUs, separated by cycling
+    RST0..RST7 markers with DC prediction reset at each — the T.81 §B.2.4.4
+    error-resilience shape ubiquitous in camera files.  0 (the default)
+    emits the exact byte stream this encoder always produced.
     """
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
@@ -346,8 +353,23 @@ def encode_jpeg(pixels: np.ndarray, quality: float = 1.0) -> bytes:
     )
     q = quant_table(quality)
     zz = [_fdct_quant(p, q) for p in planes]  # per comp: (nblocks, 64)
-    vals, bits = _entropy_units(zz)
-    scan = _pack_bits(vals, bits)
+    ri = int(restart_interval)
+    if ri < 0 or ri > 0xFFFF:
+        raise ValueError(f"restart_interval must be in [0, 65535], got {ri}")
+    if ri == 0:
+        vals, bits = _entropy_units(zz)
+        scan = _pack_bits(vals, bits)
+    else:
+        # one MCU == one raster block at 4:4:4; each slice re-enters
+        # _entropy_units with diff[0] = dc[0], i.e. prediction reset to 0
+        nblocks = zz[0].shape[0]
+        chunks = []
+        for g, lo in enumerate(range(0, nblocks, ri)):
+            if g:
+                chunks.append(bytes([0xFF, 0xD0 + ((g - 1) % 8)]))
+            vals, bits = _entropy_units([z[lo : lo + ri] for z in zz])
+            chunks.append(_pack_bits(vals, bits))
+        scan = b"".join(chunks)
 
     app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
     dqt = bytes([0x00]) + q.ravel()[ZIGZAG].astype(np.uint8).tobytes()
@@ -356,12 +378,14 @@ def encode_jpeg(pixels: np.ndarray, quality: float = 1.0) -> bytes:
     )
     sos = bytes([ncomp]) + b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
     sos += bytes([0, 63, 0])
+    dri = _seg(0xDD, struct.pack(">H", ri)) if ri else b""
     return (
         SOI
         + _seg(0xE0, app0)
         + _seg(0xDB, dqt)
         + _seg(0xC0, sof)
         + _seg(0xC4, _dht_payload())
+        + dri
         + _seg(0xDA, sos)
         + scan
         + EOI
@@ -493,13 +517,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     Huffman tables from the file; requires SOF0 and 8-bit precision.
     Sampling factors 1 and 2 are supported per component — i.e. 4:4:4,
     4:2:2, 4:4:0 and the ubiquitous 4:2:0 all decode (chroma is replicated
-    back to full resolution)."""
+    back to full resolution).  DRI restart intervals are honored: the scan
+    splits at RST0..RST7 (cycle-validated) with DC prediction reset per
+    restart segment."""
     if bytes(buf[:2]) != SOI:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     n = len(buf)
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}
+    restart_interval = 0
     sof = None
     comps = []  # (id, h_samp, v_samp, qtab)
     scan_comps = []  # (comp_index, dc_table, ac_table)
@@ -553,8 +580,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF marker 0x{marker:02x} (baseline only)")
-        elif marker == 0xDD:
-            raise ValueError("JPEG restart intervals not supported")
+        elif marker == 0xDD:  # DRI (last one before SOS wins, per spec)
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             for c in range(ns):
@@ -587,13 +614,30 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     follows[:-1] = scan_bytes[1:]
     if end > 0 and is_ff[-1]:
         follows[-1] = 0xD9  # the located EOI
-    bad = is_ff & (follows != 0x00) & (follows != 0xD9)
+    is_rst = is_ff & (follows >= 0xD0) & (follows <= 0xD7)
+    bad = is_ff & (follows != 0x00) & (follows != 0xD9) & ~is_rst
     if bad.any():
-        raise ValueError("unexpected marker inside JPEG scan (restart markers unsupported)")
-    stuffed_zero = np.zeros(len(scan_bytes), dtype=bool)
-    stuffed_zero[1:] = is_ff[:-1] & (scan_bytes[1:] == 0x00)
-    scan_bytes = scan_bytes[~stuffed_zero]
-    reader = _BitReader(scan_bytes.tobytes())
+        raise ValueError("unexpected marker inside JPEG scan")
+    rst_pos = np.flatnonzero(is_rst)
+    if rst_pos.size and restart_interval == 0:
+        raise ValueError("RST marker in scan but no DRI restart interval")
+    # RSTn must cycle 0..7 in order (T.81 E.1.4) — a break means a lost
+    # or corrupt restart segment
+    if rst_pos.size:
+        seq = scan_bytes[rst_pos + 1].astype(np.int64) - 0xD0
+        if (seq != np.arange(len(seq), dtype=np.int64) % 8).any():
+            raise ValueError("JPEG restart markers out of sequence")
+
+    def _unstuff(seg_arr: np.ndarray) -> bytes:
+        sf = seg_arr == 0xFF
+        sz = np.zeros(len(seg_arr), dtype=bool)
+        sz[1:] = sf[:-1] & (seg_arr[1:] == 0x00)
+        return seg_arr[~sz].tobytes()
+
+    starts = [0] + [int(p) + 2 for p in rst_pos]
+    stops = [int(p) for p in rst_pos] + [len(scan_bytes)]
+    readers = [_BitReader(_unstuff(scan_bytes[a:b])) for a, b in zip(starts, stops)]
+    reader = readers[0]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_cols = (w + 8 * hmax - 1) // (8 * hmax)
@@ -606,8 +650,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         (ci, comps[ci][1], comps[ci][2], htables[(0, dc_t)], htables[(1, ac_t)])
         for ci, dc_t, ac_t in scan_comps
     ]
+    mcu_idx = 0
+    seg_idx = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(readers):
+                    raise ValueError("JPEG scan ended before all restart segments")
+                reader = readers[seg_idx]
+                pred = [0] * nc
+            mcu_idx += 1
             for ci, h_i, v_i, dct, act in tables:
                 gc = grid_dims[ci][1]
                 for by in range(v_i):
@@ -630,6 +683,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                                 raise ValueError("JPEG AC coefficient overflow")
                             block[k] = reader.receive_extend(s)
                             k += 1
+    if seg_idx != len(readers) - 1:
+        raise ValueError("JPEG scan has more restart segments than MCUs require")
     planes = []
     for ci in range(nc):
         _cid, h_i, v_i, tq = comps[ci]

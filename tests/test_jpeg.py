@@ -230,3 +230,73 @@ def test_video_container_with_mixed_real_frames():
             assert codec.psnr(f, src) >= 40.0
         else:
             assert np.array_equal(f, src)
+
+
+def test_restart_interval_roundtrip_identical_pixels():
+    """DRI/RSTn streams decode to the SAME pixels as the unrestarted scan
+    (identical quantized coefficients, only the entropy layer changes)."""
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16, 3), (24, 40, 3), (8, 8, 1), (33, 17, 3), (64, 48, 1)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = jpeg.encode_jpeg(px)
+        d0 = jpeg.decode_jpeg(base)
+        n_mcus = ((shape[0] + 7) // 8) * ((shape[1] + 7) // 8)
+        for ri in (1, 3, 8, 17, 1000):
+            buf = jpeg.encode_jpeg(px, restart_interval=ri)
+            assert np.array_equal(jpeg.decode_jpeg(buf), d0), (shape, ri)
+            assert b"\xff\xdd" in buf  # DRI present
+            has_rst = any(bytes([0xFF, 0xD0 + k]) in buf for k in range(8))
+            assert has_rst == (n_mcus > ri)
+        assert b"\xff\xdd" not in base  # default stream unchanged
+
+
+def test_restart_marker_cycle_and_count():
+    """RSTn markers cycle 0..7 in order and count ceil(mcus/ri) - 1."""
+    px = codec.generate_pixels(3, 80, 80)  # 100 MCUs
+    buf = jpeg.encode_jpeg(px, restart_interval=7)
+    scan = buf[buf.find(b"\xff\xda") :]
+    seen = []
+    i = 0
+    while i < len(scan) - 1:
+        if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7:
+            seen.append(scan[i + 1] - 0xD0)
+            i += 2
+        else:
+            i += 1
+    assert len(seen) == (100 + 6) // 7 - 1
+    assert seen == [k % 8 for k in range(len(seen))]
+
+
+def test_restart_stream_corruption_fails_loud():
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    # out-of-sequence RST (simulated lost restart segment)
+    buf = bytearray(jpeg.encode_jpeg(px, restart_interval=2))
+    i = bytes(buf).find(b"\xff\xd0")
+    buf[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="sequence"):
+        jpeg.decode_jpeg(bytes(buf))
+    # RST markers without a DRI segment
+    buf = bytearray(jpeg.encode_jpeg(px, restart_interval=4))
+    j = bytes(buf).find(b"\xff\xdd")
+    del buf[j : j + 6]
+    with pytest.raises(ValueError, match="DRI"):
+        jpeg.decode_jpeg(bytes(buf))
+
+
+def test_restart_dri_zero_segment_is_inert():
+    """Foreign encoders may emit an explicit DRI with interval 0 — decode
+    must treat it exactly like no DRI at all."""
+    px = codec.generate_pixels(5, 16, 24)
+    buf = jpeg.encode_jpeg(px)
+    k = buf.find(b"\xff\xda")
+    patched = buf[:k] + b"\xff\xdd\x00\x04\x00\x00" + buf[k:]
+    assert np.array_equal(jpeg.decode_jpeg(patched), jpeg.decode_jpeg(buf))
+
+
+def test_restart_frame_size_in_concatenated_container():
+    """RST bytes inside the scan must not confuse the frame delimiter."""
+    px = codec.generate_pixels(9, 24, 24)
+    one = jpeg.encode_jpeg(px, restart_interval=2)
+    assert jpeg.jpeg_frame_size(one + one) == len(one)
+    assert jpeg.jpeg_frame_size(one + one, offset=len(one)) == len(one)
