@@ -6,9 +6,12 @@ PNG files — signature, IHDR/IDAT/IEND chunks with CRC-32, zlib-compressed
 scanlines, and all five PNG filter types on decode — so any external PNG
 reader can open what we write and we can read 8-bit PNGs written elsewhere.
 
-Scope (documented, fail-loud outside it): bit depth 8, color types 0 (gray),
-2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace.  That covers every image the
-engine produces and the overwhelmingly common case for ML training corpora.
+Scope (documented, fail-loud outside it): encode emits bit-depth-8 color
+types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced.  Decode
+additionally reads paletted files (color type 3 + PLTE, tRNS honored), the
+sub-byte bit depths 1/2/4 (gray and palette), and Adam7 interlace — the
+common foreign-file shapes in web-crawled ML corpora.  16-bit stays
+fail-loud (decoding it to uint8 would silently truncate).
 
 Reference parity: the reference decodes real rasters via rasterio/PIL
 (/root/reference/demeter/raster/__init__.py:36-47); this is the from-scratch
@@ -104,10 +107,14 @@ def png_frame_size(buf: bytes, offset: int = 0) -> int:
     raise ValueError("truncated PNG: no IEND")
 
 
-def _unfilter_rows(scan: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
-    """General per-row unfilter (all five filter types).  Average/Paeth rows
-    need the sequential per-pixel recurrence; everything else stays numpy."""
-    stride = w * c
+def _unfilter_rows(scan: np.ndarray, bpp: int) -> np.ndarray:
+    """General per-row unfilter (all five filter types) over BYTE lanes —
+    PNG filters operate on bytes with lane width ``bpp`` = max(1,
+    channels*depth//8), so this covers every bit depth.  Average/Paeth rows
+    need the sequential per-lane recurrence; everything else stays numpy."""
+    h, s1 = scan.shape
+    stride = s1 - 1
+    lanes = stride // bpp  # stride is a whole number of lanes for depth<=8
     recon = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -117,7 +124,7 @@ def _unfilter_rows(scan: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
             cur = row.copy()
         elif f == 1:  # Sub: prefix-sum per bpp lane, mod 256
             cur = (
-                (row.reshape(w, c).astype(np.int64).cumsum(axis=0) % 256)
+                (row.reshape(lanes, bpp).astype(np.int64).cumsum(axis=0) % 256)
                 .astype(np.uint8)
                 .reshape(stride)
             )
@@ -125,21 +132,21 @@ def _unfilter_rows(scan: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
             cur = row + prev  # uint8 wraparound add
         elif f == 3:  # Average
             cur = np.empty(stride, dtype=np.uint8)
-            out_l = cur.reshape(w, c)
-            row_l = row.reshape(w, c).astype(np.int64)
-            up_l = prev.reshape(w, c).astype(np.int64)
-            left = np.zeros(c, dtype=np.int64)
-            for x in range(w):
+            out_l = cur.reshape(lanes, bpp)
+            row_l = row.reshape(lanes, bpp).astype(np.int64)
+            up_l = prev.reshape(lanes, bpp).astype(np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(lanes):
                 left = (row_l[x] + ((left + up_l[x]) >> 1)) & 0xFF
                 out_l[x] = left
         elif f == 4:  # Paeth
             cur = np.empty(stride, dtype=np.uint8)
-            out_l = cur.reshape(w, c)
-            row_l = row.reshape(w, c).astype(np.int64)
-            up_l = prev.reshape(w, c).astype(np.int64)
-            left = np.zeros(c, dtype=np.int64)
-            upleft = np.zeros(c, dtype=np.int64)
-            for x in range(w):
+            out_l = cur.reshape(lanes, bpp)
+            row_l = row.reshape(lanes, bpp).astype(np.int64)
+            up_l = prev.reshape(lanes, bpp).astype(np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(lanes):
                 b = up_l[x]
                 p = left + b - upleft
                 pa = np.abs(p - left)
@@ -158,15 +165,72 @@ def _unfilter_rows(scan: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
     return recon
 
 
+def _unfilter(scan: np.ndarray, bpp: int) -> np.ndarray:
+    """(h, 1+stride) filtered scanlines -> (h, stride) reconstructed bytes,
+    with whole-image fast paths for uniform filter 0/1/2 images (what
+    encode_png emits)."""
+    h, s1 = scan.shape
+    stride = s1 - 1
+    ftypes = scan[:, 0]
+    filt = scan[:, 1:]
+    if np.all(ftypes == 0):
+        return filt.copy()
+    if np.all(ftypes == 1):
+        return (
+            (filt.reshape(h, stride // bpp, bpp).astype(np.int64).cumsum(axis=1) % 256)
+            .astype(np.uint8)
+            .reshape(h, stride)
+        )
+    if np.all(ftypes == 2):
+        return (filt.astype(np.int64).cumsum(axis=0) % 256).astype(np.uint8)
+    return _unfilter_rows(scan, bpp)
+
+
+def _decode_subimage(
+    raw: np.ndarray, h: int, w: int, csamp: int, depth: int
+) -> np.ndarray:
+    """One (sub)image's filtered scanline bytes -> (h, w*csamp) samples.
+    For depth < 8 the packed bits unpack MSB-first per scanline byte; the
+    spec pads each scanline to a byte boundary, so the tail bits drop."""
+    stride = (w * csamp * depth + 7) // 8
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    scan = raw.reshape(h, stride + 1)
+    bpp = max(1, (csamp * depth) // 8)
+    recon = _unfilter(scan, bpp)
+    if depth == 8:
+        return recon
+    bits = np.unpackbits(recon, axis=1)[:, : w * csamp * depth]
+    weights = (np.int64(1) << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    vals = bits.reshape(h, w * csamp, depth).astype(np.int64) @ weights
+    return vals.astype(np.uint8)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
 def decode_png(buf: bytes, check_crc: bool = True) -> np.ndarray:
     """PNG bytes -> HxWxC uint8.  Validates chunk CRCs, handles all five
-    filter types, skips ancillary chunks, rejects unsupported critical ones."""
+    filter types, bit depths 1/2/4/8, palette (PLTE + tRNS -> RGB/RGBA) and
+    Adam7 interlace; skips other ancillary chunks, rejects unsupported
+    critical ones.  Paletted output has C=3, or 4 when tRNS is present."""
     if bytes(buf[:8]) != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     n = len(buf)
     ihdr = None
     idat_parts = []
+    plte = None
+    trns = None
     while pos + 8 <= n:
         ln, typ = struct.unpack_from(">I4s", buf, pos)
         data = buf[pos + 8 : pos + 8 + ln]
@@ -181,43 +245,70 @@ def decode_png(buf: bytes, check_crc: bool = True) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", bytes(data))
         elif typ == b"IDAT":
             idat_parts.append(bytes(data))
+        elif typ == b"PLTE":
+            if ln % 3 or ln == 0 or ln > 768:
+                raise ValueError("bad PNG PLTE length")
+            plte = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(bytes(data), dtype=np.uint8)
         elif typ == b"IEND":
             break
-        elif typ[0] & 0x20 == 0:  # critical chunk we don't implement (PLTE)
+        elif typ[0] & 0x20 == 0:  # critical chunk we don't implement
             raise ValueError(f"unsupported critical PNG chunk {typ!r}")
     if ihdr is None or not idat_parts:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt_method, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
-    if ctype not in _CHANNELS_FOR_CTYPE:
+    if ctype == 3:
+        csamp = 1
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"unsupported PNG bit depth {depth} for palette")
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+    elif ctype in _CHANNELS_FOR_CTYPE:
+        csamp = _CHANNELS_FOR_CTYPE[ctype]
+        ok_depths = (1, 2, 4, 8) if ctype == 0 else (8,)
+        if depth not in ok_depths:
+            raise ValueError(
+                f"unsupported PNG bit depth {depth} for color type {ctype}"
+            )
+    else:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if comp != 0 or filt_method != 0:
         raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
-    c = _CHANNELS_FOR_CTYPE[ctype]
-    stride = w * c
     raw = np.frombuffer(zlib.decompress(b"".join(idat_parts)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG scanline data size mismatch")
-    scan = raw.reshape(h, stride + 1)
-    ftypes = scan[:, 0]
-    filt = scan[:, 1:]
-    # fast paths: uniform filter over the whole image (what encode_png emits)
-    if np.all(ftypes == 0):
-        recon = filt.copy()
-    elif np.all(ftypes == 1):
-        recon = (
-            (filt.reshape(h, w, c).astype(np.int64).cumsum(axis=1) % 256)
-            .astype(np.uint8)
-            .reshape(h, stride)
-        )
-    elif np.all(ftypes == 2):
-        recon = (filt.astype(np.int64).cumsum(axis=0) % 256).astype(np.uint8)
+    if interlace == 0:
+        samples = _decode_subimage(raw, h, w, csamp, depth).reshape(h, w, csamp)
+    elif interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        samples = np.zeros((h, w, csamp), dtype=np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines at all
+            stride = (pw * csamp * depth + 7) // 8
+            take = ph * (stride + 1)
+            sub = _decode_subimage(raw[at : at + take], ph, pw, csamp, depth)
+            at += take
+            samples[y0::dy, x0::dx] = sub.reshape(ph, pw, csamp)
+        if at != raw.size:
+            raise ValueError("PNG scanline data size mismatch")
     else:
-        recon = _unfilter_rows(scan, h, w, c)
-    return recon.reshape(h, w, c)
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if ctype == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    if ctype == 0 and depth < 8:
+        # gray samples scale to full 8-bit range (255/(2^d-1) is integral)
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    return samples
 
 
 def encode_png_batch(pixels4d: np.ndarray, level: int = 6, filter_type: int = 1):

@@ -98,10 +98,10 @@ def test_crc_and_structure_errors():
         png.decode_png(bytes(buf))
     with pytest.raises(ValueError, match="signature"):
         png.decode_png(b"nope" + bytes(buf))
-    # interlaced + palette + 16-bit are rejected loudly
+    # invalid interlace method, paletted-without-PLTE + 16-bit fail loudly
     for ihdr, msg in [
-        (struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1), "interlace"),
-        (struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), "color type"),
+        (struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2), "interlace"),
+        (struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), "PLTE"),
         (struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0), "bit depth"),
     ]:
         bad = (
@@ -150,3 +150,141 @@ def test_video_container_with_real_png_frames():
     assert len(sampled) == 3
     for j, f in enumerate(sampled):
         assert np.array_equal(f, frames_in[2 * j])
+
+
+def _png(ihdr_fields, chunks):
+    buf = png.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    for typ, data in chunks:
+        buf += _chunk(typ, data)
+    return buf + _chunk(b"IEND", b"")
+
+
+def test_decode_paletted_8bit():
+    rng = np.random.default_rng(21)
+    w, h = 5, 4
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, (h, w), dtype=np.uint8)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    buf = _png((w, h, 8, 3, 0, 0, 0),
+               [(b"PLTE", pal.tobytes()), (b"IDAT", zlib.compress(scan))])
+    out = png.decode_png(buf)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, pal[idx])
+    # index beyond the palette fails loud
+    short = _png((w, h, 8, 3, 0, 0, 0),
+                 [(b"PLTE", pal[:3].tobytes()), (b"IDAT", zlib.compress(scan))])
+    with pytest.raises(ValueError, match="palette index"):
+        png.decode_png(short)
+
+
+def _pack_subbyte_rows(idx: np.ndarray, depth: int) -> bytes:
+    """Pack (h, w) sample values into MSB-first depth-bit scanlines, each
+    row zero-padded to a byte boundary and prefixed with filter 0."""
+    h, w = idx.shape
+    rows = []
+    for y in range(h):
+        bits = np.zeros(((w * depth + 7) // 8) * 8, dtype=np.uint8)
+        for x in range(w):
+            for b in range(depth):
+                bits[x * depth + b] = (idx[y, x] >> (depth - 1 - b)) & 1
+        rows.append(b"\x00" + np.packbits(bits).tobytes())
+    return b"".join(rows)
+
+
+def test_decode_paletted_4bit_with_trns():
+    rng = np.random.default_rng(22)
+    w, h = 5, 3
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, (h, w), dtype=np.uint8)
+    trns = np.array([10, 20, 30], dtype=np.uint8)  # shorter than PLTE: rest opaque
+    buf = _png((w, h, 4, 3, 0, 0, 0),
+               [(b"PLTE", pal.tobytes()), (b"tRNS", trns.tobytes()),
+                (b"IDAT", zlib.compress(_pack_subbyte_rows(idx, 4)))])
+    out = png.decode_png(buf)
+    assert out.shape == (h, w, 4)
+    exp_a = np.full(7, 255, np.uint8)
+    exp_a[:3] = trns
+    assert np.array_equal(out[:, :, :3], pal[idx])
+    assert np.array_equal(out[:, :, 3], exp_a[idx])
+
+
+def test_decode_subbyte_gray_scales_to_full_range():
+    rng = np.random.default_rng(23)
+    for depth in (1, 2, 4):
+        w, h = 11, 3  # odd width: scanline tail padding in play
+        g = rng.integers(0, 1 << depth, (h, w), dtype=np.uint8)
+        buf = _png((w, h, depth, 0, 0, 0, 0),
+                   [(b"IDAT", zlib.compress(_pack_subbyte_rows(g, depth)))])
+        out = png.decode_png(buf)
+        assert out.shape == (h, w, 1)
+        assert np.array_equal(out[:, :, 0], g * (255 // ((1 << depth) - 1)))
+
+
+def _adam7_scanlines(px: np.ndarray) -> bytes:
+    """Reference Adam7 splitter: emit each pass's scanlines (filter 0),
+    skipping empty passes entirely, straight from the spec's pass grid."""
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    out = b""
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        out += b"".join(b"\x00" + sub[y].tobytes() for y in range(ph))
+    return out
+
+
+def test_decode_adam7_interlaced():
+    rng = np.random.default_rng(24)
+    for (h, w) in [(9, 13), (8, 8), (1, 1), (3, 2), (16, 5), (7, 1)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = _png((w, h, 8, 2, 0, 0, 1),
+                   [(b"IDAT", zlib.compress(_adam7_scanlines(px)))])
+        assert np.array_equal(png.decode_png(buf), px), (h, w)
+
+
+def test_decode_16bit_still_fails_loud():
+    scan = b"\x00" * (4 * (4 * 2 + 1))
+    buf = _png((4, 4, 16, 0, 0, 0, 0), [(b"IDAT", zlib.compress(scan))])
+    with pytest.raises(ValueError, match="bit depth 16"):
+        png.decode_png(buf)
+
+
+def test_decode_paletted_paeth_filtered():
+    """Sub-byte-era byte-lane filters (bpp=1) through the general unfilter:
+    a palette image whose index bytes are Paeth- and Average-filtered."""
+    rng = np.random.default_rng(25)
+    w, h = 9, 5
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    # hand-filter: row 0 Sub, rows alternate Average/Paeth on raw index bytes
+    rows = []
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        cur = idx[y].astype(np.int64)
+        if y == 0:
+            f, enc = 1, np.diff(np.concatenate([[0], cur])) % 256
+        elif y % 2:
+            f = 3
+            enc = np.empty(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                enc[x] = (cur[x] - ((left + prev[x]) >> 1)) % 256
+                left = cur[x]
+        else:
+            f = 4
+            enc = np.empty(w, dtype=np.int64)
+            left = upleft = 0
+            for x in range(w):
+                b = prev[x]
+                p = left + b - upleft
+                pa, pb, pc = abs(p - left), abs(p - b), abs(p - upleft)
+                pred = left if (pa <= pb and pa <= pc) else (b if pb <= pc else upleft)
+                enc[x] = (cur[x] - pred) % 256
+                left, upleft = cur[x], b
+        rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    buf = _png((w, h, 8, 3, 0, 0, 0),
+               [(b"PLTE", pal.tobytes()), (b"IDAT", zlib.compress(b"".join(rows)))])
+    assert np.array_equal(png.decode_png(buf), pal[idx])
