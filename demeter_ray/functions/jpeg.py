@@ -212,23 +212,39 @@ def _entropy_units_loop(zz_list) -> tuple[np.ndarray, np.ndarray]:
     return np.array(vals, dtype=np.int64), np.array(bits, dtype=np.int64)
 
 
+def _dc_diff_by_comp(dc: np.ndarray, comp_ids: np.ndarray, ncomp: int) -> np.ndarray:
+    """Per-component DC prediction differences along the stream order."""
+    diff = np.empty_like(dc)
+    for c in range(ncomp):
+        idx = np.flatnonzero(comp_ids == c)
+        if idx.size == 0:
+            continue
+        diff[idx[0]] = dc[idx[0]]
+        diff[idx[1:]] = dc[idx[1:]] - dc[idx[:-1]]
+    return diff
+
+
 def _entropy_units(zz_list) -> tuple[np.ndarray, np.ndarray]:
-    """Fully vectorized entropy-unit builder: every (value, nbits) unit of
-    the interleaved scan — DC code+magnitude, ZRL runs, AC run/size
-    code+magnitude, EOB — is computed as whole-array numpy ops and placed
-    by an explicit (stream row, unit rank) lexsort.  No per-coefficient
-    Python.  Byte-identical to ``_entropy_units_loop`` (property-tested)."""
+    """Fully vectorized entropy-unit builder for the 1x1-sampling layout
+    (stream rows block-major, component-minor).  Byte-identical to
+    ``_entropy_units_loop`` (property-tested)."""
     ncomp = len(zz_list)
     nblocks = zz_list[0].shape[0]
-    # stream rows in MCU order: block-major, component-minor
     flat = np.stack(zz_list, axis=1).reshape(ncomp * nblocks, 64)
+    comp_ids = np.tile(np.arange(ncomp, dtype=np.int64), nblocks)
+    return _entropy_units_flat(flat, comp_ids, ncomp)
+
+
+def _entropy_units_flat(
+    flat: np.ndarray, comp_ids: np.ndarray, ncomp: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Entropy units for (m, 64) zigzag blocks already in stream order with
+    per-row component ids — every (value, nbits) unit of the scan — DC
+    code+magnitude, ZRL runs, AC run/size code+magnitude, EOB — computed as
+    whole-array numpy ops placed by an explicit (stream row, unit rank)
+    lexsort.  No per-coefficient Python."""
     m = flat.shape[0]
-    # --- DC: per-component diff along the block axis ---
-    dcm = flat[:, 0].reshape(nblocks, ncomp)
-    diff = np.empty_like(dcm)
-    diff[0] = dcm[0]
-    diff[1:] = dcm[1:] - dcm[:-1]
-    diff = diff.reshape(m)
+    diff = _dc_diff_by_comp(flat[:, 0], comp_ids, ncomp)
     s_dc = _bit_length(diff)
     mag_dc = np.where(diff >= 0, diff, diff + (np.int64(1) << s_dc) - 1)
     # --- AC nonzeros (np.nonzero is row-major: grouped by row, cols ascending)
@@ -321,12 +337,18 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: float = 1.0, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: float = 1.0,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """HxWx3 (RGB) or HxWx1 / HxW (gray) uint8 -> baseline JFIF bytes.
 
     ``quality`` scales the ramp quantization table (1.0 => PSNR ~45 dB;
-    larger = coarser).  Sampling is 4:4:4 (no chroma subsampling).
+    larger = coarser).  ``subsampling``: "444" (default — what keeps noise
+    content above the 40 dB bar) or "420" (2x2 box-mean chroma, the
+    web/camera norm — ~2x smaller color blobs; chroma detail is averaged,
+    so reserve it for natural/gradient imagery, not synthetic color noise).
     ``restart_interval`` > 0 emits a DRI segment and splits the scan into
     byte-aligned restart segments of that many MCUs, separated by cycling
     RST0..RST7 markers with DC prediction reset at each — the T.81 §B.2.4.4
@@ -340,41 +362,77 @@ def encode_jpeg(
         px = px[:, :, None]
     if px.ndim != 3 or px.shape[2] not in (1, 3):
         raise ValueError(f"jpeg encode needs HxWx1 or HxWx3, got {px.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r} (444 or 420)")
     h, w, ncomp = px.shape
     if h == 0 or w == 0:
         raise ValueError("jpeg encode needs non-empty image")
-    # pad to multiples of 8 by edge replication
-    ph, pw = (-h) % 8, (-w) % 8
+    sub420 = subsampling == "420" and ncomp == 3  # gray has no chroma to drop
+    mcu = 16 if sub420 else 8
+    ph, pw = (-h) % mcu, (-w) % mcu  # pad to whole MCUs by edge replication
     fpx = px.astype(np.float64)
     if ph or pw:
         fpx = np.pad(fpx, ((0, ph), (0, pw), (0, 0)), mode="edge")
-    planes = (
-        [fpx[:, :, 0]] if ncomp == 1 else list(np.moveaxis(_rgb_to_ycbcr(fpx), -1, 0))
-    )
     q = quant_table(quality)
-    zz = [_fdct_quant(p, q) for p in planes]  # per comp: (nblocks, 64)
+    if not sub420:
+        planes = (
+            [fpx[:, :, 0]]
+            if ncomp == 1
+            else list(np.moveaxis(_rgb_to_ycbcr(fpx), -1, 0))
+        )
+        zz = [_fdct_quant(p, q) for p in planes]  # per comp: (nblocks, 64)
+        nblk = zz[0].shape[0]
+        flat = np.stack(zz, axis=1).reshape(ncomp * nblk, 64)
+        comp_ids = np.tile(np.arange(ncomp, dtype=np.int64), nblk)
+        blocks_per_mcu, n_mcus = ncomp, nblk
+        samp = [0x11] * ncomp
+    else:
+        fh, fw = fpx.shape[:2]
+        ycc = _rgb_to_ycbcr(fpx)
+        zz_y = _fdct_quant(ycc[:, :, 0], q)
+        # 2x2 box-mean chroma at half resolution (fh/fw are multiples of 16)
+        half = ycc[:, :, 1:].reshape(fh // 2, 2, fw // 2, 2, 2).mean(axis=(1, 3))
+        zz_cb = _fdct_quant(half[:, :, 0], q)
+        zz_cr = _fdct_quant(half[:, :, 1], q)
+        mcu_rows, mcu_cols = fh // 16, fw // 16
+        n_mcus = mcu_rows * mcu_cols
+        gc_y = fw // 8  # luma block-grid columns
+        m_idx = np.arange(n_mcus, dtype=np.int64)
+        myv, mxv = m_idx // mcu_cols, m_idx % mcu_cols
+        ybase = 2 * myv * gc_y + 2 * mxv
+        yblocks = np.stack(
+            [ybase, ybase + 1, ybase + gc_y, ybase + gc_y + 1], axis=1
+        )  # (n_mcus, 4): the T.81 left-to-right, top-to-bottom data-unit order
+        flat = np.empty((6 * n_mcus, 64), dtype=zz_y.dtype)
+        f6 = flat.reshape(n_mcus, 6, 64)
+        f6[:, :4] = zz_y[yblocks]
+        f6[:, 4] = zz_cb
+        f6[:, 5] = zz_cr
+        comp_ids = np.tile(np.array([0, 0, 0, 0, 1, 2], dtype=np.int64), n_mcus)
+        blocks_per_mcu = 6
+        samp = [0x22, 0x11, 0x11]
     ri = int(restart_interval)
     if ri < 0 or ri > 0xFFFF:
         raise ValueError(f"restart_interval must be in [0, 65535], got {ri}")
     if ri == 0:
-        vals, bits = _entropy_units(zz)
+        vals, bits = _entropy_units_flat(flat, comp_ids, ncomp)
         scan = _pack_bits(vals, bits)
     else:
-        # one MCU == one raster block at 4:4:4; each slice re-enters
-        # _entropy_units with diff[0] = dc[0], i.e. prediction reset to 0
-        nblocks = zz[0].shape[0]
+        # slice whole MCUs; each segment re-enters _entropy_units_flat with
+        # a fresh per-component diff chain, i.e. prediction reset to 0
         chunks = []
-        for g, lo in enumerate(range(0, nblocks, ri)):
+        for g, lo in enumerate(range(0, n_mcus, ri)):
             if g:
                 chunks.append(bytes([0xFF, 0xD0 + ((g - 1) % 8)]))
-            vals, bits = _entropy_units([z[lo : lo + ri] for z in zz])
+            a, b = lo * blocks_per_mcu, min(lo + ri, n_mcus) * blocks_per_mcu
+            vals, bits = _entropy_units_flat(flat[a:b], comp_ids[a:b], ncomp)
             chunks.append(_pack_bits(vals, bits))
         scan = b"".join(chunks)
 
     app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
     dqt = bytes([0x00]) + q.ravel()[ZIGZAG].astype(np.uint8).tobytes()
     sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
-        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+        bytes([cid + 1, samp[cid], 0]) for cid in range(ncomp)
     )
     sos = bytes([ncomp]) + b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
     sos += bytes([0, 63, 0])

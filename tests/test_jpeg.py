@@ -300,3 +300,69 @@ def test_restart_frame_size_in_concatenated_container():
     one = jpeg.encode_jpeg(px, restart_interval=2)
     assert jpeg.jpeg_frame_size(one + one) == len(one)
     assert jpeg.jpeg_frame_size(one + one, offset=len(one)) == len(one)
+
+
+def _box_mean_chroma_expected(px: np.ndarray) -> np.ndarray:
+    """Independent reference for 4:2:0: YCbCr -> 2x2 box-mean chroma ->
+    nearest replicate -> RGB, with no DCT in the loop."""
+    h, w = px.shape[:2]
+    ph, pw = (-h) % 16, (-w) % 16
+    f = np.pad(px.astype(np.float64), ((0, ph), (0, pw), (0, 0)), mode="edge")
+    ycc = jpeg._rgb_to_ycbcr(f)
+    fh, fw = f.shape[:2]
+    half = ycc[:, :, 1:].reshape(fh // 2, 2, fw // 2, 2, 2).mean(axis=(1, 3))
+    rep = np.repeat(np.repeat(half, 2, axis=0), 2, axis=1)
+    exp = jpeg._ycbcr_to_rgb(np.concatenate([ycc[:, :, :1], rep], axis=2))
+    return np.clip(np.round(exp), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def test_420_decode_matches_subsampling_reference():
+    """The only loss beyond the declared 2x2 chroma box-mean is DCT
+    quantization: decode stays >= 44 dB against the no-DCT reference."""
+    for i, (h, w) in [(1, (32, 32)), (5, (33, 17)), (9, (48, 64)), (2, (16, 16))]:
+        px = codec.generate_pixels(i, h, w)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, subsampling="420"))
+        assert out.shape == px.shape
+        assert codec.psnr(out, _box_mean_chroma_expected(px)) >= 44.0
+
+
+def test_420_smooth_chroma_imagery_holds_40db():
+    """On natural-like content (smooth chroma), 4:2:0 holds the north
+    rule's 40 dB bar against the ORIGINAL pixels."""
+    y, x = np.mgrid[0:48, 0:64].astype(np.float64)
+    lum = 96 + 64 * np.sin(x / 5.0) * np.cos(y / 7.0)  # luma detail is free
+    r = np.clip(lum + 18 * (x / 64.0), 0, 255)         # chroma drifts slowly
+    g = np.clip(lum, 0, 255)
+    b = np.clip(lum + 12 * (y / 48.0), 0, 255)
+    px = np.stack([r, g, b], axis=-1).round().astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, subsampling="420"))
+    assert codec.psnr(out, px) >= 40.0
+
+
+def test_420_bitstream_shape_and_size():
+    px = codec.generate_pixels(3, 32, 48)
+    buf = jpeg.encode_jpeg(px, subsampling="420")
+    # SOF declares 2x2 luma sampling, 1x1 chroma
+    i = buf.find(b"\xff\xc0")
+    assert buf[i + 11] == 0x22 and buf[i + 14] == 0x11 and buf[i + 17] == 0x11
+    # chroma halving shows up as a materially smaller blob
+    assert len(buf) < 0.7 * len(jpeg.encode_jpeg(px))
+    # constant color is DC-only: bit-exact through 4:2:0 too
+    const = np.full((32, 32, 3), 137, np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(const, subsampling="420"))
+    assert int(np.abs(out.astype(np.int64) - 137).max()) == 0
+
+
+def test_420_with_restart_interval():
+    px = codec.generate_pixels(4, 48, 64)
+    d0 = jpeg.decode_jpeg(jpeg.encode_jpeg(px, subsampling="420"))
+    for ri in (1, 2, 5):
+        buf = jpeg.encode_jpeg(px, subsampling="420", restart_interval=ri)
+        assert np.array_equal(jpeg.decode_jpeg(buf), d0)
+
+
+def test_420_gray_is_noop_and_bad_mode_rejected():
+    gr = codec.generate_pixels(6, 16, 16)[:, :, :1].copy()
+    assert jpeg.encode_jpeg(gr, subsampling="420") == jpeg.encode_jpeg(gr)
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg.encode_jpeg(gr, subsampling="422")
