@@ -183,6 +183,8 @@ def run_benchmarks() -> dict:
         "empirical_variogram",
         "geotiff_roundtrip_stats",
         "jpeg_roundtrip_invariant",
+        "jpeg420_roundtrip_invariant",
+        "png_foreign_decode_invariant",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -17,7 +17,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from demeter_ray.functions import codec, hashing, jpeg as jpegfns, text as textfns
+from demeter_ray.functions import codec, hashing, jpeg as jpegfns, png as pngfns, text as textfns
 from demeter_ray.pipelines.relational import duck_round, gated_group_sum_ds, partial_combine, partial_shuffle_combine, register
 from demeter_ray.sources.tables import read_table
 from demeter_ray.stages.simsearch import _emb_matrix
@@ -1879,5 +1879,175 @@ def jpeg_roundtrip_invariant(sf_dir: str):
             "h": pd.Series(dtype=np.int64),
             "const_decoded": pd.Series(dtype=np.int64),
             "psnr_ok": pd.Series(dtype=bool),
+        })
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_JPEG420_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST((doc_id*37)%256 AS DOUBLE) AS r,
+         CAST((doc_id*59)%256 AS DOUBLE) AS g,
+         CAST((doc_id*83)%256 AS DOUBLE) AS b
+  FROM documents WHERE doc_id % 10 = 7),
+y AS (
+  SELECT doc_id,
+         0.299e0*r + 0.587e0*g + 0.114e0*b AS yy,
+         -0.168736e0*r - 0.331264e0*g + 0.5e0*b + 128e0 AS cb,
+         0.5e0*r - 0.418688e0*g - 0.081312e0*b + 128e0 AS cr
+  FROM c),
+q AS (
+  SELECT doc_id,
+         ROUND(8e0*(yy-128e0))/8e0 + 128e0 AS yq,
+         ROUND(8e0*(cb-128e0))/8e0 AS cbq,
+         ROUND(8e0*(cr-128e0))/8e0 AS crq
+  FROM y)
+SELECT doc_id,
+       CAST(LEAST(255e0, GREATEST(0e0, ROUND(yq + 1.402e0*crq))) AS BIGINT) AS r_dec,
+       CAST(LEAST(255e0, GREATEST(0e0, ROUND(yq - 0.344136e0*cbq - 0.714136e0*crq))) AS BIGINT) AS g_dec,
+       CAST(LEAST(255e0, GREATEST(0e0, ROUND(yq + 1.772e0*cbq))) AS BIGINT) AS b_dec
+FROM q ORDER BY doc_id
+"""
+
+
+@register("jpeg420_roundtrip_invariant", _JPEG420_SQL)
+def jpeg420_roundtrip_invariant(sf_dir: str):
+    """4:2:0 chroma-subsampled + restart-interval JPEG bitstreams in the
+    loop: for a 1-in-10 doc slice, a constant RGB tile encodes at
+    subsampling='420' with restart_interval=1 (DRI + RSTn markers exercise
+    the restart decode path per row) and must decode to per-channel
+    constants that SQL recomputes end-to-end — BT.601 forward transform,
+    the DC-only quantization to eighths (ramp table DC step is 1, a
+    constant block has no AC), and the BT.601 inverse with round/clip.
+    Constant chroma makes the 2x2 box-mean exact, so the ONLY loss is the
+    DC rounding the SQL reproduces; verified tie-free across all 256
+    distinct (r,g,b) residue triples.  In-stage asserts pin the stream
+    shape: SOF sampling 0x22 (real subsampled MCUs), DRI present, and
+    per-channel constancy — any drift fails the driver gate loudly."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 10 == 7]
+        n = len(ids)
+        out = np.empty((n, 3), np.int64)
+        for i in range(n):
+            d = int(ids[i])
+            tile = np.empty((16, 16, 3), np.uint8)
+            tile[:, :, 0] = (d * 37) % 256
+            tile[:, :, 1] = (d * 59) % 256
+            tile[:, :, 2] = (d * 83) % 256
+            buf = jpegfns.encode_jpeg(tile, subsampling="420", restart_interval=1)
+            k = buf.find(b"\xff\xc0")
+            if buf[k + 11] != 0x22 or b"\xff\xdd" not in buf:
+                raise ValueError(f"not a 4:2:0 restart stream (doc {d})")
+            dec = jpegfns.decode_jpeg(buf)
+            for ch in range(3):
+                u = np.unique(dec[:, :, ch])
+                if u.size != 1:
+                    raise ValueError(
+                        f"constant tile channel {ch} not constant through 420 (doc {d})"
+                    )
+                out[i, ch] = int(u[0])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "r_dec": pa.array(out[:, 0], pa.int64()),
+            "g_dec": pa.array(out[:, 1], pa.int64()),
+            "b_dec": pa.array(out[:, 2], pa.int64()),
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    if out.shape[1] == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "r_dec": pd.Series(dtype=np.int64),
+            "g_dec": pd.Series(dtype=np.int64),
+            "b_dec": pd.Series(dtype=np.int64),
+        })
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PNG_FOREIGN_SQL = """
+WITH cell AS (
+  SELECT d.doc_id, ((3*x.x + 5*y.y + d.doc_id) % 16) AS idx
+  FROM documents d, generate_series(0,10) x(x), generate_series(0,8) y(y)
+  WHERE d.doc_id % 10 = 1)
+SELECT doc_id,
+  SUM((7*doc_id + 29*idx) % 256)::BIGINT AS r_sum,
+  SUM((11*doc_id + 31*idx) % 256)::BIGINT AS g_sum,
+  SUM((13*doc_id + 37*idx) % 256)::BIGINT AS b_sum,
+  SUM(CASE WHEN idx < 8 THEN (doc_id + 19*idx) % 256 ELSE 255 END)::BIGINT AS a_sum
+FROM cell GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("png_foreign_decode_invariant", _PNG_FOREIGN_SQL)
+def png_foreign_decode_invariant(sf_dir: str):
+    """Foreign-shape PNG decode in the driver loop: per doc (1-in-10
+    slice) the stage hand-assembles an Adam7-INTERLACED, 4-bit PALETTED
+    PNG with a short tRNS (odd 11x9 size: scanline padding + empty-pass
+    edge cases in play) from deterministic doc_id formulas, decodes it
+    through functions/png.py, and emits per-channel pixel sums that SQL
+    recomputes from the same formulas — palette mapping, tRNS alpha
+    (entries past the tRNS length default opaque), MSB-first sub-byte
+    unpack and the interlace scatter must all be exact for the sums to
+    match.  Lossless end-to-end: any decode drift fails the value hash."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    _P = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import struct as _struct
+        import zlib as _zlib
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 10 == 1]
+        n = len(ids)
+        sums = np.empty((n, 4), np.int64)
+        w, h = 11, 9
+        xg, yg = np.meshgrid(np.arange(w), np.arange(h))
+        i16 = np.arange(16)
+        shifts = np.array([3, 2, 1, 0])[None, :]
+        for i in range(n):
+            d = int(ids[i])
+            idx = ((3 * xg + 5 * yg + d) % 16).astype(np.uint8)
+            pal = np.stack([(7 * d + 29 * i16) % 256, (11 * d + 31 * i16) % 256,
+                            (13 * d + 37 * i16) % 256], axis=1).astype(np.uint8)
+            trns = ((d + 19 * np.arange(8)) % 256).astype(np.uint8)
+            scan = b""
+            for x0, y0, dx, dy in _P:
+                sub = idx[y0::dy, x0::dx]
+                ph, pw = sub.shape
+                if ph == 0 or pw == 0:
+                    continue
+                for y in range(ph):
+                    b4 = ((sub[y][:, None] >> shifts) & 1).astype(np.uint8).reshape(-1)
+                    pad = (-len(b4)) % 8
+                    scan += b"\x00" + np.packbits(
+                        np.concatenate([b4, np.zeros(pad, np.uint8)])).tobytes()
+            ihdr = _struct.pack(">IIBBBBB", w, h, 4, 3, 0, 0, 1)
+            buf = (pngfns.PNG_SIG + pngfns._chunk(b"IHDR", ihdr)
+                   + pngfns._chunk(b"PLTE", pal.tobytes())
+                   + pngfns._chunk(b"tRNS", trns.tobytes())
+                   + pngfns._chunk(b"IDAT", _zlib.compress(scan))
+                   + pngfns._chunk(b"IEND", b""))
+            out = pngfns.decode_png(buf)
+            if out.shape != (h, w, 4):
+                raise ValueError(f"foreign PNG decoded to {out.shape} (doc {d})")
+            sums[i] = out.astype(np.int64).sum(axis=(0, 1))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "r_sum": pa.array(sums[:, 0], pa.int64()),
+            "g_sum": pa.array(sums[:, 1], pa.int64()),
+            "b_sum": pa.array(sums[:, 2], pa.int64()),
+            "a_sum": pa.array(sums[:, 3], pa.int64()),
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    if out.shape[1] == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "r_sum": pd.Series(dtype=np.int64), "g_sum": pd.Series(dtype=np.int64),
+            "b_sum": pd.Series(dtype=np.int64), "a_sum": pd.Series(dtype=np.int64),
         })
     return out.sort_values("doc_id").reset_index(drop=True)
