@@ -212,3 +212,81 @@ def test_real_jpeg_roundtrip_property(seed, w, h, c):
     assert codec.psnr(out, px) >= 40.0
     assert jpeg.jpeg_dims(buf) == (w, h)
     assert jpeg.jpeg_frame_size(buf) == len(buf)
+
+
+@given(seed=st.integers(0, 2**31), w=st.integers(1, 40), h=st.integers(1, 40),
+       c=st.sampled_from([1, 3]), ri=st.integers(0, 9),
+       sub=st.sampled_from(["444", "420"]))
+@settings(max_examples=30, deadline=None)
+def test_jpeg_restart_and_subsampling_property(seed, w, h, c, ri, sub):
+    """Restart segmentation NEVER changes decoded pixels (any interval, any
+    sampling mode, any shape), and every stream self-delimits exactly."""
+    from demeter_ray.functions import jpeg
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, c), np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, subsampling=sub))
+    buf = jpeg.encode_jpeg(px, restart_interval=ri, subsampling=sub)
+    assert np.array_equal(jpeg.decode_jpeg(buf), base)
+    assert jpeg.jpeg_dims(buf) == (w, h)
+    assert jpeg.jpeg_frame_size(buf) == len(buf)
+
+
+@given(seed=st.integers(0, 2**31), w=st.integers(1, 24), h=st.integers(1, 24),
+       depth=st.sampled_from([1, 2, 4, 8]), interlaced=st.booleans(),
+       trns_len=st.integers(0, 4))
+@settings(max_examples=30, deadline=None)
+def test_png_paletted_foreign_decode_property(seed, w, h, depth, interlaced, trns_len):
+    """Hand-assembled paletted PNGs (any bit depth, Adam7 or not, with or
+    without tRNS) decode to exactly the palette lookup."""
+    import struct
+    import zlib
+
+    from demeter_ray.functions import png
+
+    rng = np.random.default_rng(seed)
+    ncol = 1 << depth
+    pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+    idx = rng.integers(0, ncol, (h, w), np.uint8)
+    trns = rng.integers(0, 256, trns_len, np.uint8)
+
+    def pack_rows(sub):
+        ph, pw = sub.shape
+        if depth == 8:
+            return b"".join(b"\x00" + sub[y].tobytes() for y in range(ph))
+        shifts = np.arange(depth - 1, -1, -1)[None, :]
+        rows = []
+        for y in range(ph):
+            bits = ((sub[y][:, None] >> shifts) & 1).astype(np.uint8).reshape(-1)
+            pad = (-len(bits)) % 8
+            rows.append(b"\x00" + np.packbits(
+                np.concatenate([bits, np.zeros(pad, np.uint8)])).tobytes())
+        return b"".join(rows)
+
+    if interlaced:
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        scan = b"".join(
+            pack_rows(idx[y0::dy, x0::dx]) for x0, y0, dx, dy in passes
+            if idx[y0::dy, x0::dx].size
+        )
+    else:
+        scan = pack_rows(idx)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlaced))
+    chunks = [(b"PLTE", pal.tobytes())]
+    if trns_len:
+        chunks.append((b"tRNS", trns.tobytes()))
+    chunks.append((b"IDAT", zlib.compress(scan)))
+    buf = png.PNG_SIG + png._chunk(b"IHDR", ihdr)
+    for t, d in chunks:
+        buf += png._chunk(t, d)
+    buf += png._chunk(b"IEND", b"")
+
+    out = png.decode_png(buf)
+    if trns_len:
+        assert out.shape == (h, w, 4)
+        alpha = np.full(ncol, 255, np.uint8)
+        alpha[:min(trns_len, ncol)] = trns[:ncol]
+        assert np.array_equal(out[:, :, 3], alpha[idx])
+    else:
+        assert out.shape == (h, w, 3)
+    assert np.array_equal(out[:, :, :3], pal[idx])
