@@ -17,6 +17,10 @@ Formats (dispatch on leading magic bytes at decode time):
 - ``draw`` — ``DRAW`` raw frames: header + C-order uint8 HxWxC pixels.
   Fixed-size and zero-copy decodable; used where a stream needs
   constant-stride frames (video containers) or zero-copy decode.
+- GIF (decode-only, functions/gif.py) — real GIF87a/89a ingest: LZW,
+  global/local palettes, interlace, GCE transparency.  No ``fmt="gif"``
+  encode: emitting GIF requires palette quantization of RGB input, a lossy
+  decision the engine leaves to the user.
 
 ``generate_pixels`` is the shared deterministic pseudo-photo generator
 (pure integer function of the image index — FIXTURES.md §1), used both when
@@ -30,6 +34,7 @@ import struct
 
 import numpy as np
 
+from demeter_ray.functions import gif as _gif
 from demeter_ray.functions import jpeg as _jpeg
 from demeter_ray.functions import png as _png
 
@@ -73,6 +78,8 @@ def decode(buf: bytes) -> np.ndarray:
         return _png.decode_png(buf)
     if bytes(buf[:2]) == _jpeg.SOI:
         return _jpeg.decode_jpeg(buf)
+    if bytes(buf[:6]) in _gif.GIF_MAGICS:
+        return _gif.decode_gif(buf)
     magic, w, h, channels, q = struct.unpack_from(_HDR_FMT, buf, 0)
     body = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE)
     body = body.reshape(h, w, channels)
@@ -91,6 +98,8 @@ def header_dims(buf: bytes) -> tuple[int, int]:
         return _png.png_dims(buf)
     if bytes(buf[:2]) == _jpeg.SOI:
         return _jpeg.jpeg_dims(buf)
+    if bytes(buf[:6]) in _gif.GIF_MAGICS:
+        return _gif.gif_dims(buf)
     _magic, w, h, _channels, _q = struct.unpack_from(_HDR_FMT, buf, 0)
     return w, h
 
