@@ -185,6 +185,7 @@ def run_benchmarks() -> dict:
         "jpeg_roundtrip_invariant",
         "jpeg420_roundtrip_invariant",
         "png_foreign_decode_invariant",
+        "gif_foreign_decode_invariant",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -17,7 +17,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from demeter_ray.functions import codec, hashing, jpeg as jpegfns, png as pngfns, text as textfns
+from demeter_ray.functions import codec, gif as giffns, hashing, jpeg as jpegfns, png as pngfns, text as textfns
 from demeter_ray.pipelines.relational import duck_round, gated_group_sum_ds, partial_combine, partial_shuffle_combine, register
 from demeter_ray.sources.tables import read_table
 from demeter_ray.stages.simsearch import _emb_matrix
@@ -2034,6 +2034,94 @@ def png_foreign_decode_invariant(sf_dir: str):
             out = pngfns.decode_png(buf)
             if out.shape != (h, w, 4):
                 raise ValueError(f"foreign PNG decoded to {out.shape} (doc {d})")
+            sums[i] = out.astype(np.int64).sum(axis=(0, 1))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "r_sum": pa.array(sums[:, 0], pa.int64()),
+            "g_sum": pa.array(sums[:, 1], pa.int64()),
+            "b_sum": pa.array(sums[:, 2], pa.int64()),
+            "a_sum": pa.array(sums[:, 3], pa.int64()),
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    if out.shape[1] == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "r_sum": pd.Series(dtype=np.int64), "g_sum": pd.Series(dtype=np.int64),
+            "b_sum": pd.Series(dtype=np.int64), "a_sum": pd.Series(dtype=np.int64),
+        })
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_GIF_SQL = """
+WITH cell AS (
+  SELECT d.doc_id, ((2*x.x + 3*y.y + d.doc_id) % 8) AS idx
+  FROM documents d, generate_series(0,12) x(x), generate_series(0,6) y(y)
+  WHERE d.doc_id % 10 = 9)
+SELECT doc_id,
+  SUM((5*doc_id + 23*idx) % 256)::BIGINT AS r_sum,
+  SUM((7*doc_id + 41*idx) % 256)::BIGINT AS g_sum,
+  SUM((11*doc_id + 53*idx) % 256)::BIGINT AS b_sum,
+  (255 * SUM(CASE WHEN idx = 5 THEN 0 ELSE 1 END))::BIGINT AS a_sum
+FROM cell GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("gif_foreign_decode_invariant", _GIF_SQL)
+def gif_foreign_decode_invariant(sf_dir: str):
+    """GIF ingest in the driver loop: per doc (1-in-10 slice) the stage
+    assembles an INTERLACED GIF89a with GCE transparency from doc_id
+    formulas — the entropy data is a hand-built no-compression LZW stream
+    (CLEAR before every literal keeps the dictionary empty, so codes ARE
+    pixel indices; fully valid per spec app. F) — decodes it through
+    functions/gif.py and emits per-channel pixel sums that SQL recomputes
+    from the same formulas.  Palette lookup, 4-pass de-interlace,
+    transparent-index alpha and the LSB-first variable-width bit unpacking
+    must all be exact for the sums to match.  Lossless end-to-end."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import struct as _struct
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 10 == 9]
+        n = len(ids)
+        sums = np.empty((n, 4), np.int64)
+        w, h = 13, 7
+        xg, yg = np.meshgrid(np.arange(w), np.arange(h))
+        i8 = np.arange(8)
+        ilrows = np.concatenate(
+            [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))])
+        lsb4 = np.arange(4)[None, :]
+        for i in range(n):
+            d = int(ids[i])
+            idx = ((2 * xg + 3 * yg + d) % 8).astype(np.uint8)
+            pal = np.stack([(5 * d + 23 * i8) % 256, (7 * d + 41 * i8) % 256,
+                            (11 * d + 53 * i8) % 256], axis=1).astype(np.uint8)
+            stream = idx[ilrows].reshape(-1)
+            codes = np.empty(2 * len(stream) + 1, np.int64)
+            codes[0] = 8
+            codes[1::2] = stream
+            codes[2::2] = 8
+            codes[-1] = 9
+            bits = ((codes[:, None] >> lsb4) & 1).astype(np.uint8).reshape(-1)
+            pad = (-len(bits)) % 8
+            data = np.packbits(np.concatenate(
+                [bits, np.zeros(pad, np.uint8)]).reshape(-1, 8)[:, ::-1],
+                axis=1).tobytes()
+            sub = b""
+            for k in range(0, len(data), 255):
+                c = data[k : k + 255]
+                sub += bytes([len(c)]) + c
+            sub += b"\x00"
+            buf = (b"GIF89a" + _struct.pack("<HHBBB", w, h, 0x80 | 2, 0, 0)
+                   + pal.tobytes()
+                   + b"\x21\xf9\x04" + bytes([0x01, 0, 0, 5]) + b"\x00"
+                   + b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+                   + bytes([3]) + sub + b"\x3b")
+            out = giffns.decode_gif(buf)
+            if out.shape != (h, w, 4):
+                raise ValueError(f"foreign GIF decoded to {out.shape} (doc {d})")
             sums[i] = out.astype(np.int64).sum(axis=(0, 1))
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
