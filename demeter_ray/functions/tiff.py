@@ -7,7 +7,17 @@ has no rasterio/PIL, so the engine's raster bytes are normally raw-numpy
 tile rows — this module closes the format gap with a from-scratch baseline
 TIFF 6.0 + GeoTIFF 1.1 codec for the subset the engine's rasters occupy:
 
-- single band, uncompressed, strip-organized (RowsPerStrip configurable);
+- single band, strip-organized (RowsPerStrip configurable);
+- compression: none (1), LZW (5), DEFLATE (8, also legacy 32946 on decode)
+  and PackBits (32773) — DEFLATE rides stdlib zlib (C speed, the
+  performance-bearing compressed path); LZW and PackBits are from-scratch
+  (TIFF 6.0 §13/§9 semantics: MSB-first variable-width codes with the
+  libtiff "early change", ClearCode table resets; PackBits run/literal
+  headers).  LZW's per-code Python loop is an ingest-edge path for foreign
+  GDAL/libtiff files, not the engine's hot raster format (raw numpy rows);
+- Predictor tag (317) value 2 (horizontal differencing) for integer
+  dtypes on LZW/DEFLATE strips, applied per row — the layout GDAL emits
+  by default for LZW integer rasters;
 - dtypes uint8/uint16/uint32/int16/int32/float32/float64 via
   BitsPerSample + SampleFormat;
 - north-up affine georeferencing through ModelPixelScaleTag(33550) +
@@ -25,6 +35,7 @@ Everything is struct/numpy — no third-party codec anywhere.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -44,6 +55,181 @@ _DTYPE_BY_FMT = {v: k for k, v in _FMT_BY_DTYPE.items()}
 
 _GEOGRAPHIC_EPSG = frozenset({4326, 4269, 4267, 4258, 4759})
 
+# Compression tag (259) codes
+_COMP_CODE = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMP_NAME = {1: "none", 5: "lzw", 8: "deflate", 32946: "deflate",
+              32773: "packbits"}
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: runs of 2..128 as (257-L, byte), literals of
+    1..128 as (L-1, bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append((257 - run) & 0xFF)
+            out.append(data[i])
+            i += run
+        else:
+            j = i + 1
+            while j < n and j - i < 128:
+                if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += bytes((data[i],)) * (257 - h)
+            i += 1
+        # h == 128 is a no-op per spec
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip decoded to {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first variable-width codes starting at 9 bits,
+    ClearCode=256/EOI=257, libtiff "early change" width bumps at next_code
+    511/1023/2047, table reset via ClearCode before code 4094."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for ch in data:
+        c = bytes((ch,))
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code == 4094:
+            # reset instead of adding the last slot: decoders re-init on CLEAR
+            emit(_LZW_CLEAR, width)
+            table = {bytes((i,)): i for i in range(256)}
+            next_code, width = 258, 9
+        else:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == 511:
+                width = 10
+            elif next_code == 1023:
+                width = 11
+            elif next_code == 2047:
+                width = 12
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if bitcnt:  # flush the partial byte, zero-padded
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    nbits = len(data) * 8
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            return _LZW_EOI
+        v = 0
+        need = width
+        while need:
+            byte = data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(need, avail)
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            need -= take
+        return v
+
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes((i,)) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError(f"LZW: first code after CLEAR is {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW: code {code} beyond table size {len(table)}")
+        out += entry
+        prev = entry
+        # early change: the NEXT read widens one code before the table fills
+        n = len(table)
+        if n >= 2046:
+            width = 12
+        elif n >= 1022:
+            width = 11
+        elif n >= 510:
+            width = 10
+    if len(out) != expected:
+        raise ValueError(
+            f"LZW strip decoded to {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def _predict2_forward(rows: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (Predictor=2) per row, modular in the
+    sample dtype — integer dtypes only (TIFF predictor 2 is int-domain)."""
+    d = rows.copy()
+    d[:, 1:] = rows[:, 1:] - rows[:, :-1]  # wraps in-dtype
+    return d
+
+
+def _predict2_inverse(rows: np.ndarray) -> np.ndarray:
+    return np.cumsum(rows, axis=1, dtype=rows.dtype)
+
 
 def _epsg_of(crs: str | int) -> int:
     if isinstance(crs, int):
@@ -60,6 +246,8 @@ def encode_geotiff(
     crs: str | int = "EPSG:4326",
     nodata: float | None = None,
     rows_per_strip: int = 64,
+    compression: str = "none",
+    predictor: int = 1,
 ) -> bytes:
     """numpy (h, w) + (a, b, c, d, e, f) affine + crs + nodata -> GeoTIFF
     bytes.  Layout: 8-byte header, strip data, IFD + out-of-line values at
@@ -82,19 +270,43 @@ def encode_geotiff(
     fmt_code, bits = _FMT_BY_DTYPE[dtype]
     epsg = _epsg_of(crs)
 
+    if compression not in _COMP_CODE:
+        raise ValueError(
+            f"unsupported compression {compression!r}; one of {sorted(_COMP_CODE)}"
+        )
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor} (1 or 2)")
+    if predictor == 2 and fmt_code == 3:
+        raise ValueError("Predictor=2 is integer horizontal differencing; "
+                         "float rasters must use predictor=1")
+    if predictor == 2 and compression == "none":
+        raise ValueError("Predictor=2 without compression is non-standard; "
+                         "pair it with lzw/deflate/packbits")
+
     if px.dtype.byteorder == ">":
         px = px.astype(px.dtype.newbyteorder("<"))
-    data = px.tobytes()
     rows_per_strip = max(1, min(int(rows_per_strip), h)) if h else 1
     n_strips = max(1, -(-h // rows_per_strip))
-    row_bytes = w * (bits // 8)
+    strips: list[bytes] = []
+    for s in range(n_strips):
+        rows = px[s * rows_per_strip : s * rows_per_strip + rows_per_strip]
+        if predictor == 2 and rows.size:
+            rows = _predict2_forward(rows)
+        raw = rows.tobytes()
+        if compression == "deflate":
+            raw = zlib.compress(raw, 6)
+        elif compression == "packbits":
+            raw = _packbits_encode(raw)
+        elif compression == "lzw":
+            raw = _lzw_encode(raw)
+        strips.append(raw)
     strip_offsets, strip_counts = [], []
     pos = 8  # strips start right after the header
-    for s in range(n_strips):
-        nrows = min(rows_per_strip, h - s * rows_per_strip)
+    for raw in strips:
         strip_offsets.append(pos)
-        strip_counts.append(nrows * row_bytes)
-        pos += strip_counts[-1]
+        strip_counts.append(len(raw))
+        pos += len(raw)
+    data = b"".join(strips)
 
     # GeoKeyDirectory: version 1.1.0, keys sorted by id
     model_type = 2 if epsg in _GEOGRAPHIC_EPSG else 1
@@ -112,13 +324,17 @@ def encode_geotiff(
         (256, _T_LONG, 1, w),
         (257, _T_LONG, 1, h),
         (258, _T_SHORT, 1, bits),
-        (259, _T_SHORT, 1, 1),          # Compression = none
+        (259, _T_SHORT, 1, _COMP_CODE[compression]),
         (262, _T_SHORT, 1, 1),          # BlackIsZero
         (273, _T_LONG, n_strips, strip_offsets),
         (277, _T_SHORT, 1, 1),          # SamplesPerPixel
         (278, _T_LONG, 1, rows_per_strip),
         (279, _T_LONG, n_strips, strip_counts),
         (339, _T_SHORT, 1, fmt_code),   # SampleFormat
+    ]
+    if predictor == 2:
+        entries.append((317, _T_SHORT, 1, 2))
+    entries += [
         (33550, _T_DOUBLE, 3, [a, -e, 0.0]),           # ModelPixelScale
         (33922, _T_DOUBLE, 6, [0.0, 0.0, 0.0, c, f, 0.0]),  # ModelTiepoint
         (34735, _T_SHORT, len(geodir), geodir),
@@ -207,22 +423,54 @@ def decode_geotiff(buf: bytes):
     h = val(257)[0]
     bits = val(258, [8])[0]
     comp = val(259, [1])[0]
-    if comp != 1:
-        raise ValueError(f"unsupported TIFF compression {comp} (baseline only)")
+    if comp not in _COMP_NAME:
+        raise ValueError(f"unsupported TIFF compression {comp} "
+                         f"(none/lzw/deflate/packbits)")
+    comp_name = _COMP_NAME[comp]
     spp = val(277, [1])[0]
     if spp != 1:
         raise ValueError(f"unsupported SamplesPerPixel {spp} (single band only)")
+    predictor = val(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     fmt = val(339, [1])[0]
     key = (fmt, bits)
     if key not in _DTYPE_BY_FMT:
         raise ValueError(f"unsupported (SampleFormat, BitsPerSample) {key}")
+    if predictor == 2 and fmt == 3:
+        raise ValueError("Predictor=2 on float samples is unsupported")
     dtype = np.dtype(_DTYPE_BY_FMT[key]).newbyteorder(bo)
     offsets = val(273)
     counts = val(279)
-    data = b"".join(buf[o : o + n] for o, n in zip(offsets, counts))
+    rps = val(278, [h or 1])[0]
+    row_bytes = w * (bits // 8)
+    if comp_name == "none":
+        data = b"".join(buf[o : o + n] for o, n in zip(offsets, counts))
+    else:
+        parts = []
+        rows_left = h
+        for o, n in zip(offsets, counts):
+            nrows = min(rps, rows_left)
+            rows_left -= nrows
+            raw = buf[o : o + n]
+            expected = nrows * row_bytes
+            if comp_name == "deflate":
+                raw = zlib.decompress(raw)
+                if len(raw) != expected:
+                    raise ValueError(f"DEFLATE strip decoded to {len(raw)} "
+                                     f"bytes, expected {expected}")
+            elif comp_name == "packbits":
+                raw = _packbits_decode(raw, expected)
+            else:
+                raw = _lzw_decode(raw, expected)
+            parts.append(raw)
+        data = b"".join(parts)
     px = np.frombuffer(data, dtype=dtype).reshape(h, w)
     if bo == ">":
         px = px.astype(px.dtype.newbyteorder("<"))
+    if predictor == 2 and px.size:
+        # horizontal differencing is per scanline — undo once, post-assembly
+        px = _predict2_inverse(np.ascontiguousarray(px))
 
     transform = None
     scale = val(33550)
@@ -254,12 +502,14 @@ def decode_geotiff(buf: bytes):
     return px, transform, crs, nodata
 
 
-def tile_row_to_geotiff(row: dict, rows_per_strip: int = 64) -> bytes:
+def tile_row_to_geotiff(row: dict, rows_per_strip: int = 64,
+                        compression: str = "none", predictor: int = 1) -> bytes:
     """Engine tile-table row (tile schema: pixels/dtype/h/w/transform/crs/
     nodata) -> GeoTIFF bytes."""
     px = np.frombuffer(row["pixels"], dtype=row["dtype"]).reshape(row["h"], row["w"])
     return encode_geotiff(px, row["transform"], row["crs"] or "EPSG:4326",
-                          row["nodata"], rows_per_strip)
+                          row["nodata"], rows_per_strip,
+                          compression=compression, predictor=predictor)
 
 
 def geotiff_to_tile_row(tif: bytes, tile_id: str, dataset: str = "raster") -> dict:

@@ -3511,3 +3511,83 @@ def geotiff_roundtrip_stats(sf_dir: str):
     for c, t in cols.items():
         parts[c] = parts[c].astype(t)
     return parts.sort_values("tile_id").reset_index(drop=True)
+
+
+_GEOTIFF_COMP_SQL = """
+WITH px AS (
+  SELECT event_id // 256 AS tile_id,
+         (event_id * 7) % 1000 AS v
+  FROM events
+)
+SELECT tile_id,
+       CASE CAST(tile_id % 4 AS INTEGER)
+         WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
+         WHEN 2 THEN 'deflate' ELSE 'lzw' END AS comp,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(MIN(v) AS BIGINT) AS min_val,
+       CAST(MAX(v) AS BIGINT) AS max_val
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+@register("geotiff_compressed_roundtrip", _GEOTIFF_COMP_SQL)
+def geotiff_compressed_roundtrip(sf_dir: str):
+    """geotiff_roundtrip_stats through the codec's COMPRESSED strip paths
+    (functions/tiff.py: LZW tag 5 with the libtiff early-change widths,
+    DEFLATE tag 8 via zlib, PackBits tag 32773, Predictor tag 317=2 on the
+    lzw/deflate tiles — the layouts GDAL emits; reference ingests these via
+    rasterio, raster/__init__.py:36-47).  Each tile encodes with the
+    compression chosen by tile_id % 4, asserts the deflate/lzw variants beat
+    the raw strip bytes, decodes back, and the
+    emitted stats come from the decoded raster only.  SQL recomputes stats
+    from the value expression — exact because every path is lossless."""
+    from demeter_ray.functions import tiff as _tiff
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def with_tile(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(k, pa.int64()),
+            "tile_id": pa.array(k // 256, pa.int64()),
+        })
+
+    cols = {"tile_id": np.int64, "comp": object, "n_valid": np.int64,
+            "sum_val": np.int64, "min_val": np.int64, "max_val": np.int64}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    comps = ("none", "packbits", "deflate", "lzw")
+
+    def tile_stats(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["event_id"].to_numpy(np.int64)
+        tid = int(k[0] // 256)
+        pos = k % 256
+        grid = np.full((16, 16), -1, dtype=np.int32)
+        grid[pos // 16, pos % 16] = ((k * 7) % 1000).astype(np.int32)
+        transform = (0.01, 0.0, -102.2 + tid * 0.16, 0.0, -0.01, 37.9)
+        comp = comps[tid % 4]
+        pred = 2 if comp in ("deflate", "lzw") else 1
+        buf = _tiff.encode_geotiff(grid, transform, "EPSG:4326", nodata=-1.0,
+                                   rows_per_strip=8, compression=comp,
+                                   predictor=pred)
+        if comp in ("deflate", "lzw"):
+            # PackBits legitimately expands on dense non-run int32 tiles
+            assert len(buf) < grid.nbytes, (tid, comp, len(buf))
+        px, t, crs, nd = _tiff.decode_geotiff(buf)
+        assert crs == "EPSG:4326" and nd == -1.0 and t == transform
+        assert px.dtype == np.int32
+        valid = px[px != np.int32(nd)].astype(np.int64)
+        return pd.DataFrame({
+            "tile_id": [tid], "comp": [comp], "n_valid": [len(valid)],
+            "sum_val": [valid.sum()], "min_val": [valid.min()],
+            "max_val": [valid.max()],
+        })
+
+    parts = (ds.map_batches(with_tile, batch_format="pyarrow")
+             .groupby("tile_id").map_groups(tile_stats, batch_format="pandas")
+             .to_pandas())
+    if parts.shape[1] == 0:
+        return empty
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("tile_id").reset_index(drop=True)

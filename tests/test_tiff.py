@@ -172,3 +172,114 @@ def test_lineage_tif_sidecar(ray_session, tmp_path):
     with open(os.path.join(out, "part-1.tif"), "wb") as f:
         f.write(b"torn")
     assert lineage.completed_keys(out) == {0}
+
+
+# ---------------- compressed strips (LZW / DEFLATE / PackBits + Predictor 2)
+
+
+@pytest.mark.parametrize("comp", ["packbits", "deflate", "lzw"])
+@pytest.mark.parametrize("dtype", ["uint8", "int16", "int32", "float64"])
+def test_compressed_roundtrip(comp, dtype):
+    rng = np.random.default_rng(11)
+    px = (rng.normal(size=(37, 23)).astype(dtype) if dtype.startswith("float")
+          else rng.integers(0, 500, size=(37, 23)).astype(dtype))
+    for pred in (1, 2):
+        if pred == 2 and dtype.startswith("float"):
+            continue
+        buf = tiff.encode_geotiff(px, T, "EPSG:5070", nodata=-1.0,
+                                  rows_per_strip=7, compression=comp,
+                                  predictor=pred)
+        out, t, crs, nd = tiff.decode_geotiff(buf)
+        np.testing.assert_array_equal(out, px)
+        assert (t, crs, nd) == (pytest.approx(T), "EPSG:5070", -1.0)
+
+
+def test_compression_actually_compresses():
+    px = np.tile(np.arange(64, dtype=np.int32), (64, 1))
+    raw = len(tiff.encode_geotiff(px, T))
+    for comp in ("deflate", "lzw"):
+        assert len(tiff.encode_geotiff(px, T, compression=comp,
+                                       predictor=2)) < raw // 4
+    assert len(tiff.encode_geotiff(np.zeros((64, 64), np.uint8), T,
+                                   compression="packbits")) < 64 * 64
+
+
+def test_lzw_width_bumps_and_table_reset():
+    """>4094 codes forces 10/11/12-bit widths and a mid-stream CLEAR."""
+    rng = np.random.default_rng(3)
+    data = bytes(rng.integers(0, 256, size=20000, dtype=np.uint8))
+    assert tiff._lzw_decode(tiff._lzw_encode(data), len(data)) == data
+    rep = b"abcabd" * 4000  # dictionary-dense repetitive stream
+    assert tiff._lzw_decode(tiff._lzw_encode(rep), len(rep)) == rep
+
+
+def test_packbits_edges():
+    for data in (b"", b"\x00", b"\x07" * 300, bytes(range(256)) * 2,
+                 b"ab" + b"\xff" * 130 + b"cd"):
+        assert tiff._packbits_decode(tiff._packbits_encode(data),
+                                     len(data)) == data
+    with pytest.raises(ValueError, match="expected"):
+        tiff._packbits_decode(b"\x01\x41\x42", 10)  # short stream
+
+
+def test_foreign_bigendian_lzw_predictor_decodes():
+    """Hand-assembled MM-order LZW + Predictor=2 file (the GDAL default
+    layout for integer rasters) decodes — built without encode_geotiff."""
+    px = np.array([[100, 105, 103], [-7, 0, 7], [3000, 2999, 3001]],
+                  dtype=np.int16)
+    pred = px.copy()
+    pred[:, 1:] = px[:, 1:] - px[:, :-1]
+    data = tiff._lzw_encode(pred.astype(">i2").tobytes())
+    entries = [
+        (256, 3, 1, 3), (257, 3, 1, 3), (258, 3, 1, 16), (259, 3, 1, 5),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 3),
+        (279, 4, 1, len(data)), (317, 3, 1, 2), (339, 3, 1, 2),
+    ]
+    ifd = struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        raw = (struct.pack(">H", val) + b"\x00\x00" if typ == 3
+               else struct.pack(">I", val))
+        ifd += struct.pack(">HHI", tag, typ, cnt) + raw
+    ifd += struct.pack(">I", 0)
+    pad = b"\x00" * (len(data) % 2)
+    buf = (struct.pack(">2sHI", b"MM", 42, 8 + len(data) + len(pad))
+           + data + pad + ifd)
+    out, t, crs, nd = tiff.decode_geotiff(buf)
+    np.testing.assert_array_equal(out, px)
+    assert out.dtype == np.dtype("int16")
+
+
+def test_legacy_deflate_code_32946():
+    px = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    buf = bytearray(tiff.encode_geotiff(px, T, compression="deflate"))
+    i = bytes(buf).find(struct.pack("<HH", 259, 3))
+    assert i >= 0 and struct.unpack("<H", bytes(buf[i + 8:i + 10]))[0] == 8
+    buf[i + 8:i + 10] = struct.pack("<H", 32946)
+    out, *_ = tiff.decode_geotiff(bytes(buf))
+    np.testing.assert_array_equal(out, px)
+
+
+def test_compression_fail_loud():
+    px = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="compression"):
+        tiff.encode_geotiff(px, T, compression="jpeg")
+    with pytest.raises(ValueError, match="predictor"):
+        tiff.encode_geotiff(px, T, compression="lzw", predictor=3)
+    with pytest.raises(ValueError, match="float"):
+        tiff.encode_geotiff(np.zeros((2, 2), np.float32), T,
+                            compression="deflate", predictor=2)
+    with pytest.raises(ValueError, match="non-standard"):
+        tiff.encode_geotiff(px, T, compression="none", predictor=2)
+    good = bytearray(tiff.encode_geotiff(px, T))
+    i = bytes(good).find(struct.pack("<HH", 259, 3))
+    good[i + 8:i + 10] = struct.pack("<H", 7)  # JPEG-in-TIFF
+    with pytest.raises(ValueError, match="compression 7"):
+        tiff.decode_geotiff(bytes(good))
+
+
+def test_empty_raster_all_compressions():
+    for comp in ("none", "packbits", "deflate", "lzw"):
+        buf = tiff.encode_geotiff(np.zeros((0, 5), np.uint8), T,
+                                  compression=comp)
+        out, *_ = tiff.decode_geotiff(buf)
+        assert out.shape == (0, 5)
