@@ -53,6 +53,7 @@ def entry() -> Any:
 
 
 def _registry() -> dict:
+    import demeter_ray.pipelines.oracle_audio  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_extra  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401  (registers)
     import demeter_ray.pipelines.oracle_text  # noqa: F401  (registers)

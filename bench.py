@@ -186,6 +186,10 @@ def run_benchmarks() -> dict:
         "jpeg420_roundtrip_invariant",
         "png_foreign_decode_invariant",
         "gif_foreign_decode_invariant",
+        "geotiff_compressed_roundtrip",
+        "geotiff_window_read",
+        "wav_audio_features",
+        "wav_decimate_stats",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -54,10 +54,10 @@ def ship_code_to_workers() -> None:
         "demeter_ray.functions.jpeg", "demeter_ray.functions.png",
         "demeter_ray.functions.scenes", "demeter_ray.functions.terrain",
         "demeter_ray.functions.text", "demeter_ray.functions.tiff",
-        "demeter_ray.functions.warp",
+        "demeter_ray.functions.warp", "demeter_ray.functions.wav",
         "demeter_ray.sources.fixtures",
         "demeter_ray.sources.tables", "demeter_ray.sources.ziptiles",
-        "demeter_ray.stages.cells",
+        "demeter_ray.stages.audio", "demeter_ray.stages.cells",
         "demeter_ray.stages.components",
         "demeter_ray.stages.dedup", "demeter_ray.stages.depthagg",
         "demeter_ray.stages.hydro", "demeter_ray.stages.images",
@@ -70,6 +70,7 @@ def ship_code_to_workers() -> None:
         "demeter_ray.stages.spatial",
         "demeter_ray.state.lineage",
         "demeter_ray.pipelines.flagship", "demeter_ray.pipelines.relational",
+        "demeter_ray.pipelines.oracle_audio",
         "demeter_ray.pipelines.oracle_extra", "demeter_ray.pipelines.oracle_spatial",
         "demeter_ray.pipelines.oracle_text", "demeter_ray.pipelines.oracle_tpch",
         "demeter_ray.pipelines.oracle_window",

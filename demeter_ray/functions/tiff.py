@@ -231,6 +231,33 @@ def _predict2_inverse(rows: np.ndarray) -> np.ndarray:
     return np.cumsum(rows, axis=1, dtype=rows.dtype)
 
 
+def _compress(raw: bytes, compression: str) -> bytes:
+    if compression == "deflate":
+        return zlib.compress(raw, 6)
+    if compression == "packbits":
+        return _packbits_encode(raw)
+    if compression == "lzw":
+        return _lzw_encode(raw)
+    return raw
+
+
+def _decompress(raw: bytes, comp_name: str, expected: int) -> bytes:
+    if comp_name == "deflate":
+        out = zlib.decompress(raw)
+        if len(out) != expected:
+            raise ValueError(f"DEFLATE segment decoded to {len(out)} bytes, "
+                             f"expected {expected}")
+        return out
+    if comp_name == "packbits":
+        return _packbits_decode(raw, expected)
+    if comp_name == "lzw":
+        return _lzw_decode(raw, expected)
+    if len(raw) < expected:
+        raise ValueError(f"uncompressed segment is {len(raw)} bytes, "
+                         f"expected {expected}")
+    return raw[:expected]
+
+
 def _epsg_of(crs: str | int) -> int:
     if isinstance(crs, int):
         return crs
@@ -248,6 +275,7 @@ def encode_geotiff(
     rows_per_strip: int = 64,
     compression: str = "none",
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """numpy (h, w) + (a, b, c, d, e, f) affine + crs + nodata -> GeoTIFF
     bytes.  Layout: 8-byte header, strip data, IFD + out-of-line values at
@@ -285,28 +313,39 @@ def encode_geotiff(
 
     if px.dtype.byteorder == ">":
         px = px.astype(px.dtype.newbyteorder("<"))
-    rows_per_strip = max(1, min(int(rows_per_strip), h)) if h else 1
-    n_strips = max(1, -(-h // rows_per_strip))
-    strips: list[bytes] = []
-    for s in range(n_strips):
-        rows = px[s * rows_per_strip : s * rows_per_strip + rows_per_strip]
-        if predictor == 2 and rows.size:
-            rows = _predict2_forward(rows)
-        raw = rows.tobytes()
-        if compression == "deflate":
-            raw = zlib.compress(raw, 6)
-        elif compression == "packbits":
-            raw = _packbits_encode(raw)
-        elif compression == "lzw":
-            raw = _lzw_encode(raw)
-        strips.append(raw)
-    strip_offsets, strip_counts = [], []
-    pos = 8  # strips start right after the header
-    for raw in strips:
-        strip_offsets.append(pos)
-        strip_counts.append(len(raw))
+    segments: list[bytes] = []
+    if tile is not None:
+        tw, tl = int(tile[0]), int(tile[1])
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+            raise ValueError(
+                f"tile dims must be positive multiples of 16, got {tile}"
+            )
+        ta = max(1, -(-w // tw))  # tiles across
+        td = max(1, -(-h // tl))  # tiles down
+        padded = np.zeros((td * tl, ta * tw), dtype=px.dtype)
+        padded[:h, :w] = px
+        for ty in range(td):
+            for tx in range(ta):
+                t = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                if predictor == 2:
+                    t = _predict2_forward(t)
+                segments.append(_compress(t.tobytes(), compression))
+    else:
+        rows_per_strip = max(1, min(int(rows_per_strip), h)) if h else 1
+        n_strips = max(1, -(-h // rows_per_strip))
+        for s in range(n_strips):
+            rows = px[s * rows_per_strip : s * rows_per_strip + rows_per_strip]
+            if predictor == 2 and rows.size:
+                rows = _predict2_forward(rows)
+            segments.append(_compress(rows.tobytes(), compression))
+    seg_offsets, seg_counts = [], []
+    pos = 8  # pixel segments start right after the header
+    for raw in segments:
+        seg_offsets.append(pos)
+        seg_counts.append(len(raw))
         pos += len(raw)
-    data = b"".join(strips)
+    data = b"".join(segments)
+    n_segs = len(segments)
 
     # GeoKeyDirectory: version 1.1.0, keys sorted by id
     model_type = 2 if epsg in _GEOGRAPHIC_EPSG else 1
@@ -326,12 +365,21 @@ def encode_geotiff(
         (258, _T_SHORT, 1, bits),
         (259, _T_SHORT, 1, _COMP_CODE[compression]),
         (262, _T_SHORT, 1, 1),          # BlackIsZero
-        (273, _T_LONG, n_strips, strip_offsets),
         (277, _T_SHORT, 1, 1),          # SamplesPerPixel
-        (278, _T_LONG, 1, rows_per_strip),
-        (279, _T_LONG, n_strips, strip_counts),
         (339, _T_SHORT, 1, fmt_code),   # SampleFormat
     ]
+    if tile is not None:
+        entries += [
+            (322, _T_LONG, 1, tw), (323, _T_LONG, 1, tl),
+            (324, _T_LONG, n_segs, seg_offsets),
+            (325, _T_LONG, n_segs, seg_counts),
+        ]
+    else:
+        entries += [
+            (273, _T_LONG, n_segs, seg_offsets),
+            (278, _T_LONG, 1, rows_per_strip),
+            (279, _T_LONG, n_segs, seg_counts),
+        ]
     if predictor == 2:
         entries.append((317, _T_SHORT, 1, 2))
     entries += [
@@ -388,10 +436,18 @@ def _read_values(buf: bytes, bo: str, typ: int, count: int, field: bytes):
     return list(struct.unpack(f"{bo}{count}{code}", raw))
 
 
-def decode_geotiff(buf: bytes):
-    """GeoTIFF bytes -> (pixels (h, w) numpy, (a, b, c, d, e, f) transform,
-    crs 'EPSG:xxxx' | None, nodata float | None).  Baseline subset: first
-    IFD, single band, uncompressed strips; both byte orders."""
+def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None):
+    """GeoTIFF bytes -> (pixels numpy, (a, b, c, d, e, f) transform,
+    crs 'EPSG:xxxx' | None, nodata float | None).  First IFD, single band,
+    strip- or tile-organized, any supported compression; both byte orders.
+
+    ``window=(row0, row1, col0, col1)`` decodes only that pixel rectangle —
+    on tiled files only intersecting tiles are decompressed, on stripped
+    files only intersecting strips (the COG windowed-read access pattern:
+    reference S5 reads remote COG windows via rasterio;
+    /root/reference/demeter/raster/__init__.py:36-47).  The returned
+    transform is shifted to the window origin so georeferencing stays
+    consistent."""
     if len(buf) < 8:
         raise ValueError("not a TIFF: truncated header")
     order = buf[:2]
@@ -440,37 +496,73 @@ def decode_geotiff(buf: bytes):
     if predictor == 2 and fmt == 3:
         raise ValueError("Predictor=2 on float samples is unsupported")
     dtype = np.dtype(_DTYPE_BY_FMT[key]).newbyteorder(bo)
-    offsets = val(273)
-    counts = val(279)
-    rps = val(278, [h or 1])[0]
-    row_bytes = w * (bits // 8)
-    if comp_name == "none":
-        data = b"".join(buf[o : o + n] for o, n in zip(offsets, counts))
+    native = dtype.newbyteorder("=")
+    if window is None:
+        r0, r1, c0, c1 = 0, h, 0, w
     else:
+        r0, r1, c0, c1 = (int(v) for v in window)
+        if not (0 <= r0 <= r1 <= h and 0 <= c0 <= c1 <= w):
+            raise ValueError(f"window {window} outside raster {h}x{w}")
+    if 322 in tags:  # tiled layout (the COG interior organization)
+        tw = val(322)[0]
+        tl = val(323)[0]
+        offsets = val(324)
+        counts = val(325)
+        if tw <= 0 or tl <= 0 or not offsets:
+            raise ValueError(f"bad tile layout ({tw}x{tl}, {offsets})")
+        ta = max(1, -(-w // tw))
+        td = max(1, -(-h // tl))
+        if len(offsets) != ta * td:
+            raise ValueError(
+                f"tile count {len(offsets)} != grid {ta}x{td} for {w}x{h}"
+            )
+        px = np.zeros((r1 - r0, c1 - c0), dtype=native)
+        tile_bytes = tw * tl * dtype.itemsize
+        # only tiles intersecting the window are read OR decompressed —
+        # the tiles outside it are never touched (COG partial read)
+        ty1 = min(td, -(-r1 // tl)) if r1 > r0 else r0 // tl
+        tx1 = min(ta, -(-c1 // tw)) if c1 > c0 else c0 // tw
+        for ty in range(r0 // tl, ty1):
+            for tx in range(c0 // tw, tx1):
+                idx = ty * ta + tx
+                o, n = offsets[idx], counts[idx]
+                raw = _decompress(buf[o : o + n], comp_name, tile_bytes)
+                t = np.frombuffer(raw, dtype=dtype).reshape(tl, tw)
+                t = t.astype(native)
+                if predictor == 2:
+                    # differencing runs per TILE row (width tw) — undo on
+                    # the whole tile before slicing the intersection out
+                    t = _predict2_inverse(t)
+                gr0, gr1 = max(r0, ty * tl), min(r1, ty * tl + tl)
+                gc0, gc1 = max(c0, tx * tw), min(c1, tx * tw + tw)
+                px[gr0 - r0 : gr1 - r0, gc0 - c0 : gc1 - c0] = \
+                    t[gr0 - ty * tl : gr1 - ty * tl,
+                      gc0 - tx * tw : gc1 - tx * tw]
+    else:
+        offsets = val(273)
+        counts = val(279)
+        if offsets is None or counts is None:
+            raise ValueError("TIFF lacks both strip and tile offsets")
+        rps = max(1, val(278, [h or 1])[0])
+        row_bytes = w * (bits // 8)
+        # only strips intersecting window rows are read or decompressed
+        s0 = r0 // rps
+        s1 = min(len(offsets), -(-r1 // rps)) if r1 > r0 else s0
         parts = []
-        rows_left = h
-        for o, n in zip(offsets, counts):
-            nrows = min(rps, rows_left)
-            rows_left -= nrows
-            raw = buf[o : o + n]
-            expected = nrows * row_bytes
-            if comp_name == "deflate":
-                raw = zlib.decompress(raw)
-                if len(raw) != expected:
-                    raise ValueError(f"DEFLATE strip decoded to {len(raw)} "
-                                     f"bytes, expected {expected}")
-            elif comp_name == "packbits":
-                raw = _packbits_decode(raw, expected)
-            else:
-                raw = _lzw_decode(raw, expected)
-            parts.append(raw)
+        for s in range(s0, s1):
+            nrows = min(rps, h - s * rps)
+            parts.append(_decompress(buf[offsets[s] : offsets[s] + counts[s]],
+                                     comp_name, nrows * row_bytes))
         data = b"".join(parts)
-    px = np.frombuffer(data, dtype=dtype).reshape(h, w)
-    if bo == ">":
-        px = px.astype(px.dtype.newbyteorder("<"))
-    if predictor == 2 and px.size:
-        # horizontal differencing is per scanline — undo once, post-assembly
-        px = _predict2_inverse(np.ascontiguousarray(px))
+        nrows_have = (len(data) // row_bytes) if row_bytes else 0
+        block = np.frombuffer(data, dtype=dtype).reshape(nrows_have, w)
+        if bo == ">":
+            block = block.astype(native)
+        if predictor == 2 and block.size:
+            # strip differencing is per full-width scanline — undo on the
+            # full-width rows BEFORE the column slice (cumsum needs the row)
+            block = _predict2_inverse(np.ascontiguousarray(block))
+        px = np.ascontiguousarray(block[r0 - s0 * rps : r1 - s0 * rps, c0:c1])
 
     transform = None
     scale = val(33550)
@@ -480,6 +572,12 @@ def decode_geotiff(buf: bytes):
         i, j, _, x, y, _ = tiepoint[:6]
         # tiepoint maps raster (i, j) -> model (x, y); origin = offset back
         transform = (sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
+        if window is not None:
+            # shift the origin to pixel (c0, r0) so the windowed raster
+            # stays georeferenced (rasterio window-read semantics)
+            a, b2, c2, d, e, f = transform
+            transform = (a, b2, c2 + a * c0 + b2 * r0,
+                         d, e, f + d * c0 + e * r0)
 
     crs = None
     geodir = val(34735)

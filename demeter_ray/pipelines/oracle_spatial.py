@@ -3591,3 +3591,92 @@ def geotiff_compressed_roundtrip(sf_dir: str):
     for c, t in cols.items():
         parts[c] = parts[c].astype(t)
     return parts.sort_values("tile_id").reset_index(drop=True)
+
+
+_GEOTIFF_WIN_SQL = """
+WITH px AS (
+  SELECT event_id // 1024 AS tile_id,
+         (event_id % 1024) // 32 AS r,
+         (event_id % 1024) % 32 AS c,
+         (event_id * 7) % 1000 AS v
+  FROM events
+)
+SELECT tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(MIN(v) AS BIGINT) AS min_val,
+       CAST(MAX(v) AS BIGINT) AS max_val,
+       -102.2e0 + tile_id * 0.16e0 + (tile_id % 2) * 16 * 0.01e0 AS minx
+FROM px
+WHERE r // 16 = (tile_id % 4) // 2 AND c // 16 = (tile_id % 4) % 2
+GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+@register("geotiff_window_read", _GEOTIFF_WIN_SQL)
+def geotiff_window_read(sf_dir: str):
+    """Windowed read of TILED GeoTIFFs — the COG access pattern (reference
+    S5 reads remote COG windows via rasterio windows,
+    /root/reference/demeter/raster/__init__.py:36-47).  Events rasterize
+    onto 32x32 int32 tiles (tile_id = event_id // 1024, pixel = event_id %
+    1024, value = (event_id*7) % 1000, absent = nodata -1); each tile
+    encodes as a TILED .tif (TileWidth/TileLength 16x16, deflate or lzw by
+    tile_id parity, Predictor 2) and only the quadrant window selected by
+    tile_id % 4 is decoded back — non-intersecting tiles are never
+    decompressed.  Stats + the minx column come from the windowed raster
+    and its SHIFTED transform only; the stage also asserts the window
+    equals the full-decode slice.  SQL recomputes the same stats from the
+    value expression filtered to the quadrant — exact (lossless codec,
+    commutative-exact float ops for minx)."""
+    from demeter_ray.functions import tiff as _tiff
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def with_tile(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(k, pa.int64()),
+            "tile_id": pa.array(k // 1024, pa.int64()),
+        })
+
+    cols = {"tile_id": np.int64, "n_valid": np.int64, "sum_val": np.int64,
+            "min_val": np.int64, "max_val": np.int64, "minx": np.float64}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+    def tile_stats(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["event_id"].to_numpy(np.int64)
+        tid = int(k[0] // 1024)
+        pos = k % 1024
+        grid = np.full((32, 32), -1, dtype=np.int32)
+        grid[pos // 32, pos % 32] = ((k * 7) % 1000).astype(np.int32)
+        transform = (0.01, 0.0, -102.2 + tid * 0.16, 0.0, -0.01, 37.9)
+        comp = "lzw" if tid % 2 else "deflate"
+        buf = _tiff.encode_geotiff(grid, transform, "EPSG:4326", nodata=-1.0,
+                                   tile=(16, 16), compression=comp,
+                                   predictor=2)
+        q = tid % 4
+        r0, c0 = (q // 2) * 16, (q % 2) * 16
+        px, t, crs, nd = _tiff.decode_geotiff(
+            buf, window=(r0, r0 + 16, c0, c0 + 16))
+        # the windowed-read invariants ARE the operator: fail loud on drift
+        assert crs == "EPSG:4326" and nd == -1.0 and px.shape == (16, 16)
+        fullpx, tf, _, _ = _tiff.decode_geotiff(buf)
+        assert tf == transform and np.array_equal(
+            px, fullpx[r0:r0 + 16, c0:c0 + 16])
+        valid = px[px != np.int32(-1)].astype(np.int64)
+        if len(valid) == 0:
+            return empty  # quadrant empty -> no SQL group either
+        return pd.DataFrame({
+            "tile_id": [tid], "n_valid": [len(valid)],
+            "sum_val": [valid.sum()], "min_val": [valid.min()],
+            "max_val": [valid.max()], "minx": [float(t[2])],
+        })
+
+    parts = (ds.map_batches(with_tile, batch_format="pyarrow")
+             .groupby("tile_id").map_groups(tile_stats, batch_format="pandas")
+             .to_pandas())
+    if parts.shape[1] == 0:
+        return empty
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("tile_id").reset_index(drop=True)

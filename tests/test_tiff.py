@@ -283,3 +283,107 @@ def test_empty_raster_all_compressions():
                                   compression=comp)
         out, *_ = tiff.decode_geotiff(buf)
         assert out.shape == (0, 5)
+
+
+# ---------------------------------------------------------------- tiled layout
+
+
+@pytest.mark.parametrize("comp,pred", [("none", 1), ("packbits", 1),
+                                       ("deflate", 2), ("lzw", 2)])
+def test_tiled_roundtrip(comp, pred):
+    """TileWidth/TileLength/TileOffsets layout (the COG interior
+    organization) round-trips with edge-tile padding clipped off."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 4000, size=(33, 47)).astype(np.int32)
+    buf = tiff.encode_geotiff(px, T, "EPSG:4326", nodata=-1.0,
+                              tile=(16, 16), compression=comp, predictor=pred)
+    out, t, crs, nd = tiff.decode_geotiff(buf)
+    np.testing.assert_array_equal(out, px)
+    assert t == pytest.approx(T) and crs == "EPSG:4326" and nd == -1.0
+
+
+def test_tiled_roundtrip_float_and_big_tiles():
+    rng = np.random.default_rng(12)
+    px = rng.normal(size=(40, 20)).astype(np.float64)
+    buf = tiff.encode_geotiff(px, T, tile=(16, 32), compression="deflate")
+    out, *_ = tiff.decode_geotiff(buf)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_tiled_encode_validation():
+    px = np.zeros((8, 8), np.uint8)
+    for bad in ((15, 16), (16, 0), (-16, 16)):
+        with pytest.raises(ValueError, match="multiples of 16"):
+            tiff.encode_geotiff(px, T, tile=bad)
+
+
+@pytest.mark.parametrize("layout", ["strips", "tiles"])
+@pytest.mark.parametrize("comp,pred", [("none", 1), ("deflate", 2),
+                                       ("lzw", 2)])
+def test_window_equals_full_slice(layout, comp, pred):
+    """decode_geotiff(window=...) == full decode sliced, with the transform
+    shifted to the window origin — across strip/tile layouts, compression,
+    and predictor, for windows that cross segment boundaries."""
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 60000, size=(45, 37)).astype(np.uint16)
+    kw = (dict(tile=(16, 16)) if layout == "tiles"
+          else dict(rows_per_strip=7))
+    buf = tiff.encode_geotiff(px, T, "EPSG:4326", nodata=0.0,
+                              compression=comp, predictor=pred, **kw)
+    full, t_full, _, _ = tiff.decode_geotiff(buf)
+    for win in [(0, 45, 0, 37), (3, 29, 5, 33), (16, 32, 16, 32),
+                (44, 45, 36, 37), (7, 7, 4, 20), (10, 20, 12, 12)]:
+        r0, r1, c0, c1 = win
+        out, t, crs, nd = tiff.decode_geotiff(buf, window=win)
+        assert out.shape == (r1 - r0, c1 - c0)
+        np.testing.assert_array_equal(out, full[r0:r1, c0:c1])
+        a, b, c, d, e, f = t_full
+        assert t == pytest.approx((a, b, c + a * c0, d, e, f + e * r0))
+        assert crs == "EPSG:4326" and nd == 0.0
+
+
+def test_window_out_of_bounds_fails_loud():
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = tiff.encode_geotiff(px, T)
+    for bad in [(-1, 4, 0, 4), (0, 9, 0, 4), (4, 2, 0, 4), (0, 4, 3, 99)]:
+        with pytest.raises(ValueError, match="window"):
+            tiff.decode_geotiff(buf, window=bad)
+
+
+def test_window_skips_nonintersecting_tiles():
+    """Tiles outside the window are never decompressed: corrupting tile
+    (0,0)'s deflate stream breaks the full read but not a window that only
+    touches other tiles — the lazy COG access pattern, not a post-filter."""
+    px = np.arange(48 * 48, dtype=np.int32).reshape(48, 48)
+    buf = bytearray(tiff.encode_geotiff(px, T, tile=(16, 16),
+                                        compression="deflate"))
+    buf[8:10] = b"\xff\xff"  # tile (0,0) data starts right after the header
+    buf = bytes(buf)
+    out, *_ = tiff.decode_geotiff(buf, window=(16, 48, 16, 48))
+    np.testing.assert_array_equal(out, px[16:48, 16:48])
+    with pytest.raises(Exception):
+        tiff.decode_geotiff(buf)
+    with pytest.raises(Exception):
+        tiff.decode_geotiff(buf, window=(0, 17, 0, 17))
+
+
+def test_window_skips_nonintersecting_strips():
+    px = np.arange(40 * 10, dtype=np.int32).reshape(40, 10)
+    buf = bytearray(tiff.encode_geotiff(px, T, rows_per_strip=8,
+                                        compression="deflate"))
+    buf[8:10] = b"\xff\xff"  # strip 0 data starts right after the header
+    buf = bytes(buf)
+    out, *_ = tiff.decode_geotiff(buf, window=(8, 40, 2, 9))
+    np.testing.assert_array_equal(out, px[8:40, 2:9])
+    with pytest.raises(Exception):
+        tiff.decode_geotiff(buf)
+
+
+def test_window_empty_is_total():
+    buf = tiff.encode_geotiff(np.ones((20, 20), np.uint8), T, tile=(16, 16))
+    out, t, _, _ = tiff.decode_geotiff(buf, window=(5, 5, 3, 11))
+    assert out.shape == (0, 8)
+    buf2 = tiff.encode_geotiff(np.ones((20, 20), np.uint8), T,
+                               rows_per_strip=6)
+    out2, *_ = tiff.decode_geotiff(buf2, window=(4, 4, 0, 0))
+    assert out2.shape == (0, 0)
