@@ -186,6 +186,7 @@ def run_benchmarks() -> dict:
         "jpeg420_roundtrip_invariant",
         "png_foreign_decode_invariant",
         "gif_foreign_decode_invariant",
+        "bmp_foreign_decode_invariant",
         "geotiff_compressed_roundtrip",
         "geotiff_window_read",
         "wav_audio_features",

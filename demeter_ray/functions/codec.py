@@ -17,6 +17,9 @@ Formats (dispatch on leading magic bytes at decode time):
 - ``draw`` — ``DRAW`` raw frames: header + C-order uint8 HxWxC pixels.
   Fixed-size and zero-copy decodable; used where a stream needs
   constant-stride frames (video containers) or zero-copy decode.
+- BMP (functions/bmp.py) — real Windows DIB ingest/emit: 1/4/8-bit
+  paletted, 16/24/32-bit, BI_BITFIELDS masks, RLE8/RLE4, top-down and
+  bottom-up; encode is 24-bit or 8-bit paletted (optional RLE8).
 - GIF (decode-only, functions/gif.py) — real GIF87a/89a ingest: LZW,
   global/local palettes, interlace, GCE transparency.  No ``fmt="gif"``
   encode: emitting GIF requires palette quantization of RGB input, a lossy
@@ -34,6 +37,7 @@ import struct
 
 import numpy as np
 
+from demeter_ray.functions import bmp as _bmp
 from demeter_ray.functions import gif as _gif
 from demeter_ray.functions import jpeg as _jpeg
 from demeter_ray.functions import png as _png
@@ -80,6 +84,8 @@ def decode(buf: bytes) -> np.ndarray:
         return _jpeg.decode_jpeg(buf)
     if bytes(buf[:6]) in _gif.GIF_MAGICS:
         return _gif.decode_gif(buf)
+    if bytes(buf[:2]) == _bmp.BMP_MAGIC:
+        return _bmp.decode_bmp(buf)
     magic, w, h, channels, q = struct.unpack_from(_HDR_FMT, buf, 0)
     body = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE)
     body = body.reshape(h, w, channels)
@@ -100,6 +106,8 @@ def header_dims(buf: bytes) -> tuple[int, int]:
         return _jpeg.jpeg_dims(buf)
     if bytes(buf[:6]) in _gif.GIF_MAGICS:
         return _gif.gif_dims(buf)
+    if bytes(buf[:2]) == _bmp.BMP_MAGIC:
+        return _bmp.bmp_dims(buf)
     _magic, w, h, _channels, _q = struct.unpack_from(_HDR_FMT, buf, 0)
     return w, h
 

@@ -17,7 +17,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from demeter_ray.functions import codec, gif as giffns, hashing, jpeg as jpegfns, png as pngfns, text as textfns
+from demeter_ray.functions import bmp as bmpfns, codec, gif as giffns, hashing, jpeg as jpegfns, png as pngfns, text as textfns
 from demeter_ray.pipelines.relational import duck_round, gated_group_sum_ds, partial_combine, partial_shuffle_combine, register
 from demeter_ray.sources.tables import read_table
 from demeter_ray.stages.simsearch import _emb_matrix
@@ -2137,5 +2137,91 @@ def gif_foreign_decode_invariant(sf_dir: str):
             "doc_id": pd.Series(dtype=np.int64),
             "r_sum": pd.Series(dtype=np.int64), "g_sum": pd.Series(dtype=np.int64),
             "b_sum": pd.Series(dtype=np.int64), "a_sum": pd.Series(dtype=np.int64),
+        })
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_BMP_SQL = """
+WITH cell AS (
+  SELECT d.doc_id, y.y, (((x.x // 4) * 3 + 5*y.y + d.doc_id) % 16) AS idx
+  FROM documents d, generate_series(0,13) x(x), generate_series(0,5) y(y)
+  WHERE d.doc_id % 10 = 3)
+SELECT doc_id,
+  SUM((5*doc_id + 17*idx) % 256)::BIGINT AS r_sum,
+  SUM((7*doc_id + 19*idx) % 256)::BIGINT AS g_sum,
+  SUM((11*doc_id + 23*idx) % 256)::BIGINT AS b_sum,
+  SUM((y+1) * (((5*doc_id + 17*idx) % 256) + ((7*doc_id + 19*idx) % 256)
+             + ((11*doc_id + 23*idx) % 256)))::BIGINT AS wy_sum
+FROM cell GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("bmp_foreign_decode_invariant", _BMP_SQL)
+def bmp_foreign_decode_invariant(sf_dir: str):
+    """BMP ingest in the driver loop: per doc (1-in-10 slice) the stage
+    hand-assembles an 8-bit paletted BI_RLE8 bottom-up BMP from doc_id
+    formulas — even storage rows use encoded runs (the x//4 block pattern
+    gives genuine run lengths 4/4/4/2), odd rows a single word-aligned
+    absolute block — decodes it through functions/bmp.py and emits
+    per-channel pixel sums plus a row-weighted sum that SQL recomputes
+    from the same formulas.  Palette lookup, RLE escape handling and the
+    bottom-up row flip must all be exact (wy_sum catches a y-flip that
+    plain channel sums cannot).  Lossless end-to-end."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    w, h = 14, 6
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import struct as _struct
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 10 == 3]
+        n = len(ids)
+        out = np.empty((n, 4), np.int64)
+        i16 = np.arange(16)
+        xg = np.arange(w)[None, :] // 4
+        yg = np.arange(h)[:, None]
+        for i in range(n):
+            d = int(ids[i])
+            idx = ((xg * 3 + 5 * yg + d) % 16).astype(np.uint8)
+            pal = np.stack([(5 * d + 17 * i16) % 256, (7 * d + 19 * i16) % 256,
+                            (11 * d + 23 * i16) % 256], axis=1).astype(np.uint8)
+            quads = np.zeros((16, 4), np.uint8)
+            quads[:, :3] = pal[:, ::-1]
+            rle = bytearray()
+            for y in range(h - 1, -1, -1):  # bottom-up storage order
+                if y % 2 == 0:
+                    for x0 in range(0, w, 4):
+                        run = min(4, w - x0)
+                        rle += bytes((run, int(idx[y, x0])))
+                else:
+                    row = idx[y].tobytes()
+                    rle += bytes((0, w)) + row + (b"\x00" if w % 2 else b"")
+                rle += b"\x00\x00"  # end of line
+            rle += b"\x00\x01"  # end of bitmap
+            off = 14 + 40 + 64
+            info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                                len(rle), 0, 0, 16, 0)
+            buf = (_struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+                   + info + quads.tobytes() + bytes(rle))
+            px = bmpfns.decode_bmp(buf)
+            if px.shape != (h, w, 3):
+                raise ValueError(f"foreign BMP decoded to {px.shape} (doc {d})")
+            p64 = px.astype(np.int64)
+            out[i, :3] = p64.sum(axis=(0, 1))
+            out[i, 3] = (p64.sum(axis=(1, 2)) * (np.arange(h) + 1)).sum()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "r_sum": pa.array(out[:, 0], pa.int64()),
+            "g_sum": pa.array(out[:, 1], pa.int64()),
+            "b_sum": pa.array(out[:, 2], pa.int64()),
+            "wy_sum": pa.array(out[:, 3], pa.int64()),
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    if out.shape[1] == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "r_sum": pd.Series(dtype=np.int64), "g_sum": pd.Series(dtype=np.int64),
+            "b_sum": pd.Series(dtype=np.int64), "wy_sum": pd.Series(dtype=np.int64),
         })
     return out.sort_values("doc_id").reset_index(drop=True)
