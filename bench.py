@@ -189,6 +189,7 @@ def run_benchmarks() -> dict:
         "bmp_foreign_decode_invariant",
         "geotiff_compressed_roundtrip",
         "geotiff_window_read",
+        "geotiff_rgb_bands",
         "wav_audio_features",
         "wav_decimate_stats",
     ]

@@ -7,7 +7,9 @@ has no rasterio/PIL, so the engine's raster bytes are normally raw-numpy
 tile rows — this module closes the format gap with a from-scratch baseline
 TIFF 6.0 + GeoTIFF 1.1 codec for the subset the engine's rasters occupy:
 
-- single band, strip-organized (RowsPerStrip configurable);
+- single- or multi-band (SamplesPerPixel, PlanarConfiguration 1 chunky /
+  2 planar, per-sample Predictor 2 differencing for chunky rows),
+  strip-organized (RowsPerStrip configurable) or tiled;
 - compression: none (1), LZW (5), DEFLATE (8, also legacy 32946 on decode)
   and PackBits (32773) — DEFLATE rides stdlib zlib (C speed, the
   performance-bearing compressed path); LZW and PackBits are from-scratch
@@ -219,16 +221,22 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def _predict2_forward(rows: np.ndarray) -> np.ndarray:
+def _predict2_forward(rows: np.ndarray, spp: int = 1) -> np.ndarray:
     """Horizontal differencing (Predictor=2) per row, modular in the
-    sample dtype — integer dtypes only (TIFF predictor 2 is int-domain)."""
+    sample dtype — integer dtypes only (TIFF predictor 2 is int-domain).
+    For chunky multi-sample rows (``spp`` > 1) differencing runs per
+    SAMPLE across columns (TIFF 6.0 §14: x[i] - x[i - spp])."""
     d = rows.copy()
-    d[:, 1:] = rows[:, 1:] - rows[:, :-1]  # wraps in-dtype
+    d[:, spp:] = rows[:, spp:] - rows[:, :-spp]  # wraps in-dtype
     return d
 
 
-def _predict2_inverse(rows: np.ndarray) -> np.ndarray:
-    return np.cumsum(rows, axis=1, dtype=rows.dtype)
+def _predict2_inverse(rows: np.ndarray, spp: int = 1) -> np.ndarray:
+    if spp == 1:
+        return np.cumsum(rows, axis=1, dtype=rows.dtype)
+    n, m = rows.shape
+    r = rows.reshape(n, m // spp, spp)
+    return np.cumsum(r, axis=1, dtype=rows.dtype).reshape(n, m)
 
 
 def _compress(raw: bytes, compression: str) -> bytes:
@@ -276,13 +284,24 @@ def encode_geotiff(
     compression: str = "none",
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    planar: int = 1,
 ) -> bytes:
-    """numpy (h, w) + (a, b, c, d, e, f) affine + crs + nodata -> GeoTIFF
-    bytes.  Layout: 8-byte header, strip data, IFD + out-of-line values at
-    the tail (header points past the strips)."""
+    """numpy (h, w) band or (h, w, bands) image + (a, b, c, d, e, f)
+    affine + crs + nodata -> GeoTIFF bytes.  Layout: 8-byte header, strip
+    data, IFD + out-of-line values at the tail (header points past the
+    strips).  Multi-band uses SamplesPerPixel + PlanarConfiguration:
+    ``planar=1`` (chunky, interleaved samples — the GDAL default) or
+    ``planar=2`` (separate per-band planes, band-major segment order)."""
     px = np.ascontiguousarray(pixels)
-    if px.ndim != 2:
-        raise ValueError(f"encode_geotiff wants a (h, w) band, got shape {px.shape}")
+    if px.ndim == 2:
+        bands = 1
+    elif px.ndim == 3 and px.shape[2] >= 1:
+        bands = px.shape[2]
+    else:
+        raise ValueError(
+            f"encode_geotiff wants (h, w) or (h, w, bands), got shape {px.shape}")
+    if planar not in (1, 2):
+        raise ValueError(f"PlanarConfiguration must be 1 or 2, got {planar}")
     dtype = str(px.dtype)
     if dtype not in _FMT_BY_DTYPE:
         raise ValueError(
@@ -294,7 +313,7 @@ def encode_geotiff(
             "GeoTIFF scale+tiepoint georeferencing needs a north-up transform "
             f"(b == d == 0, a > 0, e < 0); got {(a, b, c, d, e, f)}"
         )
-    h, w = px.shape
+    h, w = px.shape[:2]
     fmt_code, bits = _FMT_BY_DTYPE[dtype]
     epsg = _epsg_of(crs)
 
@@ -313,31 +332,41 @@ def encode_geotiff(
 
     if px.dtype.byteorder == ">":
         px = px.astype(px.dtype.newbyteorder("<"))
-    segments: list[bytes] = []
-    if tile is not None:
-        tw, tl = int(tile[0]), int(tile[1])
-        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
-            raise ValueError(
-                f"tile dims must be positive multiples of 16, got {tile}"
-            )
-        ta = max(1, -(-w // tw))  # tiles across
-        td = max(1, -(-h // tl))  # tiles down
-        padded = np.zeros((td * tl, ta * tw), dtype=px.dtype)
-        padded[:h, :w] = px
-        for ty in range(td):
-            for tx in range(ta):
-                t = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
-                if predictor == 2:
-                    t = _predict2_forward(t)
-                segments.append(_compress(t.tobytes(), compression))
+    px3 = px[:, :, None] if px.ndim == 2 else px
+    if planar == 2 and bands > 1:
+        # separate planes, band-major segment order (TIFF 6.0 §PlanarConfig)
+        planes = [px3[:, :, b : b + 1] for b in range(bands)]
     else:
-        rows_per_strip = max(1, min(int(rows_per_strip), h)) if h else 1
-        n_strips = max(1, -(-h // rows_per_strip))
-        for s in range(n_strips):
-            rows = px[s * rows_per_strip : s * rows_per_strip + rows_per_strip]
-            if predictor == 2 and rows.size:
-                rows = _predict2_forward(rows)
-            segments.append(_compress(rows.tobytes(), compression))
+        planes = [px3]  # chunky: interleaved samples in one plane
+    segments: list[bytes] = []
+    for plane in planes:
+        k = plane.shape[2]
+        if tile is not None:
+            tw, tl = int(tile[0]), int(tile[1])
+            if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+                raise ValueError(
+                    f"tile dims must be positive multiples of 16, got {tile}"
+                )
+            ta = max(1, -(-w // tw))  # tiles across
+            td = max(1, -(-h // tl))  # tiles down
+            padded = np.zeros((td * tl, ta * tw, k), dtype=px.dtype)
+            padded[:h, :w] = plane
+            for ty in range(td):
+                for tx in range(ta):
+                    t = padded[ty * tl : (ty + 1) * tl,
+                               tx * tw : (tx + 1) * tw].reshape(tl, tw * k)
+                    if predictor == 2:
+                        t = _predict2_forward(t, spp=k)
+                    segments.append(_compress(t.tobytes(), compression))
+        else:
+            rows_per_strip = max(1, min(int(rows_per_strip), h)) if h else 1
+            n_strips = max(1, -(-h // rows_per_strip))
+            for s in range(n_strips):
+                rows = plane[s * rows_per_strip : s * rows_per_strip + rows_per_strip]
+                rows = np.ascontiguousarray(rows).reshape(rows.shape[0], w * k)
+                if predictor == 2 and rows.size:
+                    rows = _predict2_forward(rows, spp=k)
+                segments.append(_compress(rows.tobytes(), compression))
     seg_offsets, seg_counts = [], []
     pos = 8  # pixel segments start right after the header
     for raw in segments:
@@ -362,12 +391,14 @@ def encode_geotiff(
     entries: list[tuple[int, int, int, object]] = [
         (256, _T_LONG, 1, w),
         (257, _T_LONG, 1, h),
-        (258, _T_SHORT, 1, bits),
+        (258, _T_SHORT, bands, [bits] * bands),
         (259, _T_SHORT, 1, _COMP_CODE[compression]),
-        (262, _T_SHORT, 1, 1),          # BlackIsZero
-        (277, _T_SHORT, 1, 1),          # SamplesPerPixel
-        (339, _T_SHORT, 1, fmt_code),   # SampleFormat
+        (262, _T_SHORT, 1, 2 if bands == 3 else 1),  # RGB / BlackIsZero
+        (277, _T_SHORT, 1, bands),      # SamplesPerPixel
+        (339, _T_SHORT, bands, [fmt_code] * bands),  # SampleFormat
     ]
+    if bands > 1:
+        entries.append((284, _T_SHORT, 1, planar))  # PlanarConfiguration
     if tile is not None:
         entries += [
             (322, _T_LONG, 1, tw), (323, _T_LONG, 1, tl),
@@ -477,19 +508,26 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None):
 
     w = val(256)[0]
     h = val(257)[0]
-    bits = val(258, [8])[0]
+    bits_l = val(258, [8])
     comp = val(259, [1])[0]
     if comp not in _COMP_NAME:
         raise ValueError(f"unsupported TIFF compression {comp} "
                          f"(none/lzw/deflate/packbits)")
     comp_name = _COMP_NAME[comp]
     spp = val(277, [1])[0]
-    if spp != 1:
-        raise ValueError(f"unsupported SamplesPerPixel {spp} (single band only)")
+    if spp < 1:
+        raise ValueError(f"bad SamplesPerPixel {spp}")
+    planar = val(284, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported PlanarConfiguration {planar}")
     predictor = val(317, [1])[0]
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
-    fmt = val(339, [1])[0]
+    fmt_l = val(339, [1])
+    if len(set(bits_l)) != 1 or len(set(fmt_l)) != 1:
+        raise ValueError(
+            f"mixed per-band sample types unsupported ({bits_l}, {fmt_l})")
+    bits, fmt = bits_l[0], fmt_l[0]
     key = (fmt, bits)
     if key not in _DTYPE_BY_FMT:
         raise ValueError(f"unsupported (SampleFormat, BitsPerSample) {key}")
@@ -503,6 +541,12 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None):
         r0, r1, c0, c1 = (int(v) for v in window)
         if not (0 <= r0 <= r1 <= h and 0 <= c0 <= c1 <= w):
             raise ValueError(f"window {window} outside raster {h}x{w}")
+    # planar config 2 stores per-band planes band-major; chunky (1) stores
+    # interleaved samples.  Each plane decodes with k interleaved samples:
+    # k == spp for chunky, k == 1 per plane for planar.
+    n_planes = spp if (planar == 2 and spp > 1) else 1
+    k = spp // n_planes
+    px = np.zeros((r1 - r0, c1 - c0, spp), dtype=native)
     if 322 in tags:  # tiled layout (the COG interior organization)
         tw = val(322)[0]
         tl = val(323)[0]
@@ -512,57 +556,71 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None):
             raise ValueError(f"bad tile layout ({tw}x{tl}, {offsets})")
         ta = max(1, -(-w // tw))
         td = max(1, -(-h // tl))
-        if len(offsets) != ta * td:
+        if len(offsets) != ta * td * n_planes:
             raise ValueError(
-                f"tile count {len(offsets)} != grid {ta}x{td} for {w}x{h}"
+                f"tile count {len(offsets)} != grid {ta}x{td}x{n_planes} "
+                f"for {w}x{h}"
             )
-        px = np.zeros((r1 - r0, c1 - c0), dtype=native)
-        tile_bytes = tw * tl * dtype.itemsize
+        tile_bytes = tw * tl * k * dtype.itemsize
         # only tiles intersecting the window are read OR decompressed —
         # the tiles outside it are never touched (COG partial read)
         ty1 = min(td, -(-r1 // tl)) if r1 > r0 else r0 // tl
         tx1 = min(ta, -(-c1 // tw)) if c1 > c0 else c0 // tw
-        for ty in range(r0 // tl, ty1):
-            for tx in range(c0 // tw, tx1):
-                idx = ty * ta + tx
-                o, n = offsets[idx], counts[idx]
-                raw = _decompress(buf[o : o + n], comp_name, tile_bytes)
-                t = np.frombuffer(raw, dtype=dtype).reshape(tl, tw)
-                t = t.astype(native)
-                if predictor == 2:
-                    # differencing runs per TILE row (width tw) — undo on
-                    # the whole tile before slicing the intersection out
-                    t = _predict2_inverse(t)
-                gr0, gr1 = max(r0, ty * tl), min(r1, ty * tl + tl)
-                gc0, gc1 = max(c0, tx * tw), min(c1, tx * tw + tw)
-                px[gr0 - r0 : gr1 - r0, gc0 - c0 : gc1 - c0] = \
-                    t[gr0 - ty * tl : gr1 - ty * tl,
-                      gc0 - tx * tw : gc1 - tx * tw]
+        for b in range(n_planes):
+            for ty in range(r0 // tl, ty1):
+                for tx in range(c0 // tw, tx1):
+                    idx = b * ta * td + ty * ta + tx
+                    o, n = offsets[idx], counts[idx]
+                    raw = _decompress(buf[o : o + n], comp_name, tile_bytes)
+                    t = np.frombuffer(raw, dtype=dtype).reshape(tl, tw * k)
+                    t = t.astype(native)
+                    if predictor == 2:
+                        # differencing runs per TILE row (width tw) — undo
+                        # on the whole tile before slicing the intersection
+                        t = _predict2_inverse(t, spp=k)
+                    t = t.reshape(tl, tw, k)
+                    gr0, gr1 = max(r0, ty * tl), min(r1, ty * tl + tl)
+                    gc0, gc1 = max(c0, tx * tw), min(c1, tx * tw + tw)
+                    px[gr0 - r0 : gr1 - r0, gc0 - c0 : gc1 - c0,
+                       b * k : (b + 1) * k] = \
+                        t[gr0 - ty * tl : gr1 - ty * tl,
+                          gc0 - tx * tw : gc1 - tx * tw]
     else:
         offsets = val(273)
         counts = val(279)
         if offsets is None or counts is None:
             raise ValueError("TIFF lacks both strip and tile offsets")
         rps = max(1, val(278, [h or 1])[0])
-        row_bytes = w * (bits // 8)
+        spb = max(1, -(-h // rps))  # strips per plane (band-major order)
+        if len(offsets) != spb * n_planes:
+            raise ValueError(
+                f"strip count {len(offsets)} != {spb}x{n_planes} for h={h}")
+        row_bytes = w * k * (bits // 8)
         # only strips intersecting window rows are read or decompressed
         s0 = r0 // rps
-        s1 = min(len(offsets), -(-r1 // rps)) if r1 > r0 else s0
-        parts = []
-        for s in range(s0, s1):
-            nrows = min(rps, h - s * rps)
-            parts.append(_decompress(buf[offsets[s] : offsets[s] + counts[s]],
-                                     comp_name, nrows * row_bytes))
-        data = b"".join(parts)
-        nrows_have = (len(data) // row_bytes) if row_bytes else 0
-        block = np.frombuffer(data, dtype=dtype).reshape(nrows_have, w)
-        if bo == ">":
-            block = block.astype(native)
-        if predictor == 2 and block.size:
-            # strip differencing is per full-width scanline — undo on the
-            # full-width rows BEFORE the column slice (cumsum needs the row)
-            block = _predict2_inverse(np.ascontiguousarray(block))
-        px = np.ascontiguousarray(block[r0 - s0 * rps : r1 - s0 * rps, c0:c1])
+        s1 = min(spb, -(-r1 // rps)) if r1 > r0 else s0
+        for b in range(n_planes):
+            parts = []
+            for s in range(s0, s1):
+                i = b * spb + s
+                nrows = min(rps, h - s * rps)
+                parts.append(_decompress(
+                    buf[offsets[i] : offsets[i] + counts[i]],
+                    comp_name, nrows * row_bytes))
+            data = b"".join(parts)
+            nrows_have = (len(data) // row_bytes) if row_bytes else 0
+            block = np.frombuffer(data, dtype=dtype).reshape(nrows_have, w * k)
+            if bo == ">":
+                block = block.astype(native)
+            if predictor == 2 and block.size:
+                # strip differencing is per full-width scanline — undo on
+                # the full-width rows BEFORE the column slice
+                block = _predict2_inverse(np.ascontiguousarray(block), spp=k)
+            block = block.reshape(nrows_have, w, k)
+            px[:, :, b * k : (b + 1) * k] = \
+                block[r0 - s0 * rps : r1 - s0 * rps, c0:c1]
+    if spp == 1:
+        px = px[:, :, 0]
 
     transform = None
     scale = val(33550)
@@ -610,16 +668,36 @@ def tile_row_to_geotiff(row: dict, rows_per_strip: int = 64,
                           compression=compression, predictor=predictor)
 
 
-def geotiff_to_tile_row(tif: bytes, tile_id: str, dataset: str = "raster") -> dict:
-    """GeoTIFF bytes -> engine tile-table row dict (raster_tiles schema)."""
+def geotiff_to_tile_rows(tif: bytes, tile_id: str,
+                         dataset: str = "raster") -> list[dict]:
+    """GeoTIFF bytes -> engine tile-table rows (raster_tiles schema), one
+    row per band — multi-band files (RGB imagery, stacked indicators)
+    explode into band-numbered single-band rows so every downstream raster
+    stage keeps its (h, w) contract."""
     px, transform, crs, nodata = decode_geotiff(tif)
     if transform is None:
         raise ValueError("GeoTIFF lacks scale+tiepoint georeferencing")
-    h, w = px.shape
-    b = geo.raster_bounds(transform, h, w)
-    return dict(
-        dataset=dataset, statistic=None, depth_top_cm=None, depth_bottom_cm=None,
-        tile_id=tile_id, band=1, h=h, w=w, dtype=str(px.dtype),
-        nodata=nodata, transform=list(transform), crs=crs,
-        minx=b[0], miny=b[1], maxx=b[2], maxy=b[3], pixels=px.tobytes(),
-    )
+    h, w = px.shape[:2]
+    bnd = geo.raster_bounds(transform, h, w)
+    planes = [px] if px.ndim == 2 else [
+        np.ascontiguousarray(px[:, :, b]) for b in range(px.shape[2])]
+    return [
+        dict(
+            dataset=dataset, statistic=None, depth_top_cm=None,
+            depth_bottom_cm=None, tile_id=tile_id, band=b + 1, h=h, w=w,
+            dtype=str(p.dtype), nodata=nodata, transform=list(transform),
+            crs=crs, minx=bnd[0], miny=bnd[1], maxx=bnd[2], maxy=bnd[3],
+            pixels=p.tobytes(),
+        )
+        for b, p in enumerate(planes)
+    ]
+
+
+def geotiff_to_tile_row(tif: bytes, tile_id: str, dataset: str = "raster") -> dict:
+    """Single-band GeoTIFF bytes -> one engine tile-table row dict."""
+    rows = geotiff_to_tile_rows(tif, tile_id, dataset)
+    if len(rows) != 1:
+        raise ValueError(
+            f"geotiff_to_tile_row on a {len(rows)}-band file; use "
+            "geotiff_to_tile_rows for multi-band imagery")
+    return rows[0]

@@ -3680,3 +3680,91 @@ def geotiff_window_read(sf_dir: str):
     for c, t in cols.items():
         parts[c] = parts[c].astype(t)
     return parts.sort_values("tile_id").reset_index(drop=True)
+
+
+_GEOTIFF_RGB_SQL = """
+WITH px AS (
+  SELECT event_id // 256 AS tile_id,
+         (event_id % 256) // 16 AS r,
+         (event_id % 256) % 16 AS c,
+         (event_id * 3) % 977 AS v0,
+         (event_id * 5 + 1) % 977 AS v1,
+         (event_id * 7 + 2) % 977 AS v2
+  FROM events)
+SELECT tile_id,
+  CAST(SUM(v0) AS BIGINT) AS r_sum,
+  CAST(SUM(v1) AS BIGINT) AS g_sum,
+  CAST(SUM(v2) AS BIGINT) AS b_sum,
+  CAST(SUM((r+1)*(c+1)*(v0+v1+v2)) AS BIGINT) AS wsum
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+@register("geotiff_rgb_bands", _GEOTIFF_RGB_SQL)
+def geotiff_rgb_bands(sf_dir: str):
+    """Multi-band (RGB) GeoTIFF roundtrip — the satellite-imagery shape
+    (reference rasters are rasterio multi-band datasets,
+    /root/reference/demeter/raster/__init__.py:36-47).  Events rasterize
+    onto 16x16x3 uint16 tiles (tile_id = event_id // 256, absent pixels 0);
+    each tile encodes through functions/tiff.py as SamplesPerPixel=3 with
+    PlanarConfiguration cycling chunky/planar by tile parity and
+    deflate/lzw + per-sample Predictor 2, then decodes back.  The stage
+    asserts decode == source, chunky-vs-planar decode equality, and that a
+    multi-band WINDOW read equals the full-decode slice; outputs are
+    per-band sums plus a position-weighted checksum that SQL recomputes
+    from the value formulas (wsum catches any spatial or band scramble).
+    Lossless end-to-end."""
+    from demeter_ray.functions import tiff as _tiff
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def with_tile(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(k, pa.int64()),
+            "tile_id": pa.array(k // 256, pa.int64()),
+        })
+
+    cols = {"tile_id": np.int64, "r_sum": np.int64, "g_sum": np.int64,
+            "b_sum": np.int64, "wsum": np.int64}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+    def tile_stats(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["event_id"].to_numpy(np.int64)
+        tid = int(k[0] // 256)
+        pos = k % 256
+        grid = np.zeros((16, 16, 3), dtype=np.uint16)
+        grid[pos // 16, pos % 16, 0] = ((k * 3) % 977).astype(np.uint16)
+        grid[pos // 16, pos % 16, 1] = ((k * 5 + 1) % 977).astype(np.uint16)
+        grid[pos // 16, pos % 16, 2] = ((k * 7 + 2) % 977).astype(np.uint16)
+        transform = (0.02, 0.0, -101.5 + tid * 0.32, 0.0, -0.02, 41.3)
+        comp = "lzw" if tid % 2 else "deflate"
+        bufs = [_tiff.encode_geotiff(grid, transform, "EPSG:32613", nodata=None,
+                                     compression=comp, predictor=2,
+                                     rows_per_strip=5, planar=p)
+                for p in (1, 2)]
+        chunky, _, crs, _ = _tiff.decode_geotiff(bufs[0])
+        planar, tf, _, _ = _tiff.decode_geotiff(bufs[1])
+        # the multi-band invariants ARE the operator: fail loud on drift
+        assert crs == "EPSG:32613" and tf == transform
+        assert np.array_equal(chunky, grid) and np.array_equal(planar, grid)
+        win, wt, _, _ = _tiff.decode_geotiff(bufs[tid % 2], window=(4, 12, 2, 14))
+        assert np.array_equal(win, grid[4:12, 2:14])
+        assert wt[2] == transform[2] + 0.02 * 2
+        p64 = chunky.astype(np.int64)
+        wgt = np.outer(np.arange(1, 17), np.arange(1, 17))
+        return pd.DataFrame({
+            "tile_id": [tid],
+            "r_sum": [p64[:, :, 0].sum()], "g_sum": [p64[:, :, 1].sum()],
+            "b_sum": [p64[:, :, 2].sum()],
+            "wsum": [(p64.sum(axis=2) * wgt).sum()],
+        })
+
+    parts = (ds.map_batches(with_tile, batch_format="pyarrow")
+             .groupby("tile_id").map_groups(tile_stats, batch_format="pandas")
+             .to_pandas())
+    if parts.shape[1] == 0:
+        return empty
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("tile_id").reset_index(drop=True)

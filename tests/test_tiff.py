@@ -387,3 +387,79 @@ def test_window_empty_is_total():
                                rows_per_strip=6)
     out2, *_ = tiff.decode_geotiff(buf2, window=(4, 4, 0, 0))
     assert out2.shape == (0, 0)
+
+
+@pytest.mark.parametrize("comp,pred", [("none", 1), ("lzw", 2),
+                                       ("deflate", 2), ("packbits", 1)])
+@pytest.mark.parametrize("planar", [1, 2])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_multiband_roundtrip(comp, pred, planar, tiled):
+    rs = np.random.RandomState(comp.__hash__() % 97 + planar)
+    px = rs.randint(0, 60000, (9, 21, 3)).astype(np.uint16)
+    buf = tiff.encode_geotiff(px, T, "EPSG:32614", nodata=7,
+                              rows_per_strip=4, compression=comp,
+                              predictor=pred, planar=planar,
+                              tile=(16, 16) if tiled else None)
+    out, t, crs, nd = tiff.decode_geotiff(buf)
+    np.testing.assert_array_equal(out, px)
+    assert t == T and crs == "EPSG:32614" and nd == 7.0
+    # windowed multi-band read: exact slice + shifted transform
+    wout, wt, _, _ = tiff.decode_geotiff(buf, window=(2, 8, 3, 17))
+    np.testing.assert_array_equal(wout, px[2:8, 3:17])
+    assert wt[2] == T[2] + T[0] * 3 and wt[5] == T[5] + T[4] * 2
+
+
+def test_multiband_float_and_four_bands():
+    rs = np.random.RandomState(3)
+    pxf = rs.rand(6, 7, 3).astype(np.float32)
+    out, *_ = tiff.decode_geotiff(tiff.encode_geotiff(pxf, T,
+                                                      compression="deflate"))
+    np.testing.assert_array_equal(out, pxf)
+    px4 = rs.randint(0, 256, (5, 5, 4)).astype(np.uint8)
+    out4, *_ = tiff.decode_geotiff(tiff.encode_geotiff(px4, T, planar=2,
+                                                       compression="lzw",
+                                                       predictor=2))
+    np.testing.assert_array_equal(out4, px4)
+
+
+def test_multiband_window_skips_other_planes_and_tiles():
+    # corrupt a non-window tile of band 2 (planar): windowed read of the
+    # same band region must still decode; the full read must fail
+    px = np.arange(64 * 64 * 2, dtype=np.int32).reshape(64, 64, 2)
+    buf = bytearray(tiff.encode_geotiff(px, T, tile=(32, 32), planar=2,
+                                        compression="deflate"))
+    # locate tile offsets: easiest robust corruption = truncate nothing,
+    # instead poison the FIRST tile's bytes (starts right after header)
+    buf[8:10] = b"\xff\xff"
+    buf = bytes(buf)
+    out, *_ = tiff.decode_geotiff(buf, window=(32, 64, 32, 64))
+    np.testing.assert_array_equal(out, px[32:64, 32:64])
+    with pytest.raises(Exception):
+        tiff.decode_geotiff(buf)
+
+
+def test_multiband_tile_rows_explode():
+    px = np.random.RandomState(5).randint(0, 255, (6, 8, 3)).astype(np.uint8)
+    rows = tiff.geotiff_to_tile_rows(tiff.encode_geotiff(px, T), "t9")
+    assert [r["band"] for r in rows] == [1, 2, 3]
+    for b, r in enumerate(rows):
+        got = np.frombuffer(r["pixels"], dtype=r["dtype"]).reshape(r["h"], r["w"])
+        np.testing.assert_array_equal(got, px[:, :, b])
+    with pytest.raises(ValueError):
+        tiff.geotiff_to_tile_row(tiff.encode_geotiff(px, T), "t9")
+
+
+def test_multiband_validation():
+    px = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError):
+        tiff.encode_geotiff(px, T, planar=3)
+    with pytest.raises(ValueError):
+        tiff.encode_geotiff(np.zeros((4, 4, 3, 1), np.uint8), T)
+    # photometric: RGB for 3 bands (tag 262 == 2)
+    buf = tiff.encode_geotiff(px, T)
+    import struct as _s
+    n, = _s.unpack_from("<H", buf, _s.unpack_from("<I", buf, 4)[0])
+    ifd = _s.unpack_from("<I", buf, 4)[0] + 2
+    tags = {_s.unpack_from("<H", buf, ifd + 12 * i)[0]:
+            _s.unpack_from("<H", buf, ifd + 12 * i + 8)[0] for i in range(n)}
+    assert tags[262] == 2 and tags[277] == 3 and tags[284] == 1
