@@ -192,6 +192,7 @@ def run_benchmarks() -> dict:
         "geotiff_rgb_bands",
         "wav_audio_features",
         "wav_decimate_stats",
+        "g711_companded_audio",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

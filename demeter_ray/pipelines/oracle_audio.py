@@ -167,3 +167,86 @@ def wav_decimate_stats(sf_dir: str):
     for c, t in cols.items():
         parts[c] = parts[c].astype(t)
     return parts.sort_values("doc_id").reset_index(drop=True)
+
+
+_G711_SQL = """
+WITH s AS (
+  SELECT d.doc_id, (d.doc_id * 7 + r.range * 13) % 256 AS b
+  FROM documents d, range(240) r
+  WHERE d.doc_id % 10 = 5
+),
+m AS (SELECT doc_id, b, 255 - b AS u, xor(b, 85) AS a FROM s),
+dec AS (
+  SELECT doc_id,
+    CASE WHEN u >= 128 THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+         ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132 END AS mu,
+    (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+          WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+          ELSE ((a % 16) * 16 + 264) * (1 << (((a // 16) % 8) - 1)) END)
+    * (CASE WHEN a >= 128 THEN 1 ELSE -1 END) AS al
+  FROM m)
+SELECT doc_id,
+  CAST(SUM(mu) AS BIGINT) AS mu_sum,
+  CAST(SUM(ABS(mu)) AS BIGINT) AS mu_abs,
+  CAST(SUM(al) AS BIGINT) AS al_sum,
+  CAST(SUM(ABS(al)) AS BIGINT) AS al_abs
+FROM dec GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("g711_companded_audio", _G711_SQL)
+def g711_companded_audio(sf_dir: str):
+    """G.711 companded telephony audio in the driver loop: per doc
+    (1-in-10 slice) a 240-byte companded stream b(i) = (7d + 13i) % 256 is
+    wrapped as BOTH a mu-law (tag 7) and an A-law (tag 6) WAV container,
+    expanded to int16 through functions/wav.py, and summed; SQL recomputes
+    the ITU expansion formulas (bias-132 segment shift for mu-law,
+    xor-0x55 segment scaling for A-law) byte-for-byte.  The stage also
+    asserts the companding identity: re-encoding the decoded samples
+    reproduces the byte stream (modulo the canonical mu-law 0x7F -> 0xFF
+    negative-zero fold).  Integer-exact end-to-end."""
+    import struct as _struct
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    cols = {"doc_id": np.int64, "mu_sum": np.int64, "mu_abs": np.int64,
+            "al_sum": np.int64, "al_abs": np.int64}
+
+    def _container(payload: bytes, tag: int) -> bytes:
+        chunks = _struct.pack("<4sIHHIIHH", b"fmt ", 16, tag, 1, 8000,
+                              8000, 1, 8)
+        chunks += _struct.pack("<4sII", b"fact", 4, len(payload))
+        chunks += _struct.pack("<4sI", b"data", len(payload)) + payload
+        riff = b"WAVE" + chunks
+        return _struct.pack("<4sI", b"RIFF", len(riff)) + riff
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 10 == 5]
+        rows: dict[str, list] = {c: [] for c in cols}
+        for d in ids:
+            b = ((int(d) * 7 + np.arange(240, dtype=np.int64) * 13) % 256
+                 ).astype(np.uint8)
+            mu, r1 = wav.decode_wav(_container(b.tobytes(), 7))
+            al, r2 = wav.decode_wav(_container(b.tobytes(), 6))
+            assert r1 == r2 == 8000 and mu.shape == al.shape == (240, 1)
+            mu = mu[:, 0].astype(np.int64)
+            al = al[:, 0].astype(np.int64)
+            # companding identity (the invariant that pins both coders)
+            remu = wav.mulaw_encode(mu.astype(np.int16))
+            fold = b == 0x7F
+            assert np.array_equal(remu[~fold], b[~fold])
+            assert (remu[fold] == 0xFF).all()
+            assert np.array_equal(wav.alaw_encode(al.astype(np.int16)), b)
+            rows["doc_id"].append(int(d))
+            rows["mu_sum"].append(int(mu.sum()))
+            rows["mu_abs"].append(int(np.abs(mu).sum()))
+            rows["al_sum"].append(int(al.sum()))
+            rows["al_abs"].append(int(np.abs(al).sum()))
+        return pa.table({c: pa.array(rows[c], pa.int64()) for c in cols})
+
+    parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    if parts.shape[1] == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("doc_id").reset_index(drop=True)

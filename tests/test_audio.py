@@ -65,8 +65,8 @@ def test_fail_loud():
         wav.decode_wav(struct.pack("<4sI", b"RIFF", 4) + b"WAVE")
     good = bytearray(wav.encode_wav(np.zeros(4, np.int16), 8000))
     i = bytes(good).find(b"fmt ")
-    good[i + 8:i + 10] = struct.pack("<H", 7)  # mu-law
-    with pytest.raises(ValueError, match="format tag 7"):
+    good[i + 8:i + 10] = struct.pack("<H", 2)  # MS ADPCM: entropy-coded
+    with pytest.raises(ValueError, match="format tag 2"):
         wav.decode_wav(bytes(good))
     with pytest.raises(ValueError, match="dtype"):
         wav.encode_wav(np.zeros(4, np.int8), 8000)
@@ -112,3 +112,62 @@ def test_decimate():
     assert rate == 3000
     with pytest.raises(ValueError, match="factor"):
         audio.decimate_wav(blob, 0)
+
+
+def test_g711_code_identity():
+    """encode(decode(byte)) == byte for every code point, except the
+    canonical mu-law +/-0 fold (0x7F re-encodes as 0xFF; g711.c agrees)."""
+    b = np.arange(256, dtype=np.uint8)
+    rt = wav.alaw_encode(wav._ALAW_DEC[b].astype(np.int16))
+    np.testing.assert_array_equal(rt, b)
+    rt = wav.mulaw_encode(wav._MULAW_DEC[b].astype(np.int16))
+    np.testing.assert_array_equal(rt[b != 0x7F], b[b != 0x7F])
+    assert rt[0x7F] == 0xFF and wav._MULAW_DEC[0x7F] == 0
+
+
+def test_g711_known_values():
+    # full-scale and zero behave per G.711
+    assert wav.mulaw_encode(np.array([0], np.int16))[0] == 0xFF
+    assert wav.mulaw_encode(np.array([32767], np.int16))[0] == 0x80
+    assert wav.mulaw_encode(np.array([-32768], np.int16))[0] == 0x00
+    assert wav.alaw_encode(np.array([0], np.int16))[0] == 0xD5
+    assert wav._ALAW_DEC[0xD5] == 8  # A-law "+0" decodes to +8
+    # quantization error bounded by the top-segment step
+    rs = np.random.RandomState(1)
+    x = rs.randint(-32768, 32768, 50000).astype(np.int16)
+    assert np.abs(wav._MULAW_DEC[wav.mulaw_encode(x)].astype(np.int32)
+                  - x).max() <= 1024
+    assert np.abs(wav._ALAW_DEC[wav.alaw_encode(x)].astype(np.int32)
+                  - x).max() <= 512
+
+
+@pytest.mark.parametrize("codec,tag", [("mulaw", 7), ("alaw", 6)])
+def test_g711_wav_container(codec, tag):
+    rs = np.random.RandomState(3)
+    s = rs.randint(-32768, 32768, (300, 2)).astype(np.int16)
+    buf = wav.encode_wav(s, 8000, codec=codec)
+    # container says 8-bit + the right tag + a fact chunk
+    fmt_tag, ch, rate, _, ba, bits = struct.unpack("<HHIIHH", buf[20:36])
+    assert (fmt_tag, ch, rate, ba, bits) == (tag, 2, 8000, 2, 8)
+    assert b"fact" in buf[:64]
+    out, r2 = wav.decode_wav(buf)
+    assert r2 == 8000 and out.dtype == np.int16 and out.shape == (300, 2)
+    tab = wav._MULAW_DEC if codec == "mulaw" else wav._ALAW_DEC
+    enc = wav.mulaw_encode if codec == "mulaw" else wav.alaw_encode
+    np.testing.assert_array_equal(out, tab[enc(s)])
+    # features flow through the stage on companded audio
+    t = pa.table({"audio": pa.array([buf], pa.binary())})
+    f = audio.wav_features_batch(t)
+    assert f["n_samples"][0].as_py() == 300
+
+
+def test_g711_validation():
+    with pytest.raises(ValueError):
+        wav.encode_wav(np.zeros(4, np.int32), 8000, codec="mulaw")
+    with pytest.raises(ValueError):
+        wav.encode_wav(np.zeros(4, np.int16), 8000, codec="gsm")
+    # 16-bit mulaw container is malformed
+    buf = bytearray(wav.encode_wav(np.zeros(4, np.int16), 8000, codec="mulaw"))
+    buf[34] = 16
+    with pytest.raises(ValueError):
+        wav.decode_wav(bytes(buf))
