@@ -190,6 +190,7 @@ def run_benchmarks() -> dict:
         "geotiff_compressed_roundtrip",
         "geotiff_window_read",
         "geotiff_rgb_bands",
+        "geotiff_overview_pyramid",
         "wav_audio_features",
         "wav_decimate_stats",
         "g711_companded_audio",

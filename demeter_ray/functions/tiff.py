@@ -266,6 +266,59 @@ def _decompress(raw: bytes, comp_name: str, expected: int) -> bytes:
     return raw[:expected]
 
 
+def _downsample(px3: np.ndarray, f: int, resampling: str) -> np.ndarray:
+    """(h, w, k) -> (ceil(h/f), ceil(w/f), k) reduced level.  ``nearest``
+    takes the top-left sample of each f x f block (GDAL NEAREST);
+    ``average`` is the exact block mean — floor division for integer
+    dtypes (documented; ragged edge blocks average over their true count)."""
+    h, w, k = px3.shape
+    if resampling == "nearest":
+        return px3[::f, ::f]
+    if resampling != "average":
+        raise ValueError(f"resampling must be nearest/average, got {resampling!r}")
+    ri = np.arange(0, h, f)
+    ci = np.arange(0, w, f)
+    if px3.dtype.kind == "f":
+        s = np.add.reduceat(np.add.reduceat(px3.astype(np.float64), ri, axis=0),
+                            ci, axis=1)
+        rc = np.minimum(ri + f, h) - ri
+        cc = np.minimum(ci + f, w) - ci
+        return (s / np.multiply.outer(rc, cc)[:, :, None]).astype(px3.dtype)
+    s = np.add.reduceat(np.add.reduceat(px3.astype(np.int64), ri, axis=0),
+                        ci, axis=1)
+    rc = np.minimum(ri + f, h) - ri
+    cc = np.minimum(ci + f, w) - ci
+    return (s // np.multiply.outer(rc, cc)[:, :, None]).astype(px3.dtype)
+
+
+def _pack_ifd(entries, ifd_offset: int, next_ifd: int = 0) -> bytes:
+    """Pack one little-endian IFD at ``ifd_offset``; out-of-line values
+    land immediately after the entry table (word-aligned)."""
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_pos = ifd_offset + ifd_size
+    ifd = bytearray()
+    overflow = bytearray()
+    ifd += struct.pack("<H", len(entries))
+    pack_code = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
+    for tag, typ, count, value in entries:
+        if typ == _T_ASCII:
+            raw = bytes(value)
+        else:
+            vals = value if isinstance(value, (list, tuple)) else [value]
+            raw = struct.pack(f"<{len(vals)}{pack_code[typ]}", *vals)
+        if len(raw) <= 4:
+            inline = raw + b"\x00" * (4 - len(raw))
+            ifd += struct.pack("<HHI", tag, typ, count) + inline
+        else:
+            ifd += struct.pack("<HHII", tag, typ, count,
+                               overflow_pos + len(overflow))
+            overflow += raw
+            if len(overflow) % 2:  # TIFF values are word-aligned
+                overflow += b"\x00"
+    ifd += struct.pack("<I", next_ifd)
+    return bytes(ifd) + bytes(overflow)
+
+
 def _epsg_of(crs: str | int) -> int:
     if isinstance(crs, int):
         return crs
@@ -285,13 +338,22 @@ def encode_geotiff(
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
     planar: int = 1,
+    overviews: list[int] | None = None,
+    resampling: str = "nearest",
 ) -> bytes:
     """numpy (h, w) band or (h, w, bands) image + (a, b, c, d, e, f)
     affine + crs + nodata -> GeoTIFF bytes.  Layout: 8-byte header, strip
     data, IFD + out-of-line values at the tail (header points past the
     strips).  Multi-band uses SamplesPerPixel + PlanarConfiguration:
     ``planar=1`` (chunky, interleaved samples — the GDAL default) or
-    ``planar=2`` (separate per-band planes, band-major segment order)."""
+    ``planar=2`` (separate per-band planes, band-major segment order).
+
+    ``overviews=[2, 4, ...]`` appends reduced-resolution IFDs chained off
+    the primary (NewSubfileType=1) — the COG overview-pyramid structure —
+    each downsampled from the FULL-resolution image by the given factor
+    with ``resampling`` "nearest" (top-left sample) or "average" (exact
+    block mean; floor division on integer dtypes).  The overview's
+    ModelPixelScale is the base scale times the factor, same origin."""
     px = np.ascontiguousarray(pixels)
     if px.ndim == 2:
         bands = 1
@@ -333,48 +395,13 @@ def encode_geotiff(
     if px.dtype.byteorder == ">":
         px = px.astype(px.dtype.newbyteorder("<"))
     px3 = px[:, :, None] if px.ndim == 2 else px
-    if planar == 2 and bands > 1:
-        # separate planes, band-major segment order (TIFF 6.0 §PlanarConfig)
-        planes = [px3[:, :, b : b + 1] for b in range(bands)]
-    else:
-        planes = [px3]  # chunky: interleaved samples in one plane
-    segments: list[bytes] = []
-    for plane in planes:
-        k = plane.shape[2]
-        if tile is not None:
-            tw, tl = int(tile[0]), int(tile[1])
-            if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
-                raise ValueError(
-                    f"tile dims must be positive multiples of 16, got {tile}"
-                )
-            ta = max(1, -(-w // tw))  # tiles across
-            td = max(1, -(-h // tl))  # tiles down
-            padded = np.zeros((td * tl, ta * tw, k), dtype=px.dtype)
-            padded[:h, :w] = plane
-            for ty in range(td):
-                for tx in range(ta):
-                    t = padded[ty * tl : (ty + 1) * tl,
-                               tx * tw : (tx + 1) * tw].reshape(tl, tw * k)
-                    if predictor == 2:
-                        t = _predict2_forward(t, spp=k)
-                    segments.append(_compress(t.tobytes(), compression))
-        else:
-            rows_per_strip = max(1, min(int(rows_per_strip), h)) if h else 1
-            n_strips = max(1, -(-h // rows_per_strip))
-            for s in range(n_strips):
-                rows = plane[s * rows_per_strip : s * rows_per_strip + rows_per_strip]
-                rows = np.ascontiguousarray(rows).reshape(rows.shape[0], w * k)
-                if predictor == 2 and rows.size:
-                    rows = _predict2_forward(rows, spp=k)
-                segments.append(_compress(rows.tobytes(), compression))
-    seg_offsets, seg_counts = [], []
-    pos = 8  # pixel segments start right after the header
-    for raw in segments:
-        seg_offsets.append(pos)
-        seg_counts.append(len(raw))
-        pos += len(raw)
-    data = b"".join(segments)
-    n_segs = len(segments)
+
+    factors = [int(v) for v in (overviews or [])]
+    if any(v < 2 for v in factors):
+        raise ValueError(f"overview factors must be >= 2, got {overviews}")
+    levels: list[tuple[np.ndarray, float, float]] = [(px3, a, e)]
+    for fct in factors:
+        levels.append((_downsample(px3, fct, resampling), a * fct, e * fct))
 
     # GeoKeyDirectory: version 1.1.0, keys sorted by id
     model_type = 2 if epsg in _GEOGRAPHIC_EPSG else 1
@@ -388,70 +415,113 @@ def encode_geotiff(
     for k in geokeys:
         geodir.extend(k)
 
-    entries: list[tuple[int, int, int, object]] = [
-        (256, _T_LONG, 1, w),
-        (257, _T_LONG, 1, h),
-        (258, _T_SHORT, bands, [bits] * bands),
-        (259, _T_SHORT, 1, _COMP_CODE[compression]),
-        (262, _T_SHORT, 1, 2 if bands == 3 else 1),  # RGB / BlackIsZero
-        (277, _T_SHORT, 1, bands),      # SamplesPerPixel
-        (339, _T_SHORT, bands, [fmt_code] * bands),  # SampleFormat
-    ]
-    if bands > 1:
-        entries.append((284, _T_SHORT, 1, planar))  # PlanarConfiguration
-    if tile is not None:
-        entries += [
-            (322, _T_LONG, 1, tw), (323, _T_LONG, 1, tl),
-            (324, _T_LONG, n_segs, seg_offsets),
-            (325, _T_LONG, n_segs, seg_counts),
-        ]
-    else:
-        entries += [
-            (273, _T_LONG, n_segs, seg_offsets),
-            (278, _T_LONG, 1, rows_per_strip),
-            (279, _T_LONG, n_segs, seg_counts),
-        ]
-    if predictor == 2:
-        entries.append((317, _T_SHORT, 1, 2))
-    entries += [
-        (33550, _T_DOUBLE, 3, [a, -e, 0.0]),           # ModelPixelScale
-        (33922, _T_DOUBLE, 6, [0.0, 0.0, 0.0, c, f, 0.0]),  # ModelTiepoint
-        (34735, _T_SHORT, len(geodir), geodir),
-    ]
-    if nodata is not None:
-        nd = (
-            repr(int(nodata)) if float(nodata).is_integer() and fmt_code != 3
-            else repr(float(nodata))
-        )
-        nds = nd.encode() + b"\x00"
-        entries.append((42113, _T_ASCII, len(nds), nds))
-    entries.sort(key=lambda t: t[0])
-
-    ifd_offset = pos
-    ifd_size = 2 + 12 * len(entries) + 4
-    overflow_pos = ifd_offset + ifd_size
-    ifd = bytearray()
-    overflow = bytearray()
-    ifd += struct.pack("<H", len(entries))
-    pack_code = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
-    for tag, typ, count, value in entries:
-        if typ == _T_ASCII:
-            raw = bytes(value)
+    # pass 1: pixel segments for every level (data starts right after the
+    # 8-byte header; each level's IFD chains after all pixel data)
+    pos = 8
+    all_data: list[bytes] = []
+    level_meta = []  # (entries sans layout offsets, filled below)
+    for lvl, (lpx, la, le) in enumerate(levels):
+        lh, lw = lpx.shape[:2]
+        if planar == 2 and bands > 1:
+            planes = [lpx[:, :, b : b + 1] for b in range(bands)]
         else:
-            vals = value if isinstance(value, (list, tuple)) else [value]
-            raw = struct.pack(f"<{len(vals)}{pack_code[typ]}", *vals)
-        if len(raw) <= 4:
-            inline = raw + b"\x00" * (4 - len(raw))
-            ifd += struct.pack("<HHI", tag, typ, count) + inline
-        else:
-            ifd += struct.pack("<HHII", tag, typ, count, overflow_pos + len(overflow))
-            overflow += raw
-            if len(overflow) % 2:  # TIFF values are word-aligned
-                overflow += b"\x00"
-    ifd += struct.pack("<I", 0)  # no next IFD
+            planes = [lpx]  # chunky: interleaved samples in one plane
+        segments: list[bytes] = []
+        rps_used = rows_per_strip
+        for plane in planes:
+            k = plane.shape[2]
+            if tile is not None:
+                tw, tl = int(tile[0]), int(tile[1])
+                if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+                    raise ValueError(
+                        f"tile dims must be positive multiples of 16, got {tile}"
+                    )
+                ta = max(1, -(-lw // tw))  # tiles across
+                td = max(1, -(-lh // tl))  # tiles down
+                padded = np.zeros((td * tl, ta * tw, k), dtype=px.dtype)
+                padded[:lh, :lw] = plane
+                for ty in range(td):
+                    for tx in range(ta):
+                        t = padded[ty * tl : (ty + 1) * tl,
+                                   tx * tw : (tx + 1) * tw].reshape(tl, tw * k)
+                        if predictor == 2:
+                            t = _predict2_forward(t, spp=k)
+                        segments.append(_compress(t.tobytes(), compression))
+            else:
+                rps_used = max(1, min(int(rows_per_strip), lh)) if lh else 1
+                n_strips = max(1, -(-lh // rps_used))
+                for s in range(n_strips):
+                    rows = plane[s * rps_used : s * rps_used + rps_used]
+                    rows = np.ascontiguousarray(rows).reshape(rows.shape[0],
+                                                              lw * k)
+                    if predictor == 2 and rows.size:
+                        rows = _predict2_forward(rows, spp=k)
+                    segments.append(_compress(rows.tobytes(), compression))
+        seg_offsets, seg_counts = [], []
+        for raw in segments:
+            seg_offsets.append(pos)
+            seg_counts.append(len(raw))
+            pos += len(raw)
+        all_data.extend(segments)
+        n_segs = len(segments)
 
-    header = struct.pack("<2sHI", b"II", 42, ifd_offset)
-    return header + data + bytes(ifd) + bytes(overflow)
+        entries: list[tuple[int, int, int, object]] = [
+            (256, _T_LONG, 1, lw),
+            (257, _T_LONG, 1, lh),
+            (258, _T_SHORT, bands, [bits] * bands),
+            (259, _T_SHORT, 1, _COMP_CODE[compression]),
+            (262, _T_SHORT, 1, 2 if bands == 3 else 1),  # RGB / BlackIsZero
+            (277, _T_SHORT, 1, bands),      # SamplesPerPixel
+            (339, _T_SHORT, bands, [fmt_code] * bands),  # SampleFormat
+        ]
+        if lvl > 0:
+            entries.append((254, _T_LONG, 1, 1))  # NewSubfileType: reduced
+        if bands > 1:
+            entries.append((284, _T_SHORT, 1, planar))  # PlanarConfiguration
+        if tile is not None:
+            entries += [
+                (322, _T_LONG, 1, tw), (323, _T_LONG, 1, tl),
+                (324, _T_LONG, n_segs, seg_offsets),
+                (325, _T_LONG, n_segs, seg_counts),
+            ]
+        else:
+            entries += [
+                (273, _T_LONG, n_segs, seg_offsets),
+                (278, _T_LONG, 1, rps_used),
+                (279, _T_LONG, n_segs, seg_counts),
+            ]
+        if predictor == 2:
+            entries.append((317, _T_SHORT, 1, 2))
+        entries += [
+            (33550, _T_DOUBLE, 3, [la, -le, 0.0]),           # ModelPixelScale
+            (33922, _T_DOUBLE, 6, [0.0, 0.0, 0.0, c, f, 0.0]),  # ModelTiepoint
+            (34735, _T_SHORT, len(geodir), geodir),
+        ]
+        if nodata is not None:
+            nd = (
+                repr(int(nodata)) if float(nodata).is_integer() and fmt_code != 3
+                else repr(float(nodata))
+            )
+            nds = nd.encode() + b"\x00"
+            entries.append((42113, _T_ASCII, len(nds), nds))
+        entries.sort(key=lambda t: t[0])
+        level_meta.append(entries)
+
+    # pass 2: lay the IFD chain down after the pixel data.  Each packed
+    # IFD's size is deterministic from its entries, so the chain offsets
+    # resolve in one forward sweep.
+    ifd_offsets = []
+    at = pos
+    for entries in level_meta:
+        ifd_offsets.append(at)
+        at += len(_pack_ifd(entries, at, 0))
+    ifds = b"".join(
+        _pack_ifd(entries, ifd_offsets[i],
+                  ifd_offsets[i + 1] if i + 1 < len(level_meta) else 0)
+        for i, entries in enumerate(level_meta)
+    )
+    header = struct.pack("<2sHI", b"II", 42, ifd_offsets[0])
+    return header + b"".join(all_data) + ifds
 
 
 def _read_values(buf: bytes, bo: str, typ: int, count: int, field: bytes):
@@ -467,7 +537,31 @@ def _read_values(buf: bytes, bo: str, typ: int, count: int, field: bytes):
     return list(struct.unpack(f"{bo}{count}{code}", raw))
 
 
-def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None):
+def _ifd_chain(buf: bytes, bo: str, first: int) -> list[int]:
+    """Follow the next-IFD pointers; bounded to guard cyclic chains."""
+    offsets = []
+    off = first
+    while off and len(offsets) < 64:
+        offsets.append(off)
+        (n_entries,) = struct.unpack(f"{bo}H", buf[off : off + 2])
+        nxt_at = off + 2 + 12 * n_entries
+        (off,) = struct.unpack(f"{bo}I", buf[nxt_at : nxt_at + 4])
+    if off:
+        raise ValueError("IFD chain longer than 64 entries (cycle?)")
+    return offsets
+
+
+def geotiff_overview_count(buf: bytes) -> int:
+    """Number of reduced-resolution IFDs chained after the primary."""
+    if len(buf) < 8:
+        raise ValueError("not a TIFF: truncated header")
+    bo = "<" if buf[:2] == b"II" else ">"
+    (first,) = struct.unpack(f"{bo}I", buf[4:8])
+    return len(_ifd_chain(buf, bo, first)) - 1
+
+
+def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
+                   overview: int = 0):
     """GeoTIFF bytes -> (pixels numpy, (a, b, c, d, e, f) transform,
     crs 'EPSG:xxxx' | None, nodata float | None).  First IFD, single band,
     strip- or tile-organized, any supported compression; both byte orders.
@@ -478,7 +572,12 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None):
     reference S5 reads remote COG windows via rasterio;
     /root/reference/demeter/raster/__init__.py:36-47).  The returned
     transform is shifted to the window origin so georeferencing stays
-    consistent."""
+    consistent.
+
+    ``overview=k`` selects the k-th IFD of the chain (0 = primary full
+    resolution, 1.. = the COG reduced-resolution overviews); window
+    coordinates are in THAT level's pixel space and only that level's
+    segments are touched."""
     if len(buf) < 8:
         raise ValueError("not a TIFF: truncated header")
     order = buf[:2]
@@ -491,6 +590,12 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None):
     magic, ifd_offset = struct.unpack(f"{bo}HI", buf[2:8])
     if magic != 42:
         raise ValueError(f"not a TIFF: magic {magic} != 42")
+    if overview:
+        chain = _ifd_chain(buf, bo, ifd_offset)
+        if not 0 <= overview < len(chain):
+            raise ValueError(
+                f"overview {overview} out of range (file has {len(chain) - 1})")
+        ifd_offset = chain[overview]
 
     (n_entries,) = struct.unpack(f"{bo}H", buf[ifd_offset : ifd_offset + 2])
     tags: dict[int, tuple[int, int, bytes]] = {}

@@ -3768,3 +3768,87 @@ def geotiff_rgb_bands(sf_dir: str):
     for c, t in cols.items():
         parts[c] = parts[c].astype(t)
     return parts.sort_values("tile_id").reset_index(drop=True)
+
+
+_GEOTIFF_OVR_SQL = """
+WITH px AS (
+  SELECT event_id // 1024 AS tile_id,
+         (event_id % 1024) // 32 AS r,
+         (event_id % 1024) % 32 AS c,
+         (event_id * 11) % 1000 AS v
+  FROM events),
+l1 AS (
+  SELECT tile_id, r // 2 AS br, c // 2 AS bc, SUM(v) // 4 AS bv
+  FROM px GROUP BY tile_id, r // 2, c // 2),
+l2 AS (
+  SELECT tile_id, SUM(v) // 16 AS bv
+  FROM px GROUP BY tile_id, r // 4, c // 4)
+SELECT l1.tile_id,
+  CAST(SUM(l1.bv) AS BIGINT) AS ov1_sum,
+  CAST(SUM((l1.br + 1) * (l1.bc + 1) * l1.bv) AS BIGINT) AS ov1_wsum,
+  CAST((SELECT SUM(l2.bv) FROM l2 WHERE l2.tile_id = l1.tile_id) AS BIGINT)
+    AS ov2_sum
+FROM l1 GROUP BY l1.tile_id ORDER BY l1.tile_id
+"""
+
+
+@register("geotiff_overview_pyramid", _GEOTIFF_OVR_SQL)
+def geotiff_overview_pyramid(sf_dir: str):
+    """COG overview pyramids: events rasterize onto 32x32 int32 grids
+    (absent pixels 0), encode as a GeoTIFF whose IFD chain carries
+    factor-2 and factor-4 AVERAGE overviews (NewSubfileType=1 — the COG
+    reduced-resolution structure GDAL emits), and the stage reads BOTH
+    overview levels back (never decoding them from the primary), summing
+    each and weighting level-1 blocks by position.  SQL recomputes the
+    exact block means (floor division, 32 divides evenly so every block
+    is full) from the value formula.  The stage asserts the primary
+    decodes bit-exact, the overview transforms scale by the factor, and
+    geotiff_overview_count sees the chain."""
+    from demeter_ray.functions import tiff as _tiff
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def with_tile(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(k, pa.int64()),
+            "tile_id": pa.array(k // 1024, pa.int64()),
+        })
+
+    cols = {"tile_id": np.int64, "ov1_sum": np.int64, "ov1_wsum": np.int64,
+            "ov2_sum": np.int64}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+    def tile_stats(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["event_id"].to_numpy(np.int64)
+        tid = int(k[0] // 1024)
+        pos = k % 1024
+        grid = np.zeros((32, 32), dtype=np.int32)
+        grid[pos // 32, pos % 32] = ((k * 11) % 1000).astype(np.int32)
+        transform = (0.05, 0.0, -99.0 + tid * 1.6, 0.0, -0.05, 44.0)
+        buf = _tiff.encode_geotiff(grid, transform, "EPSG:4326",
+                                   compression="deflate", predictor=2,
+                                   overviews=[2, 4], resampling="average")
+        assert _tiff.geotiff_overview_count(buf) == 2
+        full, tf, _, _ = _tiff.decode_geotiff(buf)
+        assert np.array_equal(full, grid) and tf == transform
+        ov1, t1, _, _ = _tiff.decode_geotiff(buf, overview=1)
+        ov2, t2, _, _ = _tiff.decode_geotiff(buf, overview=2)
+        assert ov1.shape == (16, 16) and ov2.shape == (8, 8)
+        assert t1[0] == transform[0] * 2 and t2[4] == transform[4] * 4
+        o1 = ov1.astype(np.int64)
+        wgt = np.multiply.outer(np.arange(1, 17), np.arange(1, 17))
+        return pd.DataFrame({
+            "tile_id": [tid], "ov1_sum": [o1.sum()],
+            "ov1_wsum": [(o1 * wgt).sum()],
+            "ov2_sum": [ov2.astype(np.int64).sum()],
+        })
+
+    parts = (ds.map_batches(with_tile, batch_format="pyarrow")
+             .groupby("tile_id").map_groups(tile_stats, batch_format="pandas")
+             .to_pandas())
+    if parts.shape[1] == 0:
+        return empty
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("tile_id").reset_index(drop=True)

@@ -463,3 +463,68 @@ def test_multiband_validation():
     tags = {_s.unpack_from("<H", buf, ifd + 12 * i)[0]:
             _s.unpack_from("<H", buf, ifd + 12 * i + 8)[0] for i in range(n)}
     assert tags[262] == 2 and tags[277] == 3 and tags[284] == 1
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("resamp", ["nearest", "average"])
+def test_overview_pyramid_roundtrip(tiled, resamp):
+    rs = np.random.RandomState(11)
+    px = rs.randint(0, 4000, (37, 53, 3)).astype(np.uint16)
+    buf = tiff.encode_geotiff(px, T, "EPSG:32614", nodata=0,
+                              compression="deflate", predictor=2,
+                              tile=(16, 16) if tiled else None,
+                              overviews=[2, 4], resampling=resamp)
+    assert tiff.geotiff_overview_count(buf) == 2
+    full, t0, _, _ = tiff.decode_geotiff(buf)
+    np.testing.assert_array_equal(full, px)
+    assert t0 == T
+    for k, f in ((1, 2), (2, 4)):
+        ov, tk, crs, nd = tiff.decode_geotiff(buf, overview=k)
+        exp = tiff._downsample(px, f, resamp)
+        np.testing.assert_array_equal(ov, exp)
+        assert tk == (T[0] * f, 0.0, T[2], 0.0, T[4] * f, T[5])
+        assert crs == "EPSG:32614" and nd == 0.0
+        # windowed read within the overview level
+        wv, wt, _, _ = tiff.decode_geotiff(buf, overview=k, window=(1, 5, 2, 7))
+        np.testing.assert_array_equal(wv, exp[1:5, 2:7])
+        assert wt[2] == T[2] + T[0] * f * 2
+
+
+def test_overview_average_exact_block_mean():
+    px = np.arange(8 * 8, dtype=np.int32).reshape(8, 8)
+    buf = tiff.encode_geotiff(px, T, overviews=[2], resampling="average")
+    ov, *_ = tiff.decode_geotiff(buf, overview=1)
+    exp = (px.reshape(4, 2, 4, 2).astype(np.int64).sum(axis=(1, 3)) // 4)
+    np.testing.assert_array_equal(ov, exp.astype(np.int32))
+    # ragged edge: 7x7 -> blocks average over their true count
+    px7 = np.arange(49, dtype=np.int32).reshape(7, 7)
+    buf = tiff.encode_geotiff(px7, T, overviews=[2], resampling="average")
+    ov, *_ = tiff.decode_geotiff(buf, overview=1)
+    assert ov.shape == (4, 4)
+    assert ov[3, 3] == 48  # single-pixel corner block
+    assert ov[0, 0] == (0 + 1 + 7 + 8) // 4
+
+
+def test_overview_validation_and_no_overviews():
+    px = np.zeros((6, 6), np.uint8)
+    with pytest.raises(ValueError):
+        tiff.encode_geotiff(px, T, overviews=[1])
+    with pytest.raises(ValueError):
+        tiff.encode_geotiff(px, T, overviews=[2], resampling="cubic")
+    buf = tiff.encode_geotiff(px, T)
+    assert tiff.geotiff_overview_count(buf) == 0
+    with pytest.raises(ValueError):
+        tiff.decode_geotiff(buf, overview=1)
+
+
+def test_overview_reads_touch_only_that_level():
+    # corrupt the PRIMARY level's first segment: overview reads still work
+    px = np.arange(64 * 64, dtype=np.int32).reshape(64, 64)
+    buf = bytearray(tiff.encode_geotiff(px, T, compression="deflate",
+                                        overviews=[4]))
+    buf[8:10] = b"\xff\xff"  # primary strip 0 starts right after header
+    buf = bytes(buf)
+    ov, *_ = tiff.decode_geotiff(buf, overview=1)
+    np.testing.assert_array_equal(ov, px[::4, ::4])
+    with pytest.raises(Exception):
+        tiff.decode_geotiff(buf)
