@@ -31,6 +31,10 @@ TIFF 6.0 + GeoTIFF 1.1 codec for the subset the engine's rasters occupy:
   rasterio/GDAL emit.
 
 Both byte orders decode ('II' and 'MM'); encode emits little-endian.
+BigTIFF (version 43, 64-bit offsets) decodes transparently and is emitted
+via ``encode_geotiff(bigtiff=True)``; COG overview pyramids ride chained
+reduced-resolution IFDs (``overviews=[2, 4]`` / ``decode_geotiff(
+overview=k)``).
 Everything is struct/numpy — no third-party codec anywhere.
 """
 
@@ -43,9 +47,10 @@ import numpy as np
 
 from demeter_ray.functions import geo
 
-# TIFF field types used here
-_T_SHORT, _T_LONG, _T_RATIONAL, _T_ASCII, _T_DOUBLE = 3, 4, 5, 2, 12
-_TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_ASCII: 1, _T_DOUBLE: 8}
+# TIFF field types used here (LONG8 is BigTIFF's 64-bit unsigned)
+_T_SHORT, _T_LONG, _T_RATIONAL, _T_ASCII, _T_DOUBLE, _T_LONG8 = 3, 4, 5, 2, 12, 16
+_TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_ASCII: 1, _T_DOUBLE: 8, _T_LONG8: 8}
+_PACK_CODE = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d", _T_LONG8: "Q"}
 
 # (SampleFormat, BitsPerSample) <-> numpy dtype
 _FMT_BY_DTYPE = {
@@ -291,31 +296,36 @@ def _downsample(px3: np.ndarray, f: int, resampling: str) -> np.ndarray:
     return (s // np.multiply.outer(rc, cc)[:, :, None]).astype(px3.dtype)
 
 
-def _pack_ifd(entries, ifd_offset: int, next_ifd: int = 0) -> bytes:
+def _pack_ifd(entries, ifd_offset: int, next_ifd: int = 0,
+              big: bool = False) -> bytes:
     """Pack one little-endian IFD at ``ifd_offset``; out-of-line values
-    land immediately after the entry table (word-aligned)."""
-    ifd_size = 2 + 12 * len(entries) + 4
+    land immediately after the entry table (word-aligned).  ``big`` packs
+    the BigTIFF shape: 8-byte entry count, 20-byte entries with 8-byte
+    inline value slots, 8-byte next pointer."""
+    cap = 8 if big else 4
+    ifd_size = (8 + 20 * len(entries) + 8) if big else (2 + 12 * len(entries) + 4)
     overflow_pos = ifd_offset + ifd_size
     ifd = bytearray()
     overflow = bytearray()
-    ifd += struct.pack("<H", len(entries))
-    pack_code = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
+    ifd += struct.pack("<Q" if big else "<H", len(entries))
+    head = "<HHQ" if big else "<HHI"
+    off_code = "Q" if big else "I"
     for tag, typ, count, value in entries:
         if typ == _T_ASCII:
             raw = bytes(value)
         else:
             vals = value if isinstance(value, (list, tuple)) else [value]
-            raw = struct.pack(f"<{len(vals)}{pack_code[typ]}", *vals)
-        if len(raw) <= 4:
-            inline = raw + b"\x00" * (4 - len(raw))
-            ifd += struct.pack("<HHI", tag, typ, count) + inline
+            raw = struct.pack(f"<{len(vals)}{_PACK_CODE[typ]}", *vals)
+        if len(raw) <= cap:
+            inline = raw + b"\x00" * (cap - len(raw))
+            ifd += struct.pack(head, tag, typ, count) + inline
         else:
-            ifd += struct.pack("<HHII", tag, typ, count,
+            ifd += struct.pack(head + off_code, tag, typ, count,
                                overflow_pos + len(overflow))
             overflow += raw
             if len(overflow) % 2:  # TIFF values are word-aligned
                 overflow += b"\x00"
-    ifd += struct.pack("<I", next_ifd)
+    ifd += struct.pack(f"<{off_code}", next_ifd)
     return bytes(ifd) + bytes(overflow)
 
 
@@ -340,6 +350,7 @@ def encode_geotiff(
     planar: int = 1,
     overviews: list[int] | None = None,
     resampling: str = "nearest",
+    bigtiff: bool = False,
 ) -> bytes:
     """numpy (h, w) band or (h, w, bands) image + (a, b, c, d, e, f)
     affine + crs + nodata -> GeoTIFF bytes.  Layout: 8-byte header, strip
@@ -353,7 +364,12 @@ def encode_geotiff(
     each downsampled from the FULL-resolution image by the given factor
     with ``resampling`` "nearest" (top-left sample) or "average" (exact
     block mean; floor division on integer dtypes).  The overview's
-    ModelPixelScale is the base scale times the factor, same origin."""
+    ModelPixelScale is the base scale times the factor, same origin.
+
+    ``bigtiff=True`` emits the BigTIFF (version 43) container — 64-bit
+    offsets and counts, 20-byte IFD entries — the layout GDAL switches to
+    when a raster exceeds classic TIFF's 4 GB addressing (the format any
+    100-TB-scale mosaic sink must speak)."""
     px = np.ascontiguousarray(pixels)
     if px.ndim == 2:
         bands = 1
@@ -416,8 +432,10 @@ def encode_geotiff(
         geodir.extend(k)
 
     # pass 1: pixel segments for every level (data starts right after the
-    # 8-byte header; each level's IFD chains after all pixel data)
-    pos = 8
+    # header — 8 bytes classic, 16 BigTIFF; each level's IFD chains after
+    # all pixel data)
+    pos = 16 if bigtiff else 8
+    off_t = _T_LONG8 if bigtiff else _T_LONG
     all_data: list[bytes] = []
     level_meta = []  # (entries sans layout offsets, filled below)
     for lvl, (lpx, la, le) in enumerate(levels):
@@ -481,12 +499,12 @@ def encode_geotiff(
         if tile is not None:
             entries += [
                 (322, _T_LONG, 1, tw), (323, _T_LONG, 1, tl),
-                (324, _T_LONG, n_segs, seg_offsets),
+                (324, off_t, n_segs, seg_offsets),
                 (325, _T_LONG, n_segs, seg_counts),
             ]
         else:
             entries += [
-                (273, _T_LONG, n_segs, seg_offsets),
+                (273, off_t, n_segs, seg_offsets),
                 (278, _T_LONG, 1, rps_used),
                 (279, _T_LONG, n_segs, seg_counts),
             ]
@@ -514,50 +532,81 @@ def encode_geotiff(
     at = pos
     for entries in level_meta:
         ifd_offsets.append(at)
-        at += len(_pack_ifd(entries, at, 0))
+        at += len(_pack_ifd(entries, at, 0, big=bigtiff))
     ifds = b"".join(
         _pack_ifd(entries, ifd_offsets[i],
-                  ifd_offsets[i + 1] if i + 1 < len(level_meta) else 0)
+                  ifd_offsets[i + 1] if i + 1 < len(level_meta) else 0,
+                  big=bigtiff)
         for i, entries in enumerate(level_meta)
     )
-    header = struct.pack("<2sHI", b"II", 42, ifd_offsets[0])
+    if bigtiff:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offsets[0])
+    else:
+        header = struct.pack("<2sHI", b"II", 42, ifd_offsets[0])
     return header + b"".join(all_data) + ifds
 
 
 def _read_values(buf: bytes, bo: str, typ: int, count: int, field: bytes):
     size = _TYPE_SIZE[typ] * count
-    if size <= 4:
+    if size <= len(field):  # inline slot: 4 bytes classic, 8 BigTIFF
         raw = field[:size]
     else:
-        (off,) = struct.unpack(f"{bo}I", field)
+        (off,) = struct.unpack(f"{bo}{'Q' if len(field) == 8 else 'I'}", field)
         raw = buf[off : off + size]
     if typ == _T_ASCII:
         return raw
-    code = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}[typ]
-    return list(struct.unpack(f"{bo}{count}{code}", raw))
+    return list(struct.unpack(f"{bo}{count}{_PACK_CODE[typ]}", raw))
 
 
-def _ifd_chain(buf: bytes, bo: str, first: int) -> list[int]:
+def _ifd_chain(buf: bytes, bo: str, first: int, big: bool = False) -> list[int]:
     """Follow the next-IFD pointers; bounded to guard cyclic chains."""
     offsets = []
     off = first
     while off and len(offsets) < 64:
         offsets.append(off)
-        (n_entries,) = struct.unpack(f"{bo}H", buf[off : off + 2])
-        nxt_at = off + 2 + 12 * n_entries
-        (off,) = struct.unpack(f"{bo}I", buf[nxt_at : nxt_at + 4])
+        if big:
+            (n_entries,) = struct.unpack(f"{bo}Q", buf[off : off + 8])
+            nxt_at = off + 8 + 20 * n_entries
+            (off,) = struct.unpack(f"{bo}Q", buf[nxt_at : nxt_at + 8])
+        else:
+            (n_entries,) = struct.unpack(f"{bo}H", buf[off : off + 2])
+            nxt_at = off + 2 + 12 * n_entries
+            (off,) = struct.unpack(f"{bo}I", buf[nxt_at : nxt_at + 4])
     if off:
         raise ValueError("IFD chain longer than 64 entries (cycle?)")
     return offsets
 
 
-def geotiff_overview_count(buf: bytes) -> int:
-    """Number of reduced-resolution IFDs chained after the primary."""
+def _parse_header(buf: bytes) -> tuple[str, bool, int]:
+    """-> (byte order, bigtiff?, first IFD offset); validates magic."""
     if len(buf) < 8:
         raise ValueError("not a TIFF: truncated header")
-    bo = "<" if buf[:2] == b"II" else ">"
-    (first,) = struct.unpack(f"{bo}I", buf[4:8])
-    return len(_ifd_chain(buf, bo, first)) - 1
+    order = buf[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"not a TIFF: bad byte-order mark {order!r}")
+    (magic,) = struct.unpack(f"{bo}H", buf[2:4])
+    if magic == 42:
+        (first,) = struct.unpack(f"{bo}I", buf[4:8])
+        return bo, False, first
+    if magic == 43:  # BigTIFF
+        osz, pad = struct.unpack(f"{bo}HH", buf[4:8])
+        if osz != 8 or pad != 0:
+            raise ValueError(f"bad BigTIFF offset size {osz}/{pad}")
+        if len(buf) < 16:
+            raise ValueError("truncated BigTIFF header")
+        (first,) = struct.unpack(f"{bo}Q", buf[8:16])
+        return bo, True, first
+    raise ValueError(f"not a TIFF: magic {magic} != 42/43")
+
+
+def geotiff_overview_count(buf: bytes) -> int:
+    """Number of reduced-resolution IFDs chained after the primary."""
+    bo, big, first = _parse_header(buf)
+    return len(_ifd_chain(buf, bo, first, big)) - 1
 
 
 def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
@@ -578,32 +627,29 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
     resolution, 1.. = the COG reduced-resolution overviews); window
     coordinates are in THAT level's pixel space and only that level's
     segments are touched."""
-    if len(buf) < 8:
-        raise ValueError("not a TIFF: truncated header")
-    order = buf[:2]
-    if order == b"II":
-        bo = "<"
-    elif order == b"MM":
-        bo = ">"
-    else:
-        raise ValueError(f"not a TIFF: bad byte-order mark {order!r}")
-    magic, ifd_offset = struct.unpack(f"{bo}HI", buf[2:8])
-    if magic != 42:
-        raise ValueError(f"not a TIFF: magic {magic} != 42")
+    bo, big, ifd_offset = _parse_header(buf)
     if overview:
-        chain = _ifd_chain(buf, bo, ifd_offset)
+        chain = _ifd_chain(buf, bo, ifd_offset, big)
         if not 0 <= overview < len(chain):
             raise ValueError(
                 f"overview {overview} out of range (file has {len(chain) - 1})")
         ifd_offset = chain[overview]
 
-    (n_entries,) = struct.unpack(f"{bo}H", buf[ifd_offset : ifd_offset + 2])
     tags: dict[int, tuple[int, int, bytes]] = {}
-    p = ifd_offset + 2
-    for _ in range(n_entries):
-        tag, typ, count = struct.unpack(f"{bo}HHI", buf[p : p + 8])
-        tags[tag] = (typ, count, buf[p + 8 : p + 12])
-        p += 12
+    if big:
+        (n_entries,) = struct.unpack(f"{bo}Q", buf[ifd_offset : ifd_offset + 8])
+        p = ifd_offset + 8
+        for _ in range(n_entries):
+            tag, typ, count = struct.unpack(f"{bo}HHQ", buf[p : p + 12])
+            tags[tag] = (typ, count, buf[p + 12 : p + 20])
+            p += 20
+    else:
+        (n_entries,) = struct.unpack(f"{bo}H", buf[ifd_offset : ifd_offset + 2])
+        p = ifd_offset + 2
+        for _ in range(n_entries):
+            tag, typ, count = struct.unpack(f"{bo}HHI", buf[p : p + 8])
+            tags[tag] = (typ, count, buf[p + 8 : p + 12])
+            p += 12
 
     def val(tag, default=None):
         if tag not in tags:

@@ -3651,9 +3651,11 @@ def geotiff_window_read(sf_dir: str):
         grid[pos // 32, pos % 32] = ((k * 7) % 1000).astype(np.int32)
         transform = (0.01, 0.0, -102.2 + tid * 0.16, 0.0, -0.01, 37.9)
         comp = "lzw" if tid % 2 else "deflate"
+        # every third tile rides the BigTIFF (version 43, 64-bit offset)
+        # container — same pixels, same stats, different addressing
         buf = _tiff.encode_geotiff(grid, transform, "EPSG:4326", nodata=-1.0,
                                    tile=(16, 16), compression=comp,
-                                   predictor=2)
+                                   predictor=2, bigtiff=(tid % 3 == 0))
         q = tid % 4
         r0, c0 = (q // 2) * 16, (q % 2) * 16
         px, t, crs, nd = _tiff.decode_geotiff(

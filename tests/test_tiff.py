@@ -528,3 +528,41 @@ def test_overview_reads_touch_only_that_level():
     np.testing.assert_array_equal(ov, px[::4, ::4])
     with pytest.raises(Exception):
         tiff.decode_geotiff(buf)
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("comp,pred", [("none", 1), ("deflate", 2),
+                                       ("lzw", 2)])
+def test_bigtiff_roundtrip(tiled, comp, pred):
+    rs = np.random.RandomState(13)
+    px = rs.randint(0, 60000, (19, 27, 3)).astype(np.uint16)
+    buf = tiff.encode_geotiff(px, T, "EPSG:32614", nodata=3, compression=comp,
+                              predictor=pred, bigtiff=True, overviews=[2],
+                              tile=(16, 16) if tiled else None,
+                              rows_per_strip=4)
+    assert buf[2:4] == b"\x2b\x00"  # version 43, 8-byte offsets
+    out, t, crs, nd = tiff.decode_geotiff(buf)
+    np.testing.assert_array_equal(out, px)
+    assert t == T and crs == "EPSG:32614" and nd == 3.0
+    assert tiff.geotiff_overview_count(buf) == 1
+    ov, tk, _, _ = tiff.decode_geotiff(buf, overview=1)
+    np.testing.assert_array_equal(ov, px[::2, ::2])
+    assert tk[0] == T[0] * 2
+    w, *_ = tiff.decode_geotiff(buf, window=(3, 9, 4, 11))
+    np.testing.assert_array_equal(w, px[3:9, 4:11])
+
+
+def test_bigtiff_header_validation():
+    px = np.zeros((4, 4), np.uint8)
+    buf = bytearray(tiff.encode_geotiff(px, T, bigtiff=True))
+    good = bytes(buf)
+    tiff.decode_geotiff(good)
+    bad = bytearray(good)
+    bad[4] = 4  # offset size 4 is not BigTIFF
+    with pytest.raises(ValueError):
+        tiff.decode_geotiff(bytes(bad))
+    with pytest.raises(ValueError):
+        tiff.decode_geotiff(good[:10])
+    # classic magic unchanged
+    with pytest.raises(ValueError):
+        tiff.decode_geotiff(b"II\x2a\x01" + good[4:])
