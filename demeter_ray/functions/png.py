@@ -6,12 +6,13 @@ PNG files — signature, IHDR/IDAT/IEND chunks with CRC-32, zlib-compressed
 scanlines, and all five PNG filter types on decode — so any external PNG
 reader can open what we write and we can read 8-bit PNGs written elsewhere.
 
-Scope (documented, fail-loud outside it): encode emits bit-depth-8 color
-types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced.  Decode
-additionally reads paletted files (color type 3 + PLTE, tRNS honored), the
-sub-byte bit depths 1/2/4 (gray and palette), and Adam7 interlace — the
-common foreign-file shapes in web-crawled ML corpora.  16-bit stays
-fail-loud (decoding it to uint8 would silently truncate).
+Scope (documented, fail-loud outside it): encode emits bit-depth-8 or
+bit-depth-16 color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+non-interlaced (uint16 input selects depth 16; samples stored big-endian
+per spec).  Decode additionally reads paletted files (color type 3 + PLTE,
+tRNS honored), the sub-byte bit depths 1/2/4 (gray and palette), 16-bit
+files (returned as uint16 — never silently truncated), and Adam7
+interlace — the common foreign-file shapes in web-crawled ML corpora.
 
 Reference parity: the reference decodes real rasters via rasterio/PIL
 (/root/reference/demeter/raster/__init__.py:36-47); this is the from-scratch
@@ -33,7 +34,7 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-# color type <-> channel count (bit depth 8 only)
+# color type <-> channel count
 _CTYPE_FOR_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
 _CHANNELS_FOR_CTYPE = {0: 1, 2: 3, 4: 2, 6: 4}
 
@@ -48,15 +49,17 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def encode_png(pixels: np.ndarray, level: int = 6, filter_type: int = 1) -> bytes:
-    """HxWxC (C in 1/2/3/4) or HxW uint8 -> PNG bytes.
+    """HxWxC (C in 1/2/3/4) or HxW uint8 OR uint16 -> PNG bytes (bit depth
+    8 or 16; 16-bit samples are stored big-endian per spec).
 
     ``filter_type``: 0 (None), 1 (Sub) or 2 (Up) applied uniformly — Sub is
     the right default for the gradient-heavy imagery this engine handles.
-    All filtering is whole-image vectorized (uint8 wraparound subtraction).
+    All filtering is whole-image vectorized (uint8 wraparound subtraction
+    over BYTE lanes; for 16-bit, the lane is channels*2 bytes per spec).
     """
     px = np.asarray(pixels)
-    if px.dtype != np.uint8:
-        raise ValueError(f"png encode needs uint8, got {px.dtype}")
+    if px.dtype not in (np.uint8, np.uint16):
+        raise ValueError(f"png encode needs uint8/uint16, got {px.dtype}")
     if px.ndim == 2:
         px = px[:, :, None]
     if px.ndim != 3 or px.shape[2] not in _CTYPE_FOR_CHANNELS:
@@ -64,21 +67,27 @@ def encode_png(pixels: np.ndarray, level: int = 6, filter_type: int = 1) -> byte
     h, w, c = px.shape
     if h == 0 or w == 0:
         raise ValueError("png encode needs non-empty image")
-    raw = np.ascontiguousarray(px).reshape(h, w * c)
+    depth = 16 if px.dtype == np.uint16 else 8
+    if depth == 16:  # big-endian sample bytes; filters run on bytes
+        raw = np.ascontiguousarray(px.astype(">u2")).view(np.uint8)
+        raw = raw.reshape(h, w * c * 2)
+    else:
+        raw = np.ascontiguousarray(px).reshape(h, w * c)
+    bpp = c * (depth // 8)
     if filter_type == 0:
         filt = raw
     elif filter_type == 1:  # Sub: filt[x] = raw[x] - raw[x-bpp] (mod 256)
         filt = raw.copy()
-        filt[:, c:] = raw[:, c:] - raw[:, :-c]
+        filt[:, bpp:] = raw[:, bpp:] - raw[:, :-bpp]
     elif filter_type == 2:  # Up: filt[y] = raw[y] - raw[y-1] (mod 256)
         filt = raw.copy()
         filt[1:] = raw[1:] - raw[:-1]
     else:
         raise ValueError(f"unsupported encode filter {filter_type}")
-    scan = np.empty((h, 1 + w * c), dtype=np.uint8)
+    scan = np.empty((h, 1 + raw.shape[1]), dtype=np.uint8)
     scan[:, 0] = filter_type
     scan[:, 1:] = filt
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CTYPE_FOR_CHANNELS[c], 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, _CTYPE_FOR_CHANNELS[c], 0, 0, 0)
     idat = zlib.compress(scan.tobytes(), level)
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
@@ -200,6 +209,9 @@ def _decode_subimage(
     recon = _unfilter(scan, bpp)
     if depth == 8:
         return recon
+    if depth == 16:  # big-endian sample pairs -> uint16
+        pairs = recon.reshape(h, w * csamp, 2).astype(np.uint16)
+        return (pairs[:, :, 0] << np.uint16(8)) | pairs[:, :, 1]
     bits = np.unpackbits(recon, axis=1)[:, : w * csamp * depth]
     weights = (np.int64(1) << np.arange(depth - 1, -1, -1)).astype(np.int64)
     vals = bits.reshape(h, w * csamp, depth).astype(np.int64) @ weights
@@ -266,7 +278,7 @@ def decode_png(buf: bytes, check_crc: bool = True) -> np.ndarray:
             raise ValueError("paletted PNG missing PLTE")
     elif ctype in _CHANNELS_FOR_CTYPE:
         csamp = _CHANNELS_FOR_CTYPE[ctype]
-        ok_depths = (1, 2, 4, 8) if ctype == 0 else (8,)
+        ok_depths = (1, 2, 4, 8, 16) if ctype == 0 else (8, 16)
         if depth not in ok_depths:
             raise ValueError(
                 f"unsupported PNG bit depth {depth} for color type {ctype}"
@@ -276,10 +288,11 @@ def decode_png(buf: bytes, check_crc: bool = True) -> np.ndarray:
     if comp != 0 or filt_method != 0:
         raise ValueError("bad PNG compression/filter method")
     raw = np.frombuffer(zlib.decompress(b"".join(idat_parts)), dtype=np.uint8)
+    sdt = np.uint16 if depth == 16 else np.uint8
     if interlace == 0:
         samples = _decode_subimage(raw, h, w, csamp, depth).reshape(h, w, csamp)
     elif interlace == 1:  # Adam7: 7 independently-filtered sub-images
-        samples = np.zeros((h, w, csamp), dtype=np.uint8)
+        samples = np.zeros((h, w, csamp), dtype=sdt)
         at = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx

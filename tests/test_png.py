@@ -102,7 +102,7 @@ def test_crc_and_structure_errors():
     for ihdr, msg in [
         (struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2), "interlace"),
         (struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), "PLTE"),
-        (struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0), "bit depth"),
+        (struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0), "bit depth"),
     ]:
         bad = (
             png.PNG_SIG
@@ -244,11 +244,12 @@ def test_decode_adam7_interlaced():
         assert np.array_equal(png.decode_png(buf), px), (h, w)
 
 
-def test_decode_16bit_still_fails_loud():
+def test_decode_16bit_gray_now_supported():
     scan = b"\x00" * (4 * (4 * 2 + 1))
     buf = _png((4, 4, 16, 0, 0, 0, 0), [(b"IDAT", zlib.compress(scan))])
-    with pytest.raises(ValueError, match="bit depth 16"):
-        png.decode_png(buf)
+    out = png.decode_png(buf)
+    assert out.dtype == np.uint16 and out.shape == (4, 4, 1)
+    assert (out == 0).all()
 
 
 def test_decode_paletted_paeth_filtered():
@@ -288,3 +289,73 @@ def test_decode_paletted_paeth_filtered():
     buf = _png((w, h, 8, 3, 0, 0, 0),
                [(b"PLTE", pal.tobytes()), (b"IDAT", zlib.compress(b"".join(rows)))])
     assert np.array_equal(png.decode_png(buf), pal[idx])
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+@pytest.mark.parametrize("ft", [0, 1, 2])
+def test_16bit_roundtrip(c, ft):
+    rs = np.random.RandomState(17 * c + ft)
+    px = rs.randint(0, 65536, (9, 13, c)).astype(np.uint16)
+    out = png.decode_png(png.encode_png(px, filter_type=ft))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, px)
+
+
+def test_16bit_foreign_paeth_average():
+    """Hand-filtered 16-bit gray file using Average (3) and Paeth (4) rows
+    — the per-row byte-lane unfilter must reconstruct exactly."""
+    rs = np.random.RandomState(5)
+    px = rs.randint(0, 65536, (4, 6, 1)).astype(np.uint16)
+    raw = px.astype(">u2").view(np.uint8).reshape(4, 12)
+    scan = bytearray()
+    prev = np.zeros(12, np.int64)
+    for y, ft in enumerate([0, 3, 4, 2]):
+        row = raw[y].astype(np.int64)
+        if ft == 0:
+            filt = row
+        elif ft == 2:
+            filt = (row - prev) & 0xFF
+        elif ft == 3:
+            filt = np.empty(12, np.int64)
+            for x in range(12):
+                left = row[x - 2] if x >= 2 else 0
+                filt[x] = (row[x] - ((left + prev[x]) >> 1)) & 0xFF
+        else:  # Paeth
+            filt = np.empty(12, np.int64)
+            for x in range(12):
+                a = row[x - 2] if x >= 2 else 0
+                b = prev[x]
+                cc = prev[x - 2] if x >= 2 else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                filt[x] = (row[x] - pred) & 0xFF
+        scan += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 16, 0, 0, 0, 0)
+    buf = (png.PNG_SIG + png._chunk(b"IHDR", ihdr)
+           + png._chunk(b"IDAT", zlib.compress(bytes(scan)))
+           + png._chunk(b"IEND", b""))
+    out = png.decode_png(buf)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_16bit_adam7_foreign():
+    rs = np.random.RandomState(9)
+    px = rs.randint(0, 65536, (5, 7, 1)).astype(np.uint16)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    scan = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx, 0]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            scan += b"\x00" + row.astype(">u2").tobytes()
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 16, 0, 0, 0, 1)
+    buf = (png.PNG_SIG + png._chunk(b"IHDR", ihdr)
+           + png._chunk(b"IDAT", zlib.compress(bytes(scan)))
+           + png._chunk(b"IEND", b""))
+    out = png.decode_png(buf)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, px)
