@@ -191,6 +191,7 @@ def run_benchmarks() -> dict:
         "geotiff_window_read",
         "geotiff_rgb_bands",
         "geotiff_overview_pyramid",
+        "png16_geotiff_interop",
         "wav_audio_features",
         "wav_decimate_stats",
         "g711_companded_audio",

@@ -3854,3 +3854,91 @@ def geotiff_overview_pyramid(sf_dir: str):
     for c, t in cols.items():
         parts[c] = parts[c].astype(t)
     return parts.sort_values("tile_id").reset_index(drop=True)
+
+
+_PNG16_TIFF_SQL = """
+WITH px AS (
+  SELECT event_id // 256 AS tile_id,
+         (event_id % 256) // 16 AS r,
+         (event_id % 256) % 16 AS c,
+         (event_id * 13) % 60000 AS v
+  FROM events)
+SELECT tile_id,
+  CAST(SUM(v) AS BIGINT) AS win_sum,
+  CAST(MAX(v) AS BIGINT) AS win_max,
+  CAST(SUM((r % 8 + 1) * v) AS BIGINT) AS win_wsum
+FROM px
+WHERE r // 8 = tile_id % 2 AND c // 8 = (tile_id // 2) % 2
+GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+@register("png16_geotiff_interop", _PNG16_TIFF_SQL)
+def png16_geotiff_interop(sf_dir: str):
+    """Cross-codec interop on 16-bit elevation rasters: events rasterize
+    onto 16x16 uint16 grids (absent pixels 0) that flow PNG16 -> decode ->
+    GeoTIFF (deflate + Predictor 2) -> WINDOWED read of the quadrant
+    selected by tile_id — the hand-off a pipeline makes when web-delivered
+    16-bit PNG elevation tiles are re-materialized as COG-style GeoTIFF
+    for raster math.  Both decodes are asserted bit-exact in-stage; the
+    emitted stats come from the WINDOWED GeoTIFF read only (sum, max, and
+    a row-weighted sum in window-local row coordinates), recomputed by SQL
+    from the value formula filtered to the quadrant.  Lossless end-to-end
+    across two codecs."""
+    from demeter_ray.functions import png as _png
+    from demeter_ray.functions import tiff as _tiff
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def with_tile(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(k, pa.int64()),
+            "tile_id": pa.array(k // 256, pa.int64()),
+        })
+
+    cols = {"tile_id": np.int64, "win_sum": np.int64, "win_max": np.int64,
+            "win_wsum": np.int64}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+    def tile_stats(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["event_id"].to_numpy(np.int64)
+        tid = int(k[0] // 256)
+        pos = k % 256
+        grid = np.zeros((16, 16), dtype=np.uint16)
+        grid[pos // 16, pos % 16] = ((k * 13) % 60000).astype(np.uint16)
+        png_bytes = _png.encode_png(grid.astype(np.uint16))
+        back = _png.decode_png(png_bytes)
+        assert back.dtype == np.uint16 and np.array_equal(back[:, :, 0], grid)
+        transform = (0.03, 0.0, -97.0 + tid * 0.48, 0.0, -0.03, 39.5)
+        tif = _tiff.encode_geotiff(back[:, :, 0], transform, "EPSG:32612",
+                                   compression="deflate", predictor=2,
+                                   rows_per_strip=4)
+        r0 = (tid % 2) * 8
+        c0 = ((tid // 2) % 2) * 8
+        win, wt, crs, _ = _tiff.decode_geotiff(
+            tif, window=(r0, r0 + 8, c0, c0 + 8))
+        assert crs == "EPSG:32612" and win.shape == (8, 8)
+        assert wt[2] == transform[2] + 0.03 * c0
+        full, *_ = _tiff.decode_geotiff(tif)
+        assert np.array_equal(full, grid)
+        w64 = win.astype(np.int64)
+        # SQL emits a group only when >= 1 event lands in the quadrant;
+        # absent pixels are 0 so sums/max agree whenever the group exists
+        in_q = ((pos // 16) // 8 == tid % 2) & ((pos % 16) // 8 == (tid // 2) % 2)
+        if not in_q.any():
+            return empty
+        return pd.DataFrame({
+            "tile_id": [tid], "win_sum": [w64.sum()],
+            "win_max": [w64.max()],
+            "win_wsum": [(w64 * (np.arange(8)[:, None] + 1)).sum()],
+        })
+
+    parts = (ds.map_batches(with_tile, batch_format="pyarrow")
+             .groupby("tile_id").map_groups(tile_stats, batch_format="pandas")
+             .to_pandas())
+    if parts.shape[1] == 0:
+        return empty
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("tile_id").reset_index(drop=True)
