@@ -195,6 +195,7 @@ def run_benchmarks() -> dict:
         "wav_audio_features",
         "wav_decimate_stats",
         "g711_companded_audio",
+        "ima_adpcm_decode",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -22,7 +22,16 @@ G.711 companded telephony formats are supported as first-class codecs
   Sun g711.c semantics every toolchain ships); encode compands int16
   input via ``encode_wav(samples, rate, codec="mulaw"/"alaw")``.
 
-Other compressed format tags (MP3, ADPCM, ...) fail loud: this is a
+IMA/DVI ADPCM (format tag 17) is supported mono: 4-bit differential
+coding in independent block_align-sized blocks (4-byte header carrying
+the block's seed predictor + step index, then low-nibble-first 4-bit
+codes).  Decode runs the standard step-table recurrence VECTORIZED
+ACROSS BLOCKS (one short numpy loop over nibble positions, all blocks in
+parallel — the block independence that makes the format seekable is what
+makes it data-parallel here).  Encode via ``encode_wav(samples, rate,
+codec="adpcm")``.
+
+Entropy-coded format tags (MP3, GSM, ...) fail loud: this is a
 data-plane codec, not a media framework.
 """
 
@@ -32,7 +41,99 @@ import struct
 
 import numpy as np
 
-_PCM, _ALAW, _MULAW, _FLOAT, _EXTENSIBLE = 1, 6, 7, 3, 0xFFFE
+_PCM, _ALAW, _MULAW, _FLOAT, _ADPCM, _EXTENSIBLE = 1, 6, 7, 3, 17, 0xFFFE
+
+# IMA ADPCM tables (IMA Recommended Practices / Microsoft WAV tag 17)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(pred: np.ndarray, index: np.ndarray, nib: np.ndarray):
+    """One IMA recurrence step, vectorized over blocks: (pred, index) +
+    nibble -> updated (pred, index).  All int64."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    diff += np.where(nib & 1, step >> 2, 0)
+    diff += np.where(nib & 2, step >> 1, 0)
+    diff += np.where(nib & 4, step, 0)
+    pred = np.clip(np.where(nib & 8, pred - diff, pred + diff), -32768, 32767)
+    index = np.clip(index + _IMA_INDEX[nib & 7], 0, 88)
+    return pred, index
+
+
+def adpcm_decode_blocks(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA ADPCM block stream -> int16 samples.  Trailing partial
+    block bytes are ignored (the spec pads to whole blocks)."""
+    if block_align < 5 or block_align % 4:
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.zeros(0, np.int16)
+    raw = np.frombuffer(data[: n_blocks * block_align], np.uint8)
+    raw = raw.reshape(n_blocks, block_align)
+    pred = raw[:, :2].copy().view("<i2")[:, 0].astype(np.int64)
+    index = np.clip(raw[:, 2].astype(np.int64), 0, 88)
+    nib_bytes = raw[:, 4:]
+    spb = 1 + (block_align - 4) * 2  # samples per block incl. the seed
+    out = np.empty((n_blocks, spb), np.int64)
+    out[:, 0] = pred
+    # low nibble first, then high — one vectorized step per nibble position
+    for j in range(block_align - 4):
+        b = nib_bytes[:, j].astype(np.int64)
+        pred, index = _ima_step(pred, index, b & 0x0F)
+        out[:, 1 + 2 * j] = pred
+        pred, index = _ima_step(pred, index, b >> 4)
+        out[:, 2 + 2 * j] = pred
+    return out.reshape(-1).astype(np.int16)
+
+
+def adpcm_encode_blocks(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """int16 mono -> IMA ADPCM block stream (the standard greedy coder:
+    quantize diff against the current step, then run the decoder update so
+    encoder and decoder states stay locked).  The tail is zero-padded to a
+    whole block; samples-per-block = 1 + (block_align - 4) * 2."""
+    if block_align < 5 or block_align % 4:
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    x = np.asarray(samples)
+    if x.dtype != np.int16 or x.ndim != 1:
+        raise ValueError(f"ADPCM encode wants 1-D int16, got {x.dtype}/{x.ndim}D")
+    if len(x) == 0:
+        return b""
+    spb = 1 + (block_align - 4) * 2
+    n_blocks = -(-len(x) // spb)
+    padded = np.zeros(n_blocks * spb, np.int64)
+    padded[: len(x)] = x
+    blocks = padded.reshape(n_blocks, spb)
+    pred = blocks[:, 0].copy()
+    index = np.zeros(n_blocks, np.int64)
+    out = np.zeros((n_blocks, block_align), np.uint8)
+    out[:, :2] = pred.astype("<i2").view(np.uint8).reshape(n_blocks, 2)
+    # header index seeds 0 (encoder restarts each block — spec-legal and
+    # what keeps blocks independently decodable)
+    nibs = np.empty((n_blocks, (block_align - 4) * 2), np.int64)
+    for t in range(spb - 1):
+        step = _IMA_STEPS[index]
+        diff = blocks[:, t + 1] - pred
+        nib = np.where(diff < 0, 8, 0)
+        ad = np.abs(diff)
+        take = ad >= step
+        nib = nib | np.where(take, 4, 0)
+        ad = ad - np.where(take, step, 0)
+        take = ad >= step >> 1
+        nib = nib | np.where(take, 2, 0)
+        ad = ad - np.where(take, step >> 1, 0)
+        nib = nib | np.where(ad >= step >> 2, 1, 0)
+        pred, index = _ima_step(pred, index, nib)
+        nibs[:, t] = nib
+    out[:, 4:] = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).astype(np.uint8)
+    return out.tobytes()
 
 # dtype -> (format tag, bits per sample)
 _FMT_BY_DTYPE = {
@@ -110,9 +211,27 @@ def encode_wav(samples: np.ndarray, sample_rate: int,
     if sample_rate <= 0:
         raise ValueError(f"sample_rate must be positive, got {sample_rate}")
     n, ch = s.shape
+    if codec == "adpcm":
+        if s.dtype != np.int16:
+            raise ValueError(f"IMA ADPCM expects int16 input, got {s.dtype}")
+        if ch != 1:
+            raise ValueError("IMA ADPCM encode is mono-only")
+        block_align = 256
+        spb = 1 + (block_align - 4) * 2
+        data = adpcm_encode_blocks(s[:, 0], block_align)
+        byte_rate = max(1, (sample_rate * block_align) // spb)
+        chunks = bytearray()
+        chunks += struct.pack("<4sIHHIIHHHH", b"fmt ", 20, _ADPCM, 1,
+                              sample_rate, byte_rate, block_align, 4, 2, spb)
+        chunks += struct.pack("<4sII", b"fact", 4, n)
+        chunks += struct.pack("<4sI", b"data", len(data)) + data
+        if len(data) % 2:
+            chunks += b"\x00"
+        riff = b"WAVE" + bytes(chunks)
+        return struct.pack("<4sI", b"RIFF", len(riff)) + riff
     if codec is not None:
         if codec not in ("mulaw", "alaw"):
-            raise ValueError(f"unknown codec {codec!r} (mulaw or alaw)")
+            raise ValueError(f"unknown codec {codec!r} (mulaw, alaw or adpcm)")
         if s.dtype != np.int16:
             raise ValueError(f"G.711 companding expects int16 input, got {s.dtype}")
         fmt_tag = _MULAW if codec == "mulaw" else _ALAW
@@ -152,6 +271,7 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     data = None
+    fact_n = None
     while pos + 8 <= len(buf):
         cid, size = struct.unpack("<4sI", buf[pos : pos + 8])
         body = buf[pos + 8 : pos + 8 + size]
@@ -161,6 +281,8 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (fact_n,) = struct.unpack("<I", body[:4])
         pos += 8 + size + (size % 2)  # odd chunks are padded
     if fmt is None or data is None:
         raise ValueError("WAV lacks fmt/data chunks")
@@ -177,6 +299,15 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         vbits, = struct.unpack("<H", fmt[18:20])
         if vbits:
             bits = vbits
+    if fmt_tag == _ADPCM:
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
+        if ch != 1:
+            raise ValueError("IMA ADPCM decode is mono-only")
+        s = adpcm_decode_blocks(data, _balign)
+        if fact_n is not None:  # fact carries the true frame count (the
+            s = s[:fact_n]      # final block is zero-padded on encode)
+        return s[:, None], rate
     if fmt_tag in (_MULAW, _ALAW):
         if bits != 8:
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")

@@ -250,3 +250,90 @@ def g711_companded_audio(sf_dir: str):
     for c, t in cols.items():
         parts[c] = parts[c].astype(t)
     return parts.sort_values("doc_id").reset_index(drop=True)
+
+
+# The IMA step recurrence, expressed in SQL: a recursive CTE carries
+# (pred, index) per doc through all 240 nibbles, joining the 89-entry step
+# table by index each iteration (built inline from functions/wav._IMA_STEPS).
+_ADPCM_SQL = """
+WITH RECURSIVE
+docs AS (SELECT doc_id, ((doc_id * 257) % 4096) - 2048 AS p0, doc_id % 89 AS i0
+         FROM documents WHERE doc_id % 10 = 4),
+steps(si, sv) AS (VALUES (0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),(8,16),(9,17),(10,19),(11,21),(12,23),(13,25),(14,28),(15,31),(16,34),(17,37),(18,41),(19,45),(20,50),(21,55),(22,60),(23,66),(24,73),(25,80),(26,88),(27,97),(28,107),(29,118),(30,130),(31,143),(32,157),(33,173),(34,190),(35,209),(36,230),(37,253),(38,279),(39,307),(40,337),(41,371),(42,408),(43,449),(44,494),(45,544),(46,598),(47,658),(48,724),(49,796),(50,876),(51,963),(52,1060),(53,1166),(54,1282),(55,1411),(56,1552),(57,1707),(58,1878),(59,2066),(60,2272),(61,2499),(62,2749),(63,3024),(64,3327),(65,3660),(66,4026),(67,4428),(68,4871),(69,5358),(70,5894),(71,6484),(72,7132),(73,7845),(74,8630),(75,9493),(76,10442),(77,11487),(78,12635),(79,13899),(80,15289),(81,16818),(82,18500),(83,20350),(84,22385),(85,24623),(86,27086),(87,29794),(88,32767)),
+dec(doc_id, t, pred, idx, acc_sum, acc_abs) AS (
+  SELECT doc_id, 0, p0, i0, CAST(p0 AS BIGINT), CAST(ABS(p0) AS BIGINT)
+  FROM docs
+  UNION ALL
+  SELECT d.doc_id, d.t + 1, u.pred2, u.idx2,
+         d.acc_sum + u.pred2, d.acc_abs + ABS(u.pred2)
+  FROM dec d
+  JOIN steps s ON s.si = d.idx,
+  LATERAL (
+    SELECT GREATEST(-32768, LEAST(32767,
+             CASE WHEN ((d.doc_id*3 + d.t*5) % 16) >= 8 THEN d.pred - (s.sv // 8 + CASE WHEN ((d.doc_id*3 + d.t*5) % 2) = 1 THEN s.sv // 4 ELSE 0 END + CASE WHEN (((d.doc_id*3 + d.t*5) // 2) % 2) = 1 THEN s.sv // 2 ELSE 0 END + CASE WHEN (((d.doc_id*3 + d.t*5) // 4) % 2) = 1 THEN s.sv ELSE 0 END)
+                  ELSE d.pred + (s.sv // 8 + CASE WHEN ((d.doc_id*3 + d.t*5) % 2) = 1 THEN s.sv // 4 ELSE 0 END + CASE WHEN (((d.doc_id*3 + d.t*5) // 2) % 2) = 1 THEN s.sv // 2 ELSE 0 END + CASE WHEN (((d.doc_id*3 + d.t*5) // 4) % 2) = 1 THEN s.sv ELSE 0 END) END)) AS pred2,
+           GREATEST(0, LEAST(88, d.idx +
+             CASE ((d.doc_id*3 + d.t*5) % 8) WHEN 4 THEN 2 WHEN 5 THEN 4
+                  WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END)) AS idx2
+  ) u
+  WHERE d.t < 240
+)
+SELECT doc_id, acc_sum, acc_abs, CAST(pred AS BIGINT) AS final_pred
+FROM dec WHERE t = 240 ORDER BY doc_id
+"""
+
+
+@register("ima_adpcm_decode", _ADPCM_SQL)
+def ima_adpcm_decode(sf_dir: str):
+    """IMA/DVI ADPCM (WAV format tag 17) in the driver loop: per doc
+    (1-in-10 slice) a single 124-byte ADPCM block is hand-assembled with a
+    formula seed predictor/step-index and formula nibbles, wrapped in a
+    real tag-17 WAV container (fmt cbSize=2 + wSamplesPerBlock, fact
+    chunk), and decoded through the block-vectorized recurrence in
+    functions/wav.py.  SQL re-runs the SAME recurrence via a recursive CTE
+    over the step table — 241 exact int16 states per doc — so any drift in
+    the step/index/clamp logic fails the value hash.  Container metadata
+    (rate, fact-trimmed frame count, dtype) is asserted in-stage; the
+    coder's decode->encode->decode stability is pinned in unit tests.
+    Integer-exact."""
+    import struct as _struct
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    cols = {"doc_id": np.int64, "acc_sum": np.int64, "acc_abs": np.int64,
+            "final_pred": np.int64}
+
+    def _container(block: bytes) -> bytes:
+        chunks = _struct.pack("<4sIHHIIHHHH", b"fmt ", 20, 17, 1, 8000,
+                              (8000 * 124) // 241, 124, 4, 2, 241)
+        chunks += _struct.pack("<4sII", b"fact", 4, 241)
+        chunks += _struct.pack("<4sI", b"data", len(block)) + block
+        riff = b"WAVE" + bytes(chunks)
+        return _struct.pack("<4sI", b"RIFF", len(riff)) + riff
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 10 == 4]
+        rows: dict[str, list] = {c: [] for c in cols}
+        for d in ids:
+            d = int(d)
+            p0 = ((d * 257) % 4096) - 2048
+            i0 = d % 89
+            nib = (d * 3 + np.arange(240, dtype=np.int64) * 5) % 16
+            by = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+            blk = (p0.to_bytes(2, "little", signed=True) + bytes([i0, 0])
+                   + by.tobytes())
+            s, rate = wav.decode_wav(_container(blk))
+            assert rate == 8000 and s.shape == (241, 1) and s.dtype == np.int16
+            v = s[:, 0].astype(np.int64)
+            rows["doc_id"].append(d)
+            rows["acc_sum"].append(int(v.sum()))
+            rows["acc_abs"].append(int(np.abs(v).sum()))
+            rows["final_pred"].append(int(v[-1]))
+        return pa.table({c: pa.array(rows[c], pa.int64()) for c in cols})
+
+    parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    if parts.shape[1] == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("doc_id").reset_index(drop=True)

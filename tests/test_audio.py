@@ -171,3 +171,73 @@ def test_g711_validation():
     buf[34] = 16
     with pytest.raises(ValueError):
         wav.decode_wav(bytes(buf))
+
+
+def test_adpcm_vectorized_matches_scalar_reference():
+    """The block-vectorized decoder against a from-the-spec scalar walk."""
+    def ref(data, ba):
+        out = []
+        for b0 in range(0, len(data) - ba + 1, ba):
+            blk = data[b0:b0 + ba]
+            pred = int.from_bytes(blk[:2], "little", signed=True)
+            index = min(max(blk[2], 0), 88)
+            out.append(pred)
+            for j in range(4, ba):
+                for nib in (blk[j] & 0xF, blk[j] >> 4):
+                    step = int(wav._IMA_STEPS[index])
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = pred - diff if nib & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    index = max(0, min(88, index + int(wav._IMA_INDEX[nib & 7])))
+                    out.append(pred)
+        return np.array(out, np.int16)
+
+    rs = np.random.RandomState(7)
+    for ba in (8, 64, 124):
+        data = rs.randint(0, 256, 3 * ba, dtype=np.uint8).tobytes()
+        np.testing.assert_array_equal(
+            wav.adpcm_decode_blocks(data, ba), ref(data, ba))
+
+
+def test_adpcm_container_roundtrip_and_stability():
+    t = np.arange(3000)
+    x = (11000 * np.sin(t / 25.0) + 2500 * np.sin(t / 6.0)).astype(np.int16)
+    buf = wav.encode_wav(x, 16000, codec="adpcm")
+    y, rate = wav.decode_wav(buf)
+    assert rate == 16000 and y.shape == (3000, 1) and y.dtype == np.int16
+    # lossy but close on a smooth signal: SNR >= 25 dB
+    num = (x.astype(np.float64) ** 2).mean()
+    den = ((y[:, 0].astype(np.float64) - x) ** 2).mean()
+    assert 10 * np.log10(num / den) > 25
+    # decode -> encode -> decode is a fixed point (states stay locked)
+    y2, _ = wav.decode_wav(wav.encode_wav(y[:, 0], 16000, codec="adpcm"))
+    np.testing.assert_array_equal(y2, y)
+    # ~4.2x compression vs int16 PCM
+    assert len(buf) < len(x) * 2 / 3.5
+
+
+def test_adpcm_block_independence_and_validation():
+    rs = np.random.RandomState(9)
+    a = rs.randint(0, 256, 64, dtype=np.uint8).tobytes()
+    b = rs.randint(0, 256, 64, dtype=np.uint8).tobytes()
+    cat = wav.adpcm_decode_blocks(a + b, 64)
+    np.testing.assert_array_equal(
+        cat, np.concatenate([wav.adpcm_decode_blocks(a, 64),
+                             wav.adpcm_decode_blocks(b, 64)]))
+    with pytest.raises(ValueError):
+        wav.adpcm_decode_blocks(a, 63)  # not a multiple of 4
+    with pytest.raises(ValueError):
+        wav.encode_wav(np.zeros((4, 2), np.int16), 8000, codec="adpcm")  # stereo
+    with pytest.raises(ValueError):
+        wav.encode_wav(np.zeros(4, np.int32), 8000, codec="adpcm")
+    # 8-bit tag-17 container is malformed
+    buf = bytearray(wav.encode_wav(np.zeros(600, np.int16), 8000, codec="adpcm"))
+    buf[34] = 8
+    with pytest.raises(ValueError):
+        wav.decode_wav(bytes(buf))
