@@ -49,7 +49,7 @@ def ship_code_to_workers() -> None:
 
     for name in (
         "demeter_ray.functions.codec", "demeter_ray.functions.depth",
-        "demeter_ray.functions.bmp",
+        "demeter_ray.functions.avi", "demeter_ray.functions.bmp",
         "demeter_ray.functions.geo", "demeter_ray.functions.gif",
         "demeter_ray.functions.hashing",
         "demeter_ray.functions.jpeg", "demeter_ray.functions.png",

@@ -653,6 +653,85 @@ def video_frame_sample(sf_dir: str):
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
+_AVI_SQL = """
+WITH px AS (
+  SELECT d.doc_id, k.k AS frame_idx,
+         (((d.doc_id * 37 + k.k) * 97 + x.x * 31 + y.y * 17 + c.c * 11) % 256) AS v
+  FROM documents d,
+       (VALUES (0), (3), (6)) AS k(k),
+       generate_series(0, 7) AS x(x),
+       generate_series(0, 7) AS y(y),
+       generate_series(0, 2) AS c(c)
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(8 AS BIGINT) AS n_frames, TRUE AS mjpg_ok,
+       ROUND(SUM(v) / 192.0, 4) AS mean_pixel
+FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+"""
+
+
+@register("avi_frame_sample", _AVI_SQL)
+def avi_frame_sample(sf_dir: str):
+    """REAL video container path (functions/avi.py): per doc, build an
+    8-frame RIFF/AVI with an uncompressed DIB stream, frame-sample every
+    3rd frame THROUGH THE idx1 INDEX (sample_frames dispatches on the RIFF
+    magic), and emit each sampled frame's exact pixel mean plus the
+    header-only frame count.  The same frames also roundtrip through an
+    MJPG (real JPEG chunks) container in-stage: index sampling must agree
+    with the DIB decode at PSNR >= 40 dB (the north rule's bar) and the
+    two containers' metadata must match — ``mjpg_ok`` carries that assert
+    into the driver compare.  The oracle recomputes the sampled frames'
+    means from the generator formula in pure SQL."""
+    from demeter_ray.functions import avi as avifns
+    from demeter_ray.stages.images import sample_frames
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_n, out_ok, out_mean = [], [], [], [], []
+        for i in ids:
+            frames = codec.generate_pixels_batch(
+                int(i) * 37 + np.arange(8, dtype=np.int64), 8, 8
+            )
+            blob = avifns.encode_avi(frames, fps=10, codec="dib")
+            sampled = sample_frames(blob, every=3)
+            assert len(sampled) == 3 and all(
+                (s == frames[j * 3]).all() for j, s in enumerate(sampled)
+            ), "DIB index sampling diverged from source frames"
+            n = avifns.avi_frame_count(blob)
+            mj = avifns.encode_avi(frames, fps=10, codec="mjpg")
+            mj_frames = avifns.sample_avi_frames(mj, every=3)
+            err = mj_frames.astype(np.int64) - frames[::3].astype(np.int64)
+            mse = float(np.mean(np.square(err)))
+            psnr = np.inf if mse == 0 else 10 * np.log10(255.0**2 / mse)
+            ok = (
+                psnr >= 40.0
+                and avifns.avi_meta(mj)["codec"] == b"MJPG"
+                and avifns.avi_frame_count(mj) == n
+                and avifns.avi_dims(mj) == avifns.avi_dims(blob)
+            )
+            assert ok, f"MJPG container invariant failed for doc {i}"
+            for j, s in enumerate(sampled):
+                out_id.append(int(i))
+                out_idx.append(j * 3)
+                out_n.append(n)
+                out_ok.append(bool(ok))
+                out_mean.append(s.astype(np.int64).sum() / 192.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "n_frames": pa.array(out_n, pa.int64()),
+                "mjpg_ok": pa.array(out_ok, pa.bool_()),
+                "mean_pixel": pa.array(duck_round(np.array(out_mean), 4)),
+            }
+        )
+
+    out = ds.map_batches(per_doc, batch_format="pyarrow", batch_size=128).to_pandas()
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
 @register("embedding_lsh_neardup", None)
 def embedding_lsh_neardup(sf_dir: str):
     """Distributed scale path of embedding_neardup_pairs: random-hyperplane

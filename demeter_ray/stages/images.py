@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from demeter_ray.functions import avi as _avi
 from demeter_ray.functions import codec
 from demeter_ray.functions import jpeg as _jpeg
 from demeter_ray.functions import png as _png
@@ -264,11 +265,14 @@ class TransformActor:
 
 
 def sample_frames(video_bytes: bytes, every: int = 2) -> list[np.ndarray]:
-    """Frame sampling over a multi-frame container: the blob is a
-    concatenation of encoded frames — real PNGs (self-delimiting via chunk
-    walk to IEND) or fixed-stride DRAW/DJPG.  Take every ``every``-th frame;
-    the sampling plumbing — offsets, variable stride, per-frame decode — is
-    the real pattern."""
+    """Frame sampling over a multi-frame container.  A RIFF/AVI blob
+    (functions/avi.py — MJPG or uncompressed DIB streams) is sampled
+    through its idx1 index, touching only the sampled chunks' bytes; a
+    bare concatenation of encoded frames — real PNGs/JPEGs
+    (self-delimiting) or fixed-stride DRAW/DJPG — is walked by frame
+    size.  Take every ``every``-th frame either way."""
+    if bytes(video_bytes[:4]) == _avi.AVI_MAGIC and bytes(video_bytes[8:12]) == b"AVI ":
+        return list(_avi.sample_avi_frames(video_bytes, every=every))
     frames = []
     off = 0
     idx = 0
