@@ -196,6 +196,8 @@ def run_benchmarks() -> dict:
         "wav_decimate_stats",
         "g711_companded_audio",
         "ima_adpcm_decode",
+        "avi_frame_sample",
+        "avi_audio_demux",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

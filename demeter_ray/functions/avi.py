@@ -74,9 +74,15 @@ def _dib_undo(payload: bytes, w: int, h: int) -> np.ndarray:
 
 
 def encode_avi(frames: np.ndarray, fps: int = 25, codec: str = "mjpg",
-               quality: float = 1.0) -> bytes:
+               quality: float = 1.0,
+               audio: tuple[np.ndarray, int] | None = None) -> bytes:
     """(N,H,W,3) uint8 RGB frames -> AVI bytes.  codec 'mjpg' (JPEG
-    chunks, lossy ~45 dB) or 'dib' (uncompressed BI_RGB, lossless)."""
+    chunks, lossy ~45 dB) or 'dib' (uncompressed BI_RGB, lossless).
+
+    ``audio=(samples, rate)`` adds a second stream (``auds``, PCM int16,
+    mono 1-D or (n, channels)) interleaved per video frame as ``01wb``
+    chunks — the standard A/V interleave every muxer emits.  Demux with
+    ``avi_audio``."""
     frames = np.asarray(frames)
     if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError("encode_avi wants (N,H,W,3) uint8 RGB")
@@ -92,26 +98,57 @@ def encode_avi(frames: np.ndarray, fps: int = 25, codec: str = "mjpg",
     else:
         raise ValueError(f"unknown AVI codec {codec!r} (mjpg|dib)")
 
+    audio_slices: list[bytes] = []
+    audio_strl = b""
+    n_streams = 1
+    if audio is not None:
+        samples, rate = audio
+        samples = np.asarray(samples)
+        if samples.dtype != np.int16:
+            raise ValueError("AVI audio stream must be int16 PCM")
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        n_ch = samples.shape[1]
+        block = 2 * n_ch
+        # split samples across frames: samples i*S//n .. (i+1)*S//n, so the
+        # interleave is even and the concatenation is the exact original.
+        total = samples.shape[0]
+        cuts = [(i * total) // max(n, 1) for i in range(n + 1)]
+        audio_slices = [samples[cuts[i]:cuts[i + 1]].tobytes() for i in range(n)]
+        strh_a = _chunk(b"strh", struct.pack(
+            _STRH_FMT, b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, rate, 0,
+            total, max((len(s) for s in audio_slices), default=0), 0xFFFFFFFF,
+            block, 0, 0, 0, 0))
+        strf_a = _chunk(b"strf", struct.pack(
+            "<HHIIHH", 1, n_ch, rate, rate * block, block, 16))  # WAVEFORMATEX/PCM
+        audio_strl = _list(b"strl", strh_a + strf_a)
+        n_streams = 2
+
     max_bytes = max(len(p) for p in payloads) if payloads else 0
     avih = _chunk(b"avih", struct.pack(
         _AVIH_FMT, 1_000_000 // fps, max_bytes * fps, 0, _AVIF_HASINDEX,
-        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0))
+        n, 0, n_streams, max_bytes, w, h, 0, 0, 0, 0))
     strh = _chunk(b"strh", struct.pack(
         _STRH_FMT, b"vids", handler, 0, 0, 0, 0, 1, fps, 0, n,
         max_bytes, 0xFFFFFFFF, 0, 0, 0, w, h))
     strf = _chunk(b"strf", struct.pack(
         _BIH_FMT, 40, w, h, 1, bitcount, compression, (w * 3 + 3 & ~3) * h,
         0, 0, 0, 0))
-    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf) + audio_strl)
 
     movi_body = bytearray()
     index = bytearray()
-    for p in payloads:
+    for i, p in enumerate(payloads):
         # idx1 offsets point at the chunk fourcc, relative to the 'movi'
         # fourcc position — the convention every reader accepts.
         off = 4 + len(movi_body)
         index += struct.pack("<4sIII", ckid, _AVIIF_KEYFRAME, off, len(p))
         movi_body += _chunk(ckid, p)
+        if audio_slices and audio_slices[i]:
+            a = audio_slices[i]
+            off = 4 + len(movi_body)
+            index += struct.pack("<4sIII", b"01wb", 0, off, len(a))
+            movi_body += _chunk(b"01wb", a)
     movi = _list(b"movi", bytes(movi_body))
     body = b"AVI " + hdrl + movi + _chunk(b"idx1", bytes(index))
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -162,15 +199,24 @@ def _parse_hdrl(buf: bytes, start: int, end: int, meta: dict) -> None:
             meta["n_frames"], meta["width"], meta["height"] = vals[4], vals[8], vals[9]
             meta["fps"] = round(1_000_000 / vals[0]) if vals[0] else 0
         elif fourcc == b"LIST" and bytes(buf[poff:poff + 4]) == b"strl":
+            fcc_type = None
             for f2, p2, s2 in _walk(buf, poff + 4, poff + size):
                 if f2 == b"strh":
                     fcc_type, handler = struct.unpack_from("<4s4s", buf, p2)
                     if fcc_type == b"vids":
                         meta["codec"] = bytes(handler).strip(b"\x00 ").upper() or b"DIB"
-                elif f2 == b"strf" and meta.get("codec") is not None and "strf_w" not in meta:
+                elif f2 == b"strf" and fcc_type == b"vids":
                     bih = struct.unpack_from(_BIH_FMT, buf, p2)
                     meta["strf_w"], meta["strf_h"] = bih[1], abs(bih[2])
                     meta["bitcount"], meta["compression"] = bih[4], bytes(bih[5])
+                elif f2 == b"strf" and fcc_type == b"auds":
+                    tag, n_ch, rate, _bps, _ba, bits = struct.unpack_from(
+                        "<HHIIHH", buf, p2)
+                    if tag != 1 or bits != 16:
+                        raise ValueError(
+                            f"AVI audio stream is format tag {tag}/{bits}-bit; "
+                            "only PCM int16 is supported here")
+                    meta["audio"] = {"channels": n_ch, "rate": rate}
 
 
 def _decode_frame(buf: bytes, ckid: bytes, poff: int, size: int,
@@ -214,6 +260,28 @@ def sample_avi_frames(buf: bytes, every: int = 1, offset: int = 0) -> np.ndarray
 def decode_avi(buf: bytes) -> np.ndarray:
     """All video frames, in stream order, via the index."""
     return sample_avi_frames(buf, every=1)
+
+
+def avi_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """Demux the PCM audio stream: concatenate the ``..wb`` chunks through
+    the index -> ((n, channels) int16, rate).  Feeds the same feature
+    stages the WAV codec does (stages/audio.py)."""
+    meta = avi_meta(buf)
+    if "audio" not in meta:
+        raise ValueError("AVI has no audio stream")
+    movi0 = meta["movi"][0]
+    n_ch, rate = meta["audio"]["channels"], meta["audio"]["rate"]
+    parts = []
+    for ckid, coff, clen in meta["idx1"]:
+        if ckid.endswith(b"wb"):
+            at = movi0 + coff
+            if bytes(buf[at:at + 4]) != ckid:
+                raise ValueError("idx1 offset does not land on its chunk")
+            parts.append(np.frombuffer(buf, np.int16, count=clen // 2,
+                                       offset=at + 8))
+    samples = (np.concatenate(parts) if parts
+               else np.zeros(0, np.int16)).reshape(-1, n_ch)
+    return samples, rate
 
 
 def avi_dims(buf: bytes) -> tuple[int, int]:

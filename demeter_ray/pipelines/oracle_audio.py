@@ -337,3 +337,72 @@ def ima_adpcm_decode(sf_dir: str):
     for c, t in cols.items():
         parts[c] = parts[c].astype(t)
     return parts.sort_values("doc_id").reset_index(drop=True)
+
+
+# Interleaved A/V demux: the audio samples are pure doc_id/index integer
+# arithmetic, so the demuxed stream's stats are SQL-exact.
+_AVI_AUDIO_SQL = """
+WITH d AS (
+  SELECT doc_id, 40 + (doc_id % 4) * 10 AS n,
+         8000 + (doc_id % 2) * 4000 AS sr
+  FROM documents WHERE doc_id % 7 = 2
+), s AS (
+  SELECT d.doc_id, d.n, d.sr,
+         ((d.doc_id * 31 + i.i * 17) % 65536 - 32768) AS v
+  FROM d JOIN generate_series(0, 69) AS i(i) ON i.i < d.n
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples, CAST(sr AS BIGINT) AS rate,
+       CAST(SUM(v) AS BIGINT) AS s_sum, CAST(SUM(ABS(v)) AS BIGINT) AS s_abs
+FROM s GROUP BY doc_id, n, sr ORDER BY doc_id
+"""
+
+
+@register("avi_audio_demux", _AVI_AUDIO_SQL)
+def avi_audio_demux(sf_dir: str):
+    """Interleaved A/V container demux (functions/avi.py): per doc (1-in-7
+    slice) a formula-seeded mono int16 waveform is muxed into a real
+    RIFF/AVI alongside 4 DIB video frames (per-frame ``01wb`` interleave +
+    idx1), then demuxed back through the index.  The demuxed stream is
+    asserted sample-exact against the source and the video frames are
+    asserted unperturbed by the interleave; the emitted per-doc stats
+    (count, rate, sum, abs-sum) are recomputed by SQL from the same
+    integer formula.  Integer-exact."""
+    from demeter_ray.functions import avi as avifns
+    from demeter_ray.functions import codec as codecfns
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    cols = {"doc_id": "int64", "n_samples": "int64", "rate": "int64",
+            "s_sum": "int64", "s_abs": "int64"}
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 7 == 2]
+        rows: dict[str, list] = {c: [] for c in cols}
+        for d in ids:
+            d = int(d)
+            n = 40 + (d % 4) * 10
+            sr = 8000 + (d % 2) * 4000
+            v = (d * 31 + np.arange(n, dtype=np.int64) * 17) % 65536 - 32768
+            samples = v.astype(np.int16)
+            frames = codecfns.generate_pixels_batch(
+                d * 11 + np.arange(4, dtype=np.int64), 8, 8)
+            blob = avifns.encode_avi(frames, fps=4, codec="dib",
+                                     audio=(samples, sr))
+            out, rate = avifns.avi_audio(blob)
+            assert rate == sr and out.shape == (n, 1)
+            assert (out[:, 0] == samples).all(), "A/V demux lost samples"
+            assert (avifns.decode_avi(blob) == frames).all(), \
+                "audio interleave perturbed video chunks"
+            rows["doc_id"].append(d)
+            rows["n_samples"].append(n)
+            rows["rate"].append(sr)
+            rows["s_sum"].append(int(v.sum()))
+            rows["s_abs"].append(int(np.abs(v).sum()))
+        return pa.table({c: pa.array(rows[c], pa.int64()) for c in cols})
+
+    parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    if parts.shape[1] == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("doc_id").reset_index(drop=True)

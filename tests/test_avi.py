@@ -135,3 +135,38 @@ def test_foreign_layout_junk_and_extra_chunks():
         + spliced[8:]
     )
     np.testing.assert_array_equal(avi.decode_avi(spliced), f)
+
+
+@pytest.mark.parametrize("shape", [(1000,), (997, 2)])
+def test_audio_interleave_roundtrip(shape):
+    rng = np.random.default_rng(3)
+    aud = rng.integers(-30000, 30000, shape).astype(np.int16)
+    f = _frames(n=6, w=8, h=8)
+    buf = avi.encode_avi(f, fps=10, codec="dib", audio=(aud, 16000))
+    m = avi.avi_meta(buf)
+    assert m["audio"] == {"channels": 1 if aud.ndim == 1 else 2, "rate": 16000}
+    s, rate = avi.avi_audio(buf)
+    ref = aud[:, None] if aud.ndim == 1 else aud
+    assert rate == 16000
+    np.testing.assert_array_equal(s, ref)
+    # interleaved 01wb chunks must not shift video decode or sampling
+    np.testing.assert_array_equal(avi.decode_avi(buf), f)
+    np.testing.assert_array_equal(avi.sample_avi_frames(buf, every=2), f[::2])
+
+
+def test_audio_fail_louds():
+    f = _frames(n=2, w=8, h=8)
+    with pytest.raises(ValueError):
+        avi.encode_avi(f, codec="dib",
+                       audio=(np.zeros(10, np.float32), 8000))
+    video_only = avi.encode_avi(f, codec="dib")
+    with pytest.raises(ValueError):
+        avi.avi_audio(video_only)
+    # non-PCM audio strf (format tag 2) must fail loud at parse time
+    buf = bytearray(avi.encode_avi(f, codec="dib",
+                                   audio=(np.zeros(10, np.int16), 8000)))
+    at = bytes(buf).find(struct.pack("<HHII", 1, 1, 8000, 16000))
+    assert at > 0
+    buf[at:at + 2] = struct.pack("<H", 2)
+    with pytest.raises(ValueError):
+        avi.avi_meta(bytes(buf))
