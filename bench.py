@@ -198,6 +198,7 @@ def run_benchmarks() -> dict:
         "ima_adpcm_decode",
         "avi_frame_sample",
         "avi_audio_demux",
+        "jpeg_cog_tiles",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

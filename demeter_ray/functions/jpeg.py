@@ -780,3 +780,46 @@ def decode_jpeg_batch(blobs) -> np.ndarray:
             out = np.empty((len(blobs),) + px.shape, dtype=np.uint8)
         out[k] = px
     return out if out is not None else np.empty((0, 0, 0, 0), dtype=np.uint8)
+
+
+def split_tables(blob: bytes) -> tuple[bytes, bytes]:
+    """Full interchange JFIF -> (tables_stream, abbreviated_stream), the
+    TIFF/EP JPEGTables factoring (TIFF Tech Note 2, compression 7): the
+    tables stream is SOI + every DQT/DHT + EOI; the abbreviated stream is
+    the original with DQT/DHT removed.  A TIFF writer stores the tables
+    once in tag 347 and the abbreviated stream per tile/strip; readers
+    merge with ``merge_abbreviated``."""
+    if bytes(blob[:2]) != SOI:
+        raise ValueError("not a JPEG (no SOI)")
+    tables = bytearray(SOI)
+    rest = bytearray(SOI)
+    pos = 2
+    n = len(blob)
+    while pos + 2 <= n:
+        if blob[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", blob, pos + 2)
+        seg = blob[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        if marker == 0xDA:  # SOS: entropy data follows to EOI
+            rest += blob[pos + 2 + ln :]
+            break
+        pos += 2 + ln
+    tables += EOI
+    return bytes(tables), bytes(rest)
+
+
+def merge_abbreviated(tables: bytes, seg: bytes) -> bytes:
+    """(JPEGTables stream, abbreviated segment) -> decodable interchange
+    stream: tables minus its EOI, then the segment minus its SOI."""
+    if bytes(tables[:2]) != SOI or bytes(tables[-2:]) != EOI:
+        raise ValueError("JPEGTables stream must be SOI ... EOI")
+    if bytes(seg[:2]) != SOI:
+        raise ValueError("abbreviated JPEG segment must start with SOI")
+    return tables[:-2] + seg[2:]

@@ -17,6 +17,11 @@ TIFF 6.0 + GeoTIFF 1.1 codec for the subset the engine's rasters occupy:
   libtiff "early change", ClearCode table resets; PackBits run/literal
   headers).  LZW's per-code Python loop is an ingest-edge path for foreign
   GDAL/libtiff files, not the engine's hot raster format (raw numpy rows);
+- new-style JPEG (7, TIFF Tech Note 2) for uint8 chunky 1/3-band rasters:
+  each tile/strip is a baseline JFIF stream from functions/jpeg.py with
+  the shared DQT/DHT factored into the JPEGTables tag (347) — the lossy
+  imagery layout GDAL writes for web-served COGs; roundtrip PSNR rides
+  the JPEG codec's ~45 dB default, above the north rule's 40 dB bar;
 - Predictor tag (317) value 2 (horizontal differencing) for integer
   dtypes on LZW/DEFLATE strips, applied per row — the layout GDAL emits
   by default for LZW integer rasters;
@@ -46,10 +51,13 @@ import zlib
 import numpy as np
 
 from demeter_ray.functions import geo
+from demeter_ray.functions import jpeg as _jpeg
 
 # TIFF field types used here (LONG8 is BigTIFF's 64-bit unsigned)
 _T_SHORT, _T_LONG, _T_RATIONAL, _T_ASCII, _T_DOUBLE, _T_LONG8 = 3, 4, 5, 2, 12, 16
-_TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_ASCII: 1, _T_DOUBLE: 8, _T_LONG8: 8}
+_T_UNDEFINED = 7
+_TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_ASCII: 1, _T_DOUBLE: 8, _T_LONG8: 8,
+              _T_UNDEFINED: 1}
 _PACK_CODE = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d", _T_LONG8: "Q"}
 
 # (SampleFormat, BitsPerSample) <-> numpy dtype
@@ -63,9 +71,9 @@ _DTYPE_BY_FMT = {v: k for k, v in _FMT_BY_DTYPE.items()}
 _GEOGRAPHIC_EPSG = frozenset({4326, 4269, 4267, 4258, 4759})
 
 # Compression tag (259) codes
-_COMP_CODE = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMP_CODE = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773, "jpeg": 7}
 _COMP_NAME = {1: "none", 5: "lzw", 8: "deflate", 32946: "deflate",
-              32773: "packbits"}
+              32773: "packbits", 7: "jpeg"}
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
@@ -271,6 +279,21 @@ def _decompress(raw: bytes, comp_name: str, expected: int) -> bytes:
     return raw[:expected]
 
 
+def _jpeg_expand(raw: bytes, tables: bytes | None, expected: int) -> bytes:
+    """JPEG tile/strip payload (abbreviated, merged with the JPEGTables
+    stream, or self-contained interchange) -> raw pixel bytes."""
+    if not raw:
+        return bytes(expected)
+    stream = _jpeg.merge_abbreviated(tables, raw) if tables else bytes(raw)
+    px = _jpeg.decode_jpeg(stream)
+    out = np.ascontiguousarray(px).tobytes()
+    if len(out) != expected:
+        raise ValueError(
+            f"JPEG segment decodes to shape {px.shape} ({len(out)} bytes) "
+            f"but the TIFF segment geometry expects {expected} bytes")
+    return out
+
+
 def _downsample(px3: np.ndarray, f: int, resampling: str) -> np.ndarray:
     """(h, w, k) -> (ceil(h/f), ceil(w/f), k) reduced level.  ``nearest``
     takes the top-left sample of each f x f block (GDAL NEAREST);
@@ -311,7 +334,7 @@ def _pack_ifd(entries, ifd_offset: int, next_ifd: int = 0,
     head = "<HHQ" if big else "<HHI"
     off_code = "Q" if big else "I"
     for tag, typ, count, value in entries:
-        if typ == _T_ASCII:
+        if typ in (_T_ASCII, _T_UNDEFINED):
             raw = bytes(value)
         else:
             vals = value if isinstance(value, (list, tuple)) else [value]
@@ -351,6 +374,7 @@ def encode_geotiff(
     overviews: list[int] | None = None,
     resampling: str = "nearest",
     bigtiff: bool = False,
+    jpeg_quality: float = 1.0,
 ) -> bytes:
     """numpy (h, w) band or (h, w, bands) image + (a, b, c, d, e, f)
     affine + crs + nodata -> GeoTIFF bytes.  Layout: 8-byte header, strip
@@ -407,6 +431,18 @@ def encode_geotiff(
     if predictor == 2 and compression == "none":
         raise ValueError("Predictor=2 without compression is non-standard; "
                          "pair it with lzw/deflate/packbits")
+    if compression == "jpeg":
+        if dtype != "uint8":
+            raise ValueError(
+                f"JPEG-in-TIFF (compression 7) needs uint8 samples, got {dtype}")
+        if bands not in (1, 3):
+            raise ValueError(
+                f"JPEG-in-TIFF supports 1 or 3 bands, got {bands}")
+        if planar == 2 and bands > 1:
+            raise ValueError(
+                "JPEG-in-TIFF is chunky-only (PlanarConfiguration 1)")
+        if predictor == 2:
+            raise ValueError("Predictor does not apply to JPEG compression")
 
     if px.dtype.byteorder == ">":
         px = px.astype(px.dtype.newbyteorder("<"))
@@ -437,6 +473,7 @@ def encode_geotiff(
     pos = 16 if bigtiff else 8
     off_t = _T_LONG8 if bigtiff else _T_LONG
     all_data: list[bytes] = []
+    jpeg_tables: bytes | None = None
     level_meta = []  # (entries sans layout offsets, filled below)
     for lvl, (lpx, la, le) in enumerate(levels):
         lh, lw = lpx.shape[:2]
@@ -460,8 +497,13 @@ def encode_geotiff(
                 padded[:lh, :lw] = plane
                 for ty in range(td):
                     for tx in range(ta):
-                        t = padded[ty * tl : (ty + 1) * tl,
-                                   tx * tw : (tx + 1) * tw].reshape(tl, tw * k)
+                        t3 = padded[ty * tl : (ty + 1) * tl,
+                                    tx * tw : (tx + 1) * tw]
+                        if compression == "jpeg":
+                            segments.append(
+                                _jpeg.encode_jpeg(t3, jpeg_quality))
+                            continue
+                        t = t3.reshape(tl, tw * k)
                         if predictor == 2:
                             t = _predict2_forward(t, spp=k)
                         segments.append(_compress(t.tobytes(), compression))
@@ -470,11 +512,31 @@ def encode_geotiff(
                 n_strips = max(1, -(-lh // rps_used))
                 for s in range(n_strips):
                     rows = plane[s * rps_used : s * rps_used + rps_used]
+                    if compression == "jpeg":
+                        segments.append(
+                            _jpeg.encode_jpeg(
+                                np.ascontiguousarray(rows), jpeg_quality)
+                            if rows.shape[0] else b"")
+                        continue
                     rows = np.ascontiguousarray(rows).reshape(rows.shape[0],
                                                               lw * k)
                     if predictor == 2 and rows.size:
                         rows = _predict2_forward(rows, spp=k)
                     segments.append(_compress(rows.tobytes(), compression))
+        if compression == "jpeg":
+            # factor the shared DQT/DHT into the JPEGTables tag (347) —
+            # the encoder's tables depend only on jpeg_quality, so the
+            # first segment's tables serve every segment and level
+            abbreviated = []
+            for raw in segments:
+                if not raw:
+                    abbreviated.append(raw)
+                    continue
+                t_stream, ab = _jpeg.split_tables(raw)
+                if jpeg_tables is None:
+                    jpeg_tables = t_stream
+                abbreviated.append(ab)
+            segments = abbreviated
         seg_offsets, seg_counts = [], []
         for raw in segments:
             seg_offsets.append(pos)
@@ -494,6 +556,9 @@ def encode_geotiff(
         ]
         if lvl > 0:
             entries.append((254, _T_LONG, 1, 1))  # NewSubfileType: reduced
+        if compression == "jpeg" and jpeg_tables is not None:
+            entries.append(
+                (347, _T_UNDEFINED, len(jpeg_tables), jpeg_tables))
         if bands > 1:
             entries.append((284, _T_SHORT, 1, planar))  # PlanarConfiguration
         if tile is not None:
@@ -553,7 +618,7 @@ def _read_values(buf: bytes, bo: str, typ: int, count: int, field: bytes):
     else:
         (off,) = struct.unpack(f"{bo}{'Q' if len(field) == 8 else 'I'}", field)
         raw = buf[off : off + size]
-    if typ == _T_ASCII:
+    if typ in (_T_ASCII, _T_UNDEFINED):
         return raw
     return list(struct.unpack(f"{bo}{count}{_PACK_CODE[typ]}", raw))
 
@@ -663,8 +728,10 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
     comp = val(259, [1])[0]
     if comp not in _COMP_NAME:
         raise ValueError(f"unsupported TIFF compression {comp} "
-                         f"(none/lzw/deflate/packbits)")
+                         f"(none/lzw/deflate/packbits/jpeg)")
     comp_name = _COMP_NAME[comp]
+    jpeg_tables = bytes(val(347)) if (comp_name == "jpeg" and 347 in tags) \
+        else None
     spp = val(277, [1])[0]
     if spp < 1:
         raise ValueError(f"bad SamplesPerPixel {spp}")
@@ -684,6 +751,14 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
         raise ValueError(f"unsupported (SampleFormat, BitsPerSample) {key}")
     if predictor == 2 and fmt == 3:
         raise ValueError("Predictor=2 on float samples is unsupported")
+    if comp_name == "jpeg":
+        if (fmt, bits) != (1, 8):
+            raise ValueError(
+                f"JPEG-in-TIFF needs uint8 samples, file says {(fmt, bits)}")
+        if predictor == 2:
+            raise ValueError("Predictor=2 with JPEG compression is invalid")
+        if planar == 2 and spp > 1:
+            raise ValueError("JPEG-in-TIFF planar configuration 2 unsupported")
     dtype = np.dtype(_DTYPE_BY_FMT[key]).newbyteorder(bo)
     native = dtype.newbyteorder("=")
     if window is None:
@@ -722,7 +797,12 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
                 for tx in range(c0 // tw, tx1):
                     idx = b * ta * td + ty * ta + tx
                     o, n = offsets[idx], counts[idx]
-                    raw = _decompress(buf[o : o + n], comp_name, tile_bytes)
+                    if comp_name == "jpeg":
+                        raw = _jpeg_expand(buf[o : o + n], jpeg_tables,
+                                           tile_bytes)
+                    else:
+                        raw = _decompress(buf[o : o + n], comp_name,
+                                          tile_bytes)
                     t = np.frombuffer(raw, dtype=dtype).reshape(tl, tw * k)
                     t = t.astype(native)
                     if predictor == 2:
@@ -755,9 +835,11 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
             for s in range(s0, s1):
                 i = b * spb + s
                 nrows = min(rps, h - s * rps)
-                parts.append(_decompress(
-                    buf[offsets[i] : offsets[i] + counts[i]],
-                    comp_name, nrows * row_bytes))
+                seg = buf[offsets[i] : offsets[i] + counts[i]]
+                parts.append(
+                    _jpeg_expand(seg, jpeg_tables, nrows * row_bytes)
+                    if comp_name == "jpeg"
+                    else _decompress(seg, comp_name, nrows * row_bytes))
             data = b"".join(parts)
             nrows_have = (len(data) // row_bytes) if row_bytes else 0
             block = np.frombuffer(data, dtype=dtype).reshape(nrows_have, w * k)

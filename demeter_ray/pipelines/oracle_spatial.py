@@ -3942,3 +3942,100 @@ def png16_geotiff_interop(sf_dir: str):
     for c, t in cols.items():
         parts[c] = parts[c].astype(t)
     return parts.sort_values("tile_id").reset_index(drop=True)
+
+
+# JPEG-compressed GeoTIFF tiles (TIFF compression 7, JPEGTables tag 347) —
+# the web-served-COG imagery layout.  The codec is lossy, so the oracle
+# checks the SOURCE pixel stats (pure doc_id/pixel-index arithmetic, exact
+# in SQL) while the lossy-decode invariants (PSNR >= 40 dB, windowed read
+# == full-decode slice, overview chain present) are asserted in-stage and
+# carried into the driver compare as constant-TRUE flag columns.
+_JPEG_COG_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 97 + c.c * 31 + r.r * 17 + ch.ch * 11) % 256) AS v,
+         (r.r + 1) * (c.c + 1) * (ch.ch + 1) AS wgt
+  FROM documents d,
+       generate_series(0, 31) AS r(r),
+       generate_series(0, 31) AS c(c),
+       generate_series(0, 2) AS ch(ch)
+)
+SELECT doc_id,
+       CAST(SUM(v) AS BIGINT) AS src_sum,
+       CAST(SUM(wgt * v) AS BIGINT) AS src_wsum,
+       TRUE AS psnr_ok, TRUE AS win_ok, TRUE AS ovr_ok
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("jpeg_cog_tiles", _JPEG_COG_SQL)
+def jpeg_cog_tiles(sf_dir: str):
+    """JPEG-in-TIFF (compression 7): per doc, a 32x32 RGB tile encodes as
+    a TILED GeoTIFF (16x16 tiles, JPEG-compressed segments with the shared
+    DQT/DHT factored into the JPEGTables tag) with an average-resampled
+    overview level — the GDAL web-COG layout.  In-stage asserts: roundtrip
+    PSNR >= 40 dB vs the source (the north rule's bar), a quadrant window
+    read equals the same slice of the full decode (bit-exact: both decode
+    the same lossy file), and the overview chain decodes at half
+    resolution.  SQL recomputes the SOURCE tile stats from the generator
+    formula; the flags carry the lossy invariants into the value hash."""
+    from demeter_ray.functions import codec as codecfns
+    from demeter_ray.functions import tiff as tifffns
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    cols = {"doc_id": "int64", "src_sum": "int64", "src_wsum": "int64",
+            "psnr_ok": "bool", "win_ok": "bool", "ovr_ok": "bool"}
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows: dict[str, list] = {c: [] for c in cols}
+        for d in ids:
+            d = int(d)
+            src = codecfns.generate_pixels(d, 32, 32)  # (32, 32, 3) uint8
+            transform = (0.01, 0.0, -102.2 + (d % 64) * 0.32, 0.0, -0.01, 37.9)
+            buf = tifffns.encode_geotiff(
+                src, transform, "EPSG:4326", tile=(16, 16),
+                compression="jpeg", overviews=[2], resampling="average")
+            full, t, crs, _ = tifffns.decode_geotiff(buf)
+            assert crs == "EPSG:4326" and t == transform
+            err = full.astype(np.int64) - src.astype(np.int64)
+            mse = float(np.mean(np.square(err)))
+            psnr_ok = mse == 0 or 10 * np.log10(255.0**2 / mse) >= 40.0
+            assert psnr_ok, f"JPEG tile PSNR below 40 dB for doc {d}"
+            q = d % 4
+            r0, c0 = (q // 2) * 16, (q % 2) * 16
+            win, tw, _, _ = tifffns.decode_geotiff(
+                buf, window=(r0, r0 + 16, c0, c0 + 16))
+            win_ok = (np.array_equal(win, full[r0:r0 + 16, c0:c0 + 16])
+                      and abs(tw[2] - (t[2] + 0.01 * c0)) < 1e-9)
+            assert win_ok, f"JPEG windowed read diverged for doc {d}"
+            ovr, _, _, _ = tifffns.decode_geotiff(buf, overview=1)
+            ovr_ok = (ovr.shape == (16, 16, 3)
+                      and tifffns.geotiff_overview_count(buf) == 1)
+            assert ovr_ok, f"JPEG overview chain broken for doc {d}"
+            v = src.astype(np.int64)
+            wgt = ((np.arange(32)[:, None, None] + 1)
+                   * (np.arange(32)[None, :, None] + 1)
+                   * (np.arange(3)[None, None, :] + 1))
+            rows["doc_id"].append(d)
+            rows["src_sum"].append(int(v.sum()))
+            rows["src_wsum"].append(int((wgt * v).sum()))
+            rows["psnr_ok"].append(bool(psnr_ok))
+            rows["win_ok"].append(bool(win_ok))
+            rows["ovr_ok"].append(bool(ovr_ok))
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "src_sum": pa.array(rows["src_sum"], pa.int64()),
+            "src_wsum": pa.array(rows["src_wsum"], pa.int64()),
+            "psnr_ok": pa.array(rows["psnr_ok"], pa.bool_()),
+            "win_ok": pa.array(rows["win_ok"], pa.bool_()),
+            "ovr_ok": pa.array(rows["ovr_ok"], pa.bool_()),
+        })
+
+    parts = ds.map_batches(per_doc, batch_format="pyarrow",
+                           batch_size=64).to_pandas()
+    if parts.shape[1] == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("doc_id").reset_index(drop=True)

@@ -366,3 +366,27 @@ def test_420_gray_is_noop_and_bad_mode_rejected():
     assert jpeg.encode_jpeg(gr, subsampling="420") == jpeg.encode_jpeg(gr)
     with pytest.raises(ValueError, match="subsampling"):
         jpeg.encode_jpeg(gr, subsampling="422")
+
+
+class TestSplitTables:
+    def test_split_merge_identity(self):
+        px = codec.generate_pixels(7, 33, 21)
+        full = jpeg.encode_jpeg(px)
+        tables, abbrev = jpeg.split_tables(full)
+        assert tables.startswith(jpeg.SOI) and tables.endswith(jpeg.EOI)
+        assert b"\xff\xdb" in tables and b"\xff\xc4" in tables
+        assert b"\xff\xdb" not in abbrev.rsplit(b"\xff\xda", 1)[0]
+        merged = jpeg.merge_abbreviated(tables, abbrev)
+        np.testing.assert_array_equal(jpeg.decode_jpeg(merged),
+                                      jpeg.decode_jpeg(full))
+
+    def test_merge_validation(self):
+        px = codec.generate_pixels(1, 16, 16)
+        full = jpeg.encode_jpeg(px)
+        tables, abbrev = jpeg.split_tables(full)
+        with pytest.raises(ValueError):
+            jpeg.merge_abbreviated(tables[:-2], abbrev)  # no EOI
+        with pytest.raises(ValueError):
+            jpeg.merge_abbreviated(tables, abbrev[2:])  # no SOI
+        with pytest.raises(ValueError):
+            jpeg.split_tables(b"\x00\x01not a jpeg")
