@@ -375,6 +375,7 @@ def encode_geotiff(
     resampling: str = "nearest",
     bigtiff: bool = False,
     jpeg_quality: float = 1.0,
+    jpeg_subsampling: str = "444",
 ) -> bytes:
     """numpy (h, w) band or (h, w, bands) image + (a, b, c, d, e, f)
     affine + crs + nodata -> GeoTIFF bytes.  Layout: 8-byte header, strip
@@ -500,8 +501,9 @@ def encode_geotiff(
                         t3 = padded[ty * tl : (ty + 1) * tl,
                                     tx * tw : (tx + 1) * tw]
                         if compression == "jpeg":
-                            segments.append(
-                                _jpeg.encode_jpeg(t3, jpeg_quality))
+                            segments.append(_jpeg.encode_jpeg(
+                                t3, jpeg_quality,
+                                subsampling=jpeg_subsampling))
                             continue
                         t = t3.reshape(tl, tw * k)
                         if predictor == 2:
@@ -515,7 +517,8 @@ def encode_geotiff(
                     if compression == "jpeg":
                         segments.append(
                             _jpeg.encode_jpeg(
-                                np.ascontiguousarray(rows), jpeg_quality)
+                                np.ascontiguousarray(rows), jpeg_quality,
+                                subsampling=jpeg_subsampling)
                             if rows.shape[0] else b"")
                         continue
                     rows = np.ascontiguousarray(rows).reshape(rows.shape[0],

@@ -664,3 +664,22 @@ class TestJpegInTiff:
         ba = codec.generate_pixels(1, 16, 16)[:, :, :2]  # 2 bands
         with pytest.raises(ValueError, match="1 or 3 bands"):
             tiff.encode_geotiff(ba, self.tr, "EPSG:4326", compression="jpeg")
+
+    def test_420_subsampling_passthrough(self):
+        # smooth gradient imagery (the 4:2:0 use case — chroma varies
+        # slowly); synthetic noise would not hold 40 dB under 2x2 chroma
+        # averaging, gradients do
+        y, x = np.mgrid[0:48, 0:48]
+        px = np.stack([x * 255 // 47, y * 255 // 47,
+                       (x + y) * 255 // 94], axis=-1).astype(np.uint8)
+        b420 = tiff.encode_geotiff(px, self.tr, "EPSG:4326",
+                                   compression="jpeg", tile=(16, 16),
+                                   jpeg_subsampling="420")
+        b444 = tiff.encode_geotiff(px, self.tr, "EPSG:4326",
+                                   compression="jpeg", tile=(16, 16))
+        assert len(b420) < len(b444)  # half-res chroma -> smaller file
+        out, *_ = tiff.decode_geotiff(b420)
+        assert _psnr(out, px) >= 40.0
+        with pytest.raises(ValueError):
+            tiff.encode_geotiff(px, self.tr, "EPSG:4326",
+                                compression="jpeg", jpeg_subsampling="411")
