@@ -24,7 +24,11 @@ TIFF 6.0 + GeoTIFF 1.1 codec for the subset the engine's rasters occupy:
   the JPEG codec's ~45 dB default, above the north rule's 40 dB bar;
 - Predictor tag (317) value 2 (horizontal differencing) for integer
   dtypes on LZW/DEFLATE strips, applied per row — the layout GDAL emits
-  by default for LZW integer rasters;
+  by default for LZW integer rasters; value 3 (floating-point predictor,
+  TIFF Technical Note 3 / libtiff fpDiff: MSB-first byte-plane split then
+  byte-wise differencing with stride = samples-per-pixel) for float
+  dtypes — the layout GDAL writes for compressed float32 DEM COGs
+  (PREDICTOR=3), vectorized both directions;
 - dtypes uint8/uint16/uint32/int16/int32/float32/float64 via
   BitsPerSample + SampleFormat;
 - north-up affine georeferencing through ModelPixelScaleTag(33550) +
@@ -252,6 +256,43 @@ def _predict2_inverse(rows: np.ndarray, spp: int = 1) -> np.ndarray:
     return np.cumsum(r, axis=1, dtype=rows.dtype).reshape(n, m)
 
 
+def _predict3_forward(rows: np.ndarray, spp: int = 1) -> np.ndarray:
+    """Floating-point predictor (Predictor=3, TIFF Technical Note 3 —
+    the layout GDAL writes for compressed float DEM COGs).  Per scanline:
+    each sample's bytes are split into byte planes ordered MSB-first
+    (plane order is endian-independent on disk, libtiff ``fpDiff``), the
+    planes are concatenated, and the whole reordered row is byte-wise
+    horizontally differenced with stride ``spp`` samples-per-pixel.
+    Input (nrows, w*spp) float rows -> (nrows, w*spp*itemsize) uint8."""
+    n, m = rows.shape
+    isz = rows.dtype.itemsize
+    # big-endian view puts the MSB at byte 0 of every sample
+    be = np.ascontiguousarray(
+        rows.astype(rows.dtype.newbyteorder(">"))).view(np.uint8)
+    planes = np.ascontiguousarray(
+        be.reshape(n, m, isz).transpose(0, 2, 1)).reshape(n, m * isz)
+    d = planes.copy()
+    d[:, spp:] -= planes[:, :-spp]  # uint8 modular differencing
+    return d
+
+
+def _predict3_inverse(rows: np.ndarray, dtype: np.dtype,
+                      spp: int = 1) -> np.ndarray:
+    """Inverse of :func:`_predict3_forward` (libtiff ``fpAcc``): byte-wise
+    accumulate with stride ``spp``, then gather the MSB-first byte planes
+    back into native-endian samples.  Input (nrows, w*spp*itemsize) uint8
+    -> (nrows, w*spp) of ``dtype``."""
+    isz = np.dtype(dtype).itemsize
+    n, tot = rows.shape
+    m = tot // isz
+    acc = np.cumsum(rows.reshape(n, tot // spp, spp), axis=1,
+                    dtype=np.uint8).reshape(n, tot)
+    be = np.ascontiguousarray(
+        acc.reshape(n, isz, m).transpose(0, 2, 1)).reshape(n, m * isz)
+    out = be.view(np.dtype(dtype).newbyteorder(">")).reshape(n, m)
+    return out.astype(np.dtype(dtype).newbyteorder("="))
+
+
 def _compress(raw: bytes, compression: str) -> bytes:
     if compression == "deflate":
         return zlib.compress(raw, 6)
@@ -424,14 +465,17 @@ def encode_geotiff(
         raise ValueError(
             f"unsupported compression {compression!r}; one of {sorted(_COMP_CODE)}"
         )
-    if predictor not in (1, 2):
-        raise ValueError(f"unsupported predictor {predictor} (1 or 2)")
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported predictor {predictor} (1, 2 or 3)")
     if predictor == 2 and fmt_code == 3:
         raise ValueError("Predictor=2 is integer horizontal differencing; "
-                         "float rasters must use predictor=1")
-    if predictor == 2 and compression == "none":
-        raise ValueError("Predictor=2 without compression is non-standard; "
-                         "pair it with lzw/deflate/packbits")
+                         "float rasters use predictor=3 (or 1)")
+    if predictor == 3 and fmt_code != 3:
+        raise ValueError("Predictor=3 is the floating-point predictor; "
+                         "integer rasters use predictor=2 (or 1)")
+    if predictor != 1 and compression == "none":
+        raise ValueError(f"Predictor={predictor} without compression is "
+                         "non-standard; pair it with lzw/deflate/packbits")
     if compression == "jpeg":
         if dtype != "uint8":
             raise ValueError(
@@ -442,7 +486,7 @@ def encode_geotiff(
         if planar == 2 and bands > 1:
             raise ValueError(
                 "JPEG-in-TIFF is chunky-only (PlanarConfiguration 1)")
-        if predictor == 2:
+        if predictor != 1:
             raise ValueError("Predictor does not apply to JPEG compression")
 
     if px.dtype.byteorder == ">":
@@ -508,6 +552,8 @@ def encode_geotiff(
                         t = t3.reshape(tl, tw * k)
                         if predictor == 2:
                             t = _predict2_forward(t, spp=k)
+                        elif predictor == 3:
+                            t = _predict3_forward(t, spp=k)
                         segments.append(_compress(t.tobytes(), compression))
             else:
                 rps_used = max(1, min(int(rows_per_strip), lh)) if lh else 1
@@ -525,6 +571,8 @@ def encode_geotiff(
                                                               lw * k)
                     if predictor == 2 and rows.size:
                         rows = _predict2_forward(rows, spp=k)
+                    elif predictor == 3 and rows.size:
+                        rows = _predict3_forward(rows, spp=k)
                     segments.append(_compress(rows.tobytes(), compression))
         if compression == "jpeg":
             # factor the shared DQT/DHT into the JPEGTables tag (347) —
@@ -576,8 +624,8 @@ def encode_geotiff(
                 (278, _T_LONG, 1, rps_used),
                 (279, _T_LONG, n_segs, seg_counts),
             ]
-        if predictor == 2:
-            entries.append((317, _T_SHORT, 1, 2))
+        if predictor != 1:
+            entries.append((317, _T_SHORT, 1, predictor))
         entries += [
             (33550, _T_DOUBLE, 3, [la, -le, 0.0]),           # ModelPixelScale
             (33922, _T_DOUBLE, 6, [0.0, 0.0, 0.0, c, f, 0.0]),  # ModelTiepoint
@@ -742,7 +790,7 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
     if planar not in (1, 2):
         raise ValueError(f"unsupported PlanarConfiguration {planar}")
     predictor = val(317, [1])[0]
-    if predictor not in (1, 2):
+    if predictor not in (1, 2, 3):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     fmt_l = val(339, [1])
     if len(set(bits_l)) != 1 or len(set(fmt_l)) != 1:
@@ -754,12 +802,15 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
         raise ValueError(f"unsupported (SampleFormat, BitsPerSample) {key}")
     if predictor == 2 and fmt == 3:
         raise ValueError("Predictor=2 on float samples is unsupported")
+    if predictor == 3 and fmt != 3:
+        raise ValueError("Predictor=3 (floating-point) on integer samples "
+                         "is unsupported")
     if comp_name == "jpeg":
         if (fmt, bits) != (1, 8):
             raise ValueError(
                 f"JPEG-in-TIFF needs uint8 samples, file says {(fmt, bits)}")
-        if predictor == 2:
-            raise ValueError("Predictor=2 with JPEG compression is invalid")
+        if predictor != 1:
+            raise ValueError("Predictor with JPEG compression is invalid")
         if planar == 2 and spp > 1:
             raise ValueError("JPEG-in-TIFF planar configuration 2 unsupported")
     dtype = np.dtype(_DTYPE_BY_FMT[key]).newbyteorder(bo)
@@ -806,12 +857,20 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
                     else:
                         raw = _decompress(buf[o : o + n], comp_name,
                                           tile_bytes)
-                    t = np.frombuffer(raw, dtype=dtype).reshape(tl, tw * k)
-                    t = t.astype(native)
-                    if predictor == 2:
-                        # differencing runs per TILE row (width tw) — undo
-                        # on the whole tile before slicing the intersection
-                        t = _predict2_inverse(t, spp=k)
+                    if predictor == 3:
+                        # byte-plane layout: undo on the raw tile bytes,
+                        # per TILE row, before interpreting the samples
+                        t = _predict3_inverse(
+                            np.frombuffer(raw, np.uint8)
+                            .reshape(tl, tw * k * native.itemsize),
+                            native, spp=k)
+                    else:
+                        t = np.frombuffer(raw, dtype=dtype).reshape(tl, tw * k)
+                        t = t.astype(native)
+                        if predictor == 2:
+                            # differencing runs per TILE row (width tw) —
+                            # undo on the whole tile before slicing
+                            t = _predict2_inverse(t, spp=k)
                     t = t.reshape(tl, tw, k)
                     gr0, gr1 = max(r0, ty * tl), min(r1, ty * tl + tl)
                     gc0, gc1 = max(c0, tx * tw), min(c1, tx * tw + tw)
@@ -845,13 +904,24 @@ def decode_geotiff(buf: bytes, window: tuple[int, int, int, int] | None = None,
                     else _decompress(seg, comp_name, nrows * row_bytes))
             data = b"".join(parts)
             nrows_have = (len(data) // row_bytes) if row_bytes else 0
-            block = np.frombuffer(data, dtype=dtype).reshape(nrows_have, w * k)
-            if bo == ">":
-                block = block.astype(native)
-            if predictor == 2 and block.size:
-                # strip differencing is per full-width scanline — undo on
-                # the full-width rows BEFORE the column slice
-                block = _predict2_inverse(np.ascontiguousarray(block), spp=k)
+            if predictor == 3:
+                # byte-plane layout: undo on raw full-width scanline bytes
+                # (endian-independent on disk) before sample interpretation
+                block = _predict3_inverse(
+                    np.frombuffer(data, np.uint8)
+                    .reshape(nrows_have, row_bytes),
+                    native, spp=k) if nrows_have else \
+                    np.zeros((0, w * k), dtype=native)
+            else:
+                block = np.frombuffer(data, dtype=dtype).reshape(
+                    nrows_have, w * k)
+                if bo == ">":
+                    block = block.astype(native)
+                if predictor == 2 and block.size:
+                    # strip differencing is per full-width scanline — undo
+                    # on the full-width rows BEFORE the column slice
+                    block = _predict2_inverse(
+                        np.ascontiguousarray(block), spp=k)
             block = block.reshape(nrows_have, w, k)
             px[:, :, b * k : (b + 1) * k] = \
                 block[r0 - s0 * rps : r1 - s0 * rps, c0:c1]

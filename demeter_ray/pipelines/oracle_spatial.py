@@ -3684,6 +3684,92 @@ def geotiff_window_read(sf_dir: str):
     return parts.sort_values("tile_id").reset_index(drop=True)
 
 
+_DEM_PRED3_SQL = """
+WITH px AS (
+  SELECT event_id // 256 AS tile_id,
+         (event_id % 256) // 16 AS r,
+         (event_id % 256) % 16 AS c,
+         CAST((event_id * 7) % 1000 AS DOUBLE) * 0.25e0 AS v
+  FROM events
+)
+SELECT tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       SUM(v) AS sum_elev,
+       MIN(v) AS min_elev,
+       MAX(v) AS max_elev
+FROM px
+WHERE r < 8 AND c >= 8
+GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+@register("dem_predictor3_roundtrip", _DEM_PRED3_SQL)
+def dem_predictor3_roundtrip(sf_dir: str):
+    """float32 DEM tiles through the codec's FLOATING-POINT predictor path
+    (functions/tiff.py Predictor=3, TIFF Technical Note 3: MSB-first
+    byte-plane split + byte differencing — the deflate+PREDICTOR=3 layout
+    GDAL writes for compressed float elevation COGs; reference ingests DEM
+    .tif via rasterio, raster/usgs/topography.py).  Events rasterize onto
+    16x16 float32 tiles (tile_id = event_id // 256, pixel = event_id % 256,
+    elevation = (event_id*7 % 1000) * 0.25 — an exact float32 quarter-step
+    grid, absent = nodata -9999), each tile encodes deflate+predictor 3,
+    and only the NE 8x8 quadrant window is decoded for the stats; the
+    stage also asserts the full decode is bit-identical to the source grid
+    (lossless predictor) and the window equals the full-decode slice.  SQL
+    recomputes the quadrant stats from the value expression — exact
+    because quarter-multiples this small are exact in float32 AND float64,
+    so SUM is order-independent."""
+    from demeter_ray.functions import tiff as _tiff
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def with_tile(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(k, pa.int64()),
+            "tile_id": pa.array(k // 256, pa.int64()),
+        })
+
+    cols = {"tile_id": np.int64, "n_valid": np.int64, "sum_elev": np.float64,
+            "min_elev": np.float64, "max_elev": np.float64}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+    def tile_stats(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["event_id"].to_numpy(np.int64)
+        tid = int(k[0] // 256)
+        pos = k % 256
+        grid = np.full((16, 16), -9999.0, dtype=np.float32)
+        grid[pos // 16, pos % 16] = (((k * 7) % 1000) * 0.25).astype(
+            np.float32)
+        transform = (0.01, 0.0, -102.2 + tid * 0.16, 0.0, -0.01, 37.9)
+        buf = _tiff.encode_geotiff(grid, transform, "EPSG:4326",
+                                   nodata=-9999.0, rows_per_strip=4,
+                                   compression="deflate", predictor=3)
+        fullpx, t, crs, nd = _tiff.decode_geotiff(buf)
+        # the lossless-predictor invariants ARE the operator: fail loud
+        assert fullpx.dtype == np.float32 and np.array_equal(fullpx, grid)
+        assert crs == "EPSG:4326" and nd == -9999.0 and t == transform
+        win = _tiff.decode_geotiff(buf, window=(0, 8, 8, 16))[0]
+        assert np.array_equal(win, fullpx[0:8, 8:16])
+        valid = win[win != np.float32(-9999.0)].astype(np.float64)
+        if len(valid) == 0:
+            return empty  # quadrant empty -> no SQL group either
+        return pd.DataFrame({
+            "tile_id": [tid], "n_valid": [len(valid)],
+            "sum_elev": [valid.sum()], "min_elev": [valid.min()],
+            "max_elev": [valid.max()],
+        })
+
+    parts = (ds.map_batches(with_tile, batch_format="pyarrow")
+             .groupby("tile_id").map_groups(tile_stats, batch_format="pandas")
+             .to_pandas())
+    if parts.shape[1] == 0:
+        return empty
+    for c, t in cols.items():
+        parts[c] = parts[c].astype(t)
+    return parts.sort_values("tile_id").reset_index(drop=True)
+
+
 _GEOTIFF_RGB_SQL = """
 WITH px AS (
   SELECT event_id // 256 AS tile_id,

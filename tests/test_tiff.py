@@ -683,3 +683,76 @@ class TestJpegInTiff:
         with pytest.raises(ValueError):
             tiff.encode_geotiff(px, self.tr, "EPSG:4326",
                                 compression="jpeg", jpeg_subsampling="411")
+
+
+# ---------------------------------------------------------------- predictor 3
+
+def _dem32(h=37, w=53):
+    # smooth DEM-like surface: the predictor-3 use case (float rasters whose
+    # neighboring samples share exponent/high-mantissa bytes)
+    y, x = np.mgrid[0:h, 0:w]
+    return (1200.0 + 40 * np.sin(x / 9.0) + 25 * np.cos(y / 7.0)
+            + ((x * 7 + y * 13) % 11) * 0.03).astype(np.float32)
+
+
+def test_predictor3_bytestream_pinned():
+    # TIFF Technical Note 3 / libtiff fpDiff: MSB-first byte planes, then
+    # byte-wise horizontal differencing with stride = samples-per-pixel.
+    # 1.0f = 3F 80 00 00, 2.0f = 40 00 00 00 (big-endian); planes
+    # [3F,40 | 80,00 | 00,00 | 00,00]; differenced -> 3F 01 40 80 00 00 00 00
+    row = np.array([[1.0, 2.0]], dtype=np.float32)
+    d = tiff._predict3_forward(row, spp=1)
+    assert bytes(d[0]) == bytes([0x3F, 0x01, 0x40, 0x80, 0, 0, 0, 0])
+    back = tiff._predict3_inverse(d, np.dtype(np.float32), spp=1)
+    assert np.array_equal(back, row)
+
+
+@pytest.mark.parametrize("comp", ["deflate", "lzw", "packbits"])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_predictor3_strip_roundtrip(comp, dtype):
+    dem = _dem32().astype(dtype)
+    tr = (0.01, 0.0, -102.2, 0.0, -0.01, 37.9)
+    buf = tiff.encode_geotiff(dem, tr, "EPSG:4326", nodata=-9999.0,
+                              rows_per_strip=8, compression=comp, predictor=3)
+    px, t, crs, nd = tiff.decode_geotiff(buf)
+    assert px.dtype == np.dtype(dtype)
+    assert np.array_equal(px, dem)
+    assert (t, crs, nd) == (tr, "EPSG:4326", -9999.0)
+    # windowed read goes through the same per-scanline inverse
+    win = tiff.decode_geotiff(buf, window=(5, 20, 7, 40))[0]
+    assert np.array_equal(win, dem[5:20, 7:40])
+
+
+def test_predictor3_beats_plain_deflate_on_dem():
+    dem = _dem32()
+    tr = (0.01, 0.0, -102.2, 0.0, -0.01, 37.9)
+    b1 = len(tiff.encode_geotiff(dem, tr, compression="deflate", predictor=1))
+    b3 = len(tiff.encode_geotiff(dem, tr, compression="deflate", predictor=3))
+    assert b3 < b1  # byte-plane split exposes the shared exponent bytes
+
+
+def test_predictor3_tiled_and_multiband():
+    dem = _dem32(48, 48)
+    tr = (0.01, 0.0, -102.2, 0.0, -0.01, 37.9)
+    buf = tiff.encode_geotiff(dem, tr, compression="deflate", predictor=3,
+                              tile=(16, 16))
+    assert np.array_equal(tiff.decode_geotiff(buf)[0], dem)
+    win = tiff.decode_geotiff(buf, window=(3, 30, 10, 47))[0]
+    assert np.array_equal(win, dem[3:30, 10:47])
+    rgbf = np.stack([dem, dem * 0.5, dem + 3.0], axis=2)
+    for planar in (1, 2):
+        b = tiff.encode_geotiff(rgbf, tr, compression="lzw", predictor=3,
+                                rows_per_strip=8, planar=planar)
+        assert np.array_equal(tiff.decode_geotiff(b)[0], rgbf)
+
+
+def test_predictor3_validation():
+    dem = _dem32(16, 16)
+    tr = (0.01, 0.0, -102.2, 0.0, -0.01, 37.9)
+    with pytest.raises(ValueError, match="floating-point"):
+        tiff.encode_geotiff(dem.astype(np.int32), tr,
+                            compression="deflate", predictor=3)
+    with pytest.raises(ValueError, match="predictor=3"):
+        tiff.encode_geotiff(dem, tr, compression="deflate", predictor=2)
+    with pytest.raises(ValueError, match="without compression"):
+        tiff.encode_geotiff(dem, tr, predictor=3)
