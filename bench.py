@@ -199,6 +199,9 @@ def run_benchmarks() -> dict:
         "avi_frame_sample",
         "avi_audio_demux",
         "jpeg_cog_tiles",
+        "dem_predictor3_roundtrip",
+        "shapefile_pip_count",
+        "geojson_parse_bounds",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

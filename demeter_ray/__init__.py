@@ -53,7 +53,8 @@ def ship_code_to_workers() -> None:
         "demeter_ray.functions.geo", "demeter_ray.functions.gif",
         "demeter_ray.functions.hashing",
         "demeter_ray.functions.jpeg", "demeter_ray.functions.png",
-        "demeter_ray.functions.scenes", "demeter_ray.functions.terrain",
+        "demeter_ray.functions.scenes", "demeter_ray.functions.shp",
+        "demeter_ray.functions.terrain",
         "demeter_ray.functions.text", "demeter_ray.functions.tiff",
         "demeter_ray.functions.warp", "demeter_ray.functions.wav",
         "demeter_ray.sources.fixtures",

@@ -4125,3 +4125,230 @@ def jpeg_cog_tiles(sf_dir: str):
     for c, t in cols.items():
         parts[c] = parts[c].astype(t)
     return parts.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------- vector ingest: real shapefile / GeoJSON bytes in the loop
+
+def _shpfile_sql() -> str:
+    rows = []
+    for pid, verts in ORACLE_POLYGONS.items():
+        conds = []
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            conds.append(
+                f"(({x2}) - ({x1})) * (p.lat - ({y1})) - (({y2}) - ({y1})) * (p.lon - ({x1})) >= 0.0"
+            )
+        rows.append(f"SELECT {pid} AS id WHERE " + " AND ".join(conds))
+    poly_union = " UNION ALL ".join(rows)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat
+  FROM events
+), joined AS (
+  SELECT (SELECT MIN(id) FROM ({poly_union})) AS fid
+  FROM pts p
+)
+SELECT fid AS mukey,
+       'field_' || CAST(fid AS VARCHAR) AS fname,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM joined WHERE fid IS NOT NULL
+GROUP BY fid ORDER BY fid
+"""
+
+
+@register("shapefile_pip_count", _shpfile_sql())
+def shapefile_pip_count(sf_dir: str):
+    """Spatial join whose field polygons and attributes travel through REAL
+    shapefile bytes (functions/shp.py: .shp polygon records with the spec's
+    CW-outer winding, .dbf dBase III attributes — the format family the
+    reference ingests via geopandas.read_file,
+    /root/reference/demeter/api.py:41-50, raster/polaris.py:180).  The
+    SSURGO-style field table encodes to .shp/.shx/.dbf, decodes back, the
+    stage asserts the geometry WKB and both attribute columns are
+    BIT-IDENTICAL through the file format, and the decoded table feeds the
+    PIP actor pool over the events stream; per-field INNER counts carry the
+    dbf-decoded fname attribute.  SQL recomputes containment as half-plane
+    tests and the counts by the same min-id tie rule."""
+    from demeter_ray.functions import shp as _shp
+    from demeter_ray.stages import pip as pip_stage
+
+    wkbs = [geo.wkb_from_rings([np.array(v, np.float64)])
+            for v in ORACLE_POLYGONS.values()]
+    src = pa.table({
+        "mukey": pa.array(list(ORACLE_POLYGONS), pa.int64()),
+        "fname": pa.array([f"field_{i}" for i in ORACLE_POLYGONS],
+                          pa.string()),
+        "geom_wkb": pa.array(wkbs, pa.binary()),
+    })
+    files = _shp.encode_shapefile(src)
+    fields_tbl = _shp.decode_shapefile(files["shp"], files["dbf"])
+    # the format-roundtrip invariants ARE the operator: fail loud on drift
+    assert fields_tbl["geom_wkb"].to_pylist() == wkbs
+    assert fields_tbl["mukey"].to_pylist() == src["mukey"].to_pylist()
+    assert fields_tbl["fname"].to_pylist() == src["fname"].to_pylist()
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "lon": pa.array(derive_lon(k), pa.float64()),
+            "lat": pa.array(derive_lat(k), pa.float64()),
+        })
+
+    pip_tbl = pa.table({"map_unit_key": fields_tbl["mukey"],
+                        "geom_wkb": fields_tbl["geom_wkb"]})
+    joined = pip_stage.pip_join(
+        ds.map_batches(to_points, batch_format="pyarrow"),
+        pip_tbl, mode="min", res=12, concurrency=(1, 4))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.dropna(subset=["map_unit_key"])  # INNER: unmatched drop
+        if len(d) == 0:
+            return pd.DataFrame({"mukey": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64)})
+        g = d.groupby("map_unit_key", as_index=False).size()
+        return pd.DataFrame({"mukey": g["map_unit_key"].astype(np.int64),
+                             "n_events": g["size"].astype(np.int64)})
+
+    parts = partial_combine(joined, partial)
+    names = dict(zip(fields_tbl["mukey"].to_pylist(),
+                     fields_tbl["fname"].to_pylist()))
+    if len(parts) == 0:
+        return pd.DataFrame({"mukey": pd.Series(dtype=np.int64),
+                             "fname": pd.Series(dtype=str),
+                             "n_events": pd.Series(dtype=np.int64)})
+    agg = parts.groupby("mukey", as_index=False)["n_events"].sum()
+    out = pd.DataFrame({
+        "mukey": agg["mukey"].astype(np.int64),
+        "fname": agg["mukey"].map(names),  # dbf-decoded attribute flow
+        "n_events": agg["n_events"].astype(np.int64),
+    })
+    return out.sort_values("mukey").reset_index(drop=True)
+
+
+_GEOJSON_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat,
+         (((event_id * 13) % 7) + 1) * 0.001e0 AS r
+  FROM events
+)
+SELECT event_id % 97 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       MIN(lon - r) AS min_minx,
+       MAX(lon + r) AS max_maxx,
+       MIN(lat - r) AS min_miny,
+       MAX(lat + r) AS max_maxy
+FROM pts GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("geojson_parse_bounds", _GEOJSON_SQL)
+def geojson_parse_bounds(sf_dir: str):
+    """Distributed GeoJSON ingest (functions/shp.py geojson codec — the
+    reference's canonical boundary input, geopandas.read_file on
+    *.geojson: /root/reference/demeter/raster/usgs/topography.py:65,
+    hydrography.py:170).  Every event becomes a quad field polygon
+    (formula-seeded center/half-width), SERIALIZED to GeoJSON Feature text
+    in one stage and PARSED BACK from a per-batch FeatureCollection in the
+    next — so actual RFC 7946 text is the inter-stage currency, exactly as
+    a boundary-file ingest would stream; repr float serialization makes
+    the roundtrip bit-exact, and the stage asserts the parsed WKB equals
+    the directly-built WKB per feature.  Parsed bounds aggregate per
+    bucket with MIN/MAX (order-independent, so float-exact vs SQL)."""
+    import json as _json
+
+    from demeter_ray.functions import shp as _shp
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def to_geojson(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = derive_lon(k), derive_lat(k)
+        r = (((k * 13) % 7) + 1) * 0.001
+        texts = []
+        for i in range(len(k)):
+            x0, x1 = float(lon[i] - r[i]), float(lon[i] + r[i])
+            y0, y1 = float(lat[i] - r[i]), float(lat[i] + r[i])
+            ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+            texts.append(_json.dumps({
+                "type": "Feature",
+                "properties": {"event_id": int(k[i])},
+                "geometry": {"type": "Polygon", "coordinates": [ring]},
+            }))
+        return pa.table({"gj": pa.array(texts, pa.string())})
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        feats = batch["gj"].to_pylist()
+        if not feats:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "minx": pa.array([], pa.float64()),
+                "maxx": pa.array([], pa.float64()),
+                "miny": pa.array([], pa.float64()),
+                "maxy": pa.array([], pa.float64()),
+            })
+        doc = '{"type": "FeatureCollection", "features": [' \
+              + ",".join(feats) + "]}"
+        t = _shp.geojson_to_table(doc)
+        ks = t["event_id"].to_numpy().astype(np.int64)
+        wkbs = t["geom_wkb"].to_pylist()
+        # parse invariant: the text roundtrip reproduced the geometry bytes
+        lon, lat = derive_lon(ks), derive_lat(ks)
+        r = (((ks * 13) % 7) + 1) * 0.001
+        bounds = np.empty((len(ks), 4), np.float64)
+        for i, wkb in enumerate(wkbs):
+            polys = geo.parse_wkb(wkb)
+            ring = np.array(
+                [[lon[i] - r[i], lat[i] - r[i]], [lon[i] + r[i], lat[i] - r[i]],
+                 [lon[i] + r[i], lat[i] + r[i]], [lon[i] - r[i], lat[i] + r[i]]])
+            assert wkb == geo.wkb_from_rings([ring]), "GeoJSON roundtrip drift"
+            bounds[i] = geo.polygon_bounds(polys)
+        return pa.table({
+            "event_id": pa.array(ks, pa.int64()),
+            "minx": pa.array(bounds[:, 0], pa.float64()),
+            "maxx": pa.array(bounds[:, 2], pa.float64()),
+            "miny": pa.array(bounds[:, 1], pa.float64()),
+            "maxy": pa.array(bounds[:, 3], pa.float64()),
+        })
+
+    parsed = (ds.map_batches(to_geojson, batch_format="pyarrow")
+              .map_batches(parse_batch, batch_format="pyarrow"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "bucket": pd.Series(dtype=np.int64),
+                "n_features": pd.Series(dtype=np.int64),
+                "min_minx": pd.Series(dtype=np.float64),
+                "max_maxx": pd.Series(dtype=np.float64),
+                "min_miny": pd.Series(dtype=np.float64),
+                "max_maxy": pd.Series(dtype=np.float64),
+            })
+        b = b.assign(bucket=b["event_id"] % 97)
+        g = b.groupby("bucket").agg(
+            n_features=("event_id", "size"), min_minx=("minx", "min"),
+            max_maxx=("maxx", "max"), min_miny=("miny", "min"),
+            max_maxy=("maxy", "max")).reset_index()
+        return g
+
+    parts = partial_combine(parsed, partial)
+    cols = {"bucket": np.int64, "n_features": np.int64,
+            "min_minx": np.float64, "max_maxx": np.float64,
+            "min_miny": np.float64, "max_maxy": np.float64}
+    if len(parts) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    agg = parts.groupby("bucket").agg(
+        n_features=("n_features", "sum"), min_minx=("min_minx", "min"),
+        max_maxx=("max_maxx", "max"), min_miny=("min_miny", "min"),
+        max_maxy=("max_maxy", "max")).reset_index()
+    for c, t in cols.items():
+        agg[c] = agg[c].astype(t)
+    return agg.sort_values("bucket").reset_index(drop=True)
