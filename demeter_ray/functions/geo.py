@@ -996,6 +996,81 @@ def make_polar_stereo(lat_ts: float, lon0: float, fe: float = 0.0,
     return forward, inverse
 
 
+def make_tm(lat0: float, lon0: float, k0: float = 0.9996,
+            fe: float = 500_000.0, fn: float = 0.0,
+            a: float = _WGS84_A, flat: float = _WGS84_F):
+    """(forward, inverse) closures for a GENERAL Transverse Mercator —
+    arbitrary latitude/longitude of origin, scale factor, false
+    easting/northing and ellipsoid (UTM is the k0=0.9996 / zone-meridian
+    special case already in the dispatch table).  Covers the state-plane
+    TM zones and national grids (EPSG:27700 registered below).  Same
+    Krüger series as utm_forward/utm_inverse, generalized: the series
+    constants come from the given ellipsoid and the northing subtracts
+    the series' meridian value at ``lat0`` so the origin maps to
+    (fe, fn).  Reference parity target: the arbitrary-pyproj-CRS surface
+    (/root/reference/demeter/raster/utils/reprojection.py:15-112)."""
+    n = flat / (2 - flat)
+    A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    alpha = (
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16,
+        13 * n**2 / 48 - 3 * n**3 / 5,
+        61 * n**3 / 240,
+    )
+    beta = (
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96,
+        n**2 / 48 + n**3 / 15,
+        17 * n**3 / 480,
+    )
+    e = math.sqrt(flat * (2 - flat))
+    lam0 = math.radians(lon0)
+    s2n = 2 * math.sqrt(n) / (1 + n)
+
+    def _merid(phi0: float) -> float:
+        # series northing at the central meridian (eta = 0, cosh = 1)
+        t = math.sinh(math.atanh(math.sin(phi0))
+                      - s2n * math.atanh(s2n * math.sin(phi0)))
+        xi = math.atan2(t, 1.0)
+        return xi + sum(aj * math.sin(2 * j * xi)
+                        for j, aj in enumerate(alpha, start=1))
+
+    x0 = _merid(math.radians(lat0)) if lat0 != 0.0 else 0.0
+
+    def forward(lons, lats):
+        lam = np.radians(np.asarray(lons, dtype=np.float64))
+        phi = np.radians(np.asarray(lats, dtype=np.float64))
+        t = np.sinh(np.arctanh(np.sin(phi))
+                    - s2n * np.arctanh(s2n * np.sin(phi)))
+        xi = np.arctan2(t, np.cos(lam - lam0))
+        eta = np.arctanh(np.sin(lam - lam0) / np.sqrt(1 + t * t))
+        x_, e_ = xi.copy(), eta.copy()
+        for j, aj in enumerate(alpha, start=1):
+            x_ = x_ + aj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            e_ = e_ + aj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        return fe + k0 * A * e_, fn + k0 * A * (x_ - x0)
+
+    def inverse(xs, ys):
+        xi = (np.asarray(ys, dtype=np.float64) - fn) / (k0 * A) + x0
+        eta = (np.asarray(xs, dtype=np.float64) - fe) / (k0 * A)
+        x_, e_ = xi.copy(), eta.copy()
+        for j, bj in enumerate(beta, start=1):
+            x_ = x_ - bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            e_ = e_ - bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.sin(x_) / np.cosh(e_))
+        clip = lambda v: np.clip(v, -0.999999999, 0.999999999)
+        target = np.arctanh(clip(np.sin(chi)))
+        lat = chi.copy()
+        for _ in range(8):
+            g = (np.arctanh(clip(np.sin(lat)))
+                 - e * np.arctanh(clip(e * np.sin(lat))) - target)
+            dg = 1 / np.cos(lat) - e * e * np.cos(lat) / (
+                1 - (e * np.sin(lat)) ** 2)
+            lat = lat - g / dg
+        lon = lam0 + np.arctan2(np.sinh(e_), np.cos(x_))
+        return np.degrees(lon), np.degrees(lat)
+
+    return forward, inverse
+
+
 # named LCC systems, registered through the public hook itself
 register_crs("EPSG:2154", *make_lcc(44.0, 49.0, 46.5, 3.0,       # Lambert-93
                                     700_000.0, 6_600_000.0))
@@ -1008,6 +1083,12 @@ register_crs("EPSG:3035", *make_laea(52.0, 10.0,                 # ETRS89 LAEA
                                      4_321_000.0, 3_210_000.0))
 register_crs("ESRI:102008", *make_laea(45.0, -100.0))            # NA LAEA
 register_crs("EPSG:3413", *make_polar_stereo(70.0, -45.0))       # NSIDC north
+# general Transverse Mercator on a non-WGS84 ellipsoid, same hook
+register_crs("EPSG:27700", *make_tm(49.0, -2.0,                  # OSGB36 /
+                                    0.9996012717,                # British
+                                    400_000.0, -100_000.0,       # Nat. Grid
+                                    a=6_377_563.396,             # Airy 1830
+                                    flat=1 / 299.3249646))
 register_crs("EPSG:3976", *make_polar_stereo(-71.0, 0.0))        # NSIDC south
 
 
@@ -1034,9 +1115,10 @@ def crs_forward(crs: str, lons, lats):
         "registered systems EPSG:2154 / EPSG:3347 / ESRI:102004 (Lambert "
         "Conformal Conic via make_lcc), EPSG:3035 / ESRI:102008 (Lambert "
         "Azimuthal Equal-Area via make_laea), EPSG:3413 / EPSG:3976 (Polar "
-        "Stereographic via make_polar_stereo) — add any other system with "
-        "geo.register_crs(code, forward, inverse) (make_lcc/make_laea/"
-        "make_polar_stereo build the closures for any parameter set); the "
+        "Stereographic via make_polar_stereo), EPSG:27700 (general "
+        "Transverse Mercator via make_tm, any ellipsoid) — add any other "
+        "system with geo.register_crs(code, forward, inverse) (make_lcc/"
+        "make_laea/make_polar_stereo/make_tm build the closures); the "
         "reference accepts any pyproj CRS (reprojection.py:15-112), but "
         "this sandbox has no pyproj"
     )

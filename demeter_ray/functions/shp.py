@@ -442,6 +442,46 @@ def decode_shapefile(shp: bytes, dbf: bytes | None = None,
     return attrs.append_column(geom_col, geom)
 
 
+def encode_shapefile_zip(table: pa.Table, name: str = "layer",
+                         geom_col: str = "geom_wkb") -> bytes:
+    """Table -> zipped shapefile (<name>.shp/.shx/.dbf members) — the
+    archive form SSURGO/census distributions ship in.  Deterministic
+    bytes (fixed zip timestamps), so sinks stay resumable-idempotent."""
+    import io
+    import zipfile
+
+    files = encode_shapefile(table, geom_col)
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for ext in ("shp", "shx", "dbf"):
+            info = zipfile.ZipInfo(f"{name}.{ext}", date_time=(1980, 1, 1,
+                                                               0, 0, 0))
+            zf.writestr(info, files[ext])
+    return out.getvalue()
+
+
+def decode_shapefile_zip(buf: bytes, layer: str | None = None,
+                         geom_col: str = "geom_wkb") -> pa.Table:
+    """Zipped shapefile -> table.  ``layer`` picks the basename when the
+    archive carries several layers; exactly one match is required."""
+    import io
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(buf))
+    shps = [n for n in zf.namelist() if n.lower().endswith(".shp")]
+    if layer is not None:
+        shps = [n for n in shps
+                if n.rsplit("/", 1)[-1][:-4] == layer]
+    if len(shps) != 1:
+        raise ValueError(
+            f"need exactly one .shp member (layer={layer!r}), found {shps}")
+    base = shps[0][:-4]
+    dbf = next((n for n in zf.namelist()
+                if n[:-4] == base and n.lower().endswith(".dbf")), None)
+    return decode_shapefile(zf.read(shps[0]),
+                            zf.read(dbf) if dbf else None, geom_col)
+
+
 # ------------------------------------------------------------------- GeoJSON
 
 def _geom_to_wkb(g: dict) -> bytes:

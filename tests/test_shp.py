@@ -192,3 +192,16 @@ def test_foreign_winding_normalizes():
     assert out == geo.wkb_from_rings([cw_ring[::-1]])  # canonical CCW
     ring = geo.parse_wkb(out)[0][0]
     assert shp._signed_area(ring) > 0
+
+
+def test_zipped_shapefile_roundtrip_and_determinism():
+    tbl = _fields_table()
+    z1 = shp.encode_shapefile_zip(tbl, name="fields")
+    z2 = shp.encode_shapefile_zip(tbl, name="fields")
+    assert z1 == z2  # fixed timestamps: byte-deterministic archives
+    back = shp.decode_shapefile_zip(z1)
+    for c in tbl.column_names:
+        assert back[c].to_pylist() == tbl[c].to_pylist(), c
+    assert shp.decode_shapefile_zip(z1, layer="fields").num_rows == 3
+    with pytest.raises(ValueError, match="exactly one"):
+        shp.decode_shapefile_zip(z1, layer="nope")

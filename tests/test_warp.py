@@ -410,3 +410,71 @@ def test_reproject_through_laea_preserves_mean():
     once, t1 = warp.reproject_raster(m, transform, "EPSG:4326", "EPSG:3035", "average")
     back, _ = warp.reproject_raster(once, t1, "EPSG:3035", "EPSG:4326", "average")
     assert round(float(back.mean())) == round(float(m.mean()))
+
+
+def test_tm_osgb_worked_example_and_roundtrip():
+    """make_tm on the Airy 1830 ellipsoid (EPSG:27700, British National
+    Grid): the Ordnance Survey worked example (OSGB36 52°39'27.2531"N,
+    1°43'4.5177"E -> E 651409.903, N 313177.270, "A guide to coordinate
+    systems in Great Britain" annex C) reproduces to < 2 mm, the true
+    origin (49N, 2W) maps exactly to (FE 400000, FN -100000), and
+    forward∘inverse is identity over the GB grid."""
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    E, N = geo.crs_forward("EPSG:27700", np.array([lon]), np.array([lat]))
+    assert abs(E[0] - 651409.903) < 2e-3
+    assert abs(N[0] - 313177.270) < 2e-3
+    E0, N0 = geo.crs_forward("EPSG:27700", np.array([-2.0]), np.array([49.0]))
+    assert abs(E0[0] - 400_000.0) < 1e-6 and abs(N0[0] + 100_000.0) < 1e-6
+    LO, LA = np.meshgrid(np.linspace(-7.0, 1.9, 25),
+                         np.linspace(50.0, 60.5, 25))
+    x, y = geo.crs_forward("EPSG:27700", LO.ravel(), LA.ravel())
+    lo2, la2 = geo.crs_inverse("EPSG:27700", x, y)
+    np.testing.assert_allclose(lo2, LO.ravel(), atol=1e-9)
+    np.testing.assert_allclose(la2, LA.ravel(), atol=1e-9)
+
+
+def test_tm_matches_utm_special_case():
+    """make_tm with UTM's parameters (k0=0.9996, FE=500km, zone meridian,
+    WGS84, lat0=0) must agree with the dispatch-table utm_forward to
+    sub-micrometer — the general TM is a strict superset."""
+    fwd, inv = geo.make_tm(0.0, -105.0)  # zone 13N central meridian
+    LO, LA = np.meshgrid(np.linspace(-107.9, -102.1, 15),
+                         np.linspace(25.0, 49.0, 15))
+    e1, n1 = fwd(LO.ravel(), LA.ravel())
+    e2, n2 = geo.utm_forward(LO.ravel(), LA.ravel(), zone=13)
+    np.testing.assert_allclose(e1, e2, atol=1e-6)
+    np.testing.assert_allclose(n1, n2, atol=1e-6)
+
+
+def test_tm_conformality_scale_on_central_meridian():
+    """On the central meridian the TM scale factor equals k0 exactly
+    (definitional for the projection — a wrong meridian-offset or series
+    breaks it)."""
+    fwd, _ = geo.make_tm(49.0, -2.0, 0.9996012717, 400_000.0, -100_000.0,
+                         a=6_377_563.396, flat=1 / 299.3249646)
+    flat = 1 / 299.3249646
+    e2 = flat * (2 - flat)
+    for latp in (50.0, 54.0, 58.0):
+        dlon = 1e-6
+        x1, y1 = fwd(np.array([-2.0]), np.array([latp]))
+        x2, y2 = fwd(np.array([-2.0 + dlon]), np.array([latp]))
+        p = np.radians(latp)
+        m = np.cos(p) / np.sqrt(1 - e2 * np.sin(p) ** 2)
+        k = float(np.hypot(x2 - x1, y2 - y1)[0]
+                  / (6_377_563.396 * m * np.radians(dlon)))
+        assert abs(k - 0.9996012717) < 1e-7, (latp, k)
+
+
+def test_reproject_through_tm_preserves_mean():
+    """4326 -> British National Grid -> 4326 with average keeps the mean:
+    the registered TM drives the full warp path like any built-in CRS."""
+    transform = (0.001, 0.0, -1.5, 0.0, -0.001, 53.4)  # Midlands tile
+    px = _smooth_tile(60, 80, transform,
+                      lambda x, y: 100 + 10 * np.sin(9 * x) * np.cos(11 * y))
+    m = np.ma.masked_array(px)
+    once, t1 = warp.reproject_raster(m, transform, "EPSG:4326",
+                                     "EPSG:27700", "average")
+    back, _ = warp.reproject_raster(once, t1, "EPSG:27700",
+                                    "EPSG:4326", "average")
+    assert round(float(back.mean())) == round(float(m.mean()))
