@@ -90,3 +90,27 @@ def read_tiles_window(path: str, bounds, dataset: str | None = None,
     if dataset is not None:
         expr = expr & (f("dataset") == dataset)
     return ray.data.read_parquet(path, columns=columns, filter=expr)
+
+
+def read_geojsonl(path: str, geom_col: str = "geom_wkb") -> ray.data.Dataset:
+    """Newline-delimited GeoJSON (one Feature per line — the streamable
+    layout GDAL calls GeoJSONSeq) -> Dataset of properties + WKB geometry.
+    The text read parallelizes per file/block and each batch parses as ONE
+    FeatureCollection through functions/shp.py, so ingest is distributed
+    and the per-batch parse is one json.loads, not one per row.  This is
+    the cluster-shaped version of the reference's geopandas.read_file
+    boundary ingest (/root/reference/demeter/api.py:41-50)."""
+    import pyarrow as pa
+
+    from demeter_ray.functions import shp
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = [t for t in batch["text"].to_pylist() if t.strip()]
+        if not lines:
+            return pa.table({geom_col: pa.array([], pa.binary())})
+        doc = ('{"type": "FeatureCollection", "features": ['
+               + ",".join(lines) + "]}")
+        return shp.geojson_to_table(doc, geom_col=geom_col)
+
+    return ray.data.read_text(path).map_batches(
+        parse, batch_format="pyarrow")

@@ -205,3 +205,16 @@ def test_zipped_shapefile_roundtrip_and_determinism():
     assert shp.decode_shapefile_zip(z1, layer="fields").num_rows == 3
     with pytest.raises(ValueError, match="exactly one"):
         shp.decode_shapefile_zip(z1, layer="nope")
+
+
+def test_read_geojsonl_source(ray_session, tmp_path):
+    from demeter_ray.sources.tables import read_geojsonl
+    tbl = _fields_table()
+    fc = json.loads(shp.table_to_geojson(tbl))
+    p = tmp_path / "fields.geojsonl"
+    p.write_text("\n".join(json.dumps(f) for f in fc["features"]) + "\n")
+    out = read_geojsonl(str(p)).to_pandas()
+    assert len(out) == 3
+    got = out.sort_values("mukey").reset_index(drop=True)
+    assert got["mukey"].tolist() == tbl["mukey"].to_pylist()
+    assert got["geom_wkb"].tolist() == tbl["geom_wkb"].to_pylist()
