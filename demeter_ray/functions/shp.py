@@ -548,9 +548,7 @@ def geojson_to_table(text: str | bytes,
     return pa.table(out)
 
 
-def table_to_geojson(table: pa.Table, geom_col: str = "geom_wkb") -> str:
-    """Properties + WKB table -> GeoJSON FeatureCollection text.  Floats
-    serialize via repr so a re-ingest is bit-exact."""
+def _features_of(table: pa.Table, geom_col: str) -> list[dict]:
     attrs = [n for n in table.column_names if n != geom_col]
     feats = []
     for r in range(table.num_rows):
@@ -560,4 +558,19 @@ def table_to_geojson(table: pa.Table, geom_col: str = "geom_wkb") -> str:
             "properties": {n: table[n][r].as_py() for n in attrs},
             "geometry": None if wkb is None else _wkb_to_geom(wkb),
         })
-    return json.dumps({"type": "FeatureCollection", "features": feats})
+    return feats
+
+
+def table_to_geojson(table: pa.Table, geom_col: str = "geom_wkb") -> str:
+    """Properties + WKB table -> GeoJSON FeatureCollection text.  Floats
+    serialize via repr so a re-ingest is bit-exact."""
+    return json.dumps({"type": "FeatureCollection",
+                       "features": _features_of(table, geom_col)})
+
+
+def table_to_geojsonl(table: pa.Table, geom_col: str = "geom_wkb") -> str:
+    """Properties + WKB table -> newline-delimited GeoJSON (one Feature per
+    line, GDAL's GeoJSONSeq) — the streamable sink form; re-ingests through
+    sources.read_geojsonl bit-exact."""
+    lines = [json.dumps(f) for f in _features_of(table, geom_col)]
+    return "\n".join(lines) + ("\n" if lines else "")

@@ -88,7 +88,8 @@ def completed_keys(out_dir: str, verify_checksum: bool = False) -> set:
 
 
 def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None,
-                    profile: dict | None = None, tif_from=None) -> dict:
+                    profile: dict | None = None, tif_from=None,
+                    vector_from=None) -> dict:
     """Atomically write one partition + its lineage record; returns the
     record.  Deterministic: rows sorted by ``sort_cols`` (or all columns).
 
@@ -103,7 +104,16 @@ def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None,
     sidecar ``part-{key}.tif`` (functions/tiff.py — uncompressed strips,
     scale+tiepoint georeferencing, GDAL_NODATA), atomically, tracked by
     the lineage record: the reference's Raster.save made real, per
-    partition.  Requires ``profile`` with h/w/dtype/transform."""
+    partition.  Requires ``profile`` with h/w/dtype/transform.
+
+    ``vector_from=(geom_col, fmt)`` writes a VECTOR sidecar from the
+    partition's WKB geometry column: ``fmt="geojsonl"`` emits
+    ``part-{key}.geojsonl`` (newline-delimited Features, re-ingestable by
+    sources.read_geojsonl bit-exact), ``fmt="shpz"`` emits
+    ``part-{key}.zip`` (a zipped shapefile, fixed timestamps).  Both are
+    byte-deterministic for the sorted partition, written atomically and
+    tracked in the lineage record — the boundary-file counterpart of the
+    GeoTIFF sidecar."""
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     cols = sort_cols or sorted(df.columns)
@@ -147,6 +157,26 @@ def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None,
             f.write(tif)
         os.replace(tpath + ".tmp", tpath)
         rec["tif_bytes"] = len(tif)
+    if vector_from is not None:
+        from demeter_ray.functions import shp as _shp
+
+        geom_col, fmt = vector_from
+        vt = pa.Table.from_pandas(df, preserve_index=False)
+        if fmt == "geojsonl":
+            payload = _shp.table_to_geojsonl(vt, geom_col).encode()
+            ext = "geojsonl"
+        elif fmt == "shpz":
+            payload = _shp.encode_shapefile_zip(
+                vt, name=f"part-{rec['key']}", geom_col=geom_col)
+            ext = "zip"
+        else:
+            raise ValueError(
+                f"vector_from fmt must be 'geojsonl' or 'shpz', got {fmt!r}")
+        vpath = os.path.join(out_dir, f"part-{rec['key']}.{ext}")
+        with open(vpath + ".tmp", "wb") as f:
+            f.write(payload)
+        os.replace(vpath + ".tmp", vpath)
+        rec["vector_bytes"] = len(payload)
     lpath = _lineage_path(out_dir, rec["key"])
     ltmp = lpath + ".tmp"
     with open(ltmp, "w") as f:
@@ -172,6 +202,7 @@ def write_partitioned(
     fail_on_keys: frozenset = frozenset(),
     profile_for=None,
     tif_from=None,
+    vector_from=None,
 ) -> pd.DataFrame:
     """Partitioned resumable sink: groupby(key) -> one atomic file+lineage
     per key; keys already completed are skipped (their groups filter out
@@ -198,7 +229,7 @@ def write_partitioned(
             raise RuntimeError(f"injected failure for partition {k}")
         prof = profile_for(k) if profile_for is not None else None
         rec = write_partition(out_dir, k, g, sort_cols, profile=prof,
-                              tif_from=tif_from)
+                              tif_from=tif_from, vector_from=vector_from)
         return pd.DataFrame(
             {"key": [rec["key"]], "rows": [rec["rows"]],
              "bytes": [rec["bytes"]], "checksum": [rec["checksum"]],
