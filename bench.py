@@ -66,6 +66,7 @@ def run_benchmarks() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    import demeter_ray.pipelines.oracle_audio  # noqa: F401
     import demeter_ray.pipelines.oracle_spatial  # noqa: F401
     import demeter_ray.pipelines.oracle_text  # noqa: F401
     import demeter_ray.pipelines.oracle_extra  # noqa: F401
