@@ -203,6 +203,7 @@ def run_benchmarks() -> dict:
         "dem_predictor3_roundtrip",
         "shapefile_pip_count",
         "geojson_parse_bounds",
+        "vector_sink_roundtrip",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

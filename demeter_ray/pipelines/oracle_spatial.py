@@ -4352,3 +4352,119 @@ def geojson_parse_bounds(sf_dir: str):
     for c, t in cols.items():
         agg[c] = agg[c].astype(t)
     return agg.sort_values("bucket").reset_index(drop=True)
+
+
+_VEC_SINK_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {LON_EXPR.format(k='event_id')} AS lon,
+         {LAT_EXPR.format(k='event_id')} AS lat,
+         (((event_id * 13) % 7) + 1) * 0.001e0 AS r,
+         (event_id * 11) % 1000 AS v,
+         CAST(FLOOR(({LON_EXPR.format(k='event_id')} - (-102.2))
+              / 0.5 * {_OD_G}.0) AS BIGINT)
+         + CAST(FLOOR(({LAT_EXPR.format(k='event_id')} - 36.0)
+                / 0.5 * {_OD_G}.0) AS BIGINT) * {_OD_G} AS cell
+  FROM events
+)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       MIN(lon - r) AS min_minx,
+       MAX(lat + r) AS max_maxy
+FROM pts GROUP BY cell ORDER BY cell
+"""
+
+
+@register("vector_sink_roundtrip", _VEC_SINK_SQL)
+def vector_sink_roundtrip(sf_dir: str):
+    """The VECTOR boundary-file loop end-to-end under the driver's oracle:
+    events become quad field polygons with attributes, the real lineage
+    sink (state/lineage.write_partitioned vector_from=geojsonl — one
+    atomic newline-delimited-GeoJSON sidecar per cell partition, resumable
+    + byte-deterministic) writes them to scratch, and the DISTRIBUTED
+    GeoJSONL source (sources.read_geojsonl over ray.data.read_text)
+    re-ingests the actual files; every emitted stat comes from the
+    RE-INGESTED features only (properties + WKB bounds).  SQL recomputes
+    from the seeding formulas — exact because repr/json float text
+    round-trips IEEE doubles and COUNT/SUM-int/MIN/MAX are
+    order-independent."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from demeter_ray.sources.tables import read_geojsonl
+    from demeter_ray.state.lineage import write_partitioned
+
+    G = _OD_G
+    cols = {"cell": np.int64, "n_rows": np.int64, "sum_v": np.int64,
+            "min_minx": np.float64, "max_maxy": np.float64}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    out_dir = tempfile.mkdtemp(prefix="vector_sink_")
+    try:
+        ds = read_table(sf_dir, "events", columns=["event_id"])
+
+        def with_feat(batch: pa.Table) -> pa.Table:
+            k = batch["event_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            lon, lat = derive_lon(k), derive_lat(k)
+            r = (((k * 13) % 7) + 1) * 0.001
+            cell = (np.floor((lon - (-102.2)) / 0.5 * float(G))
+                    .astype(np.int64)
+                    + np.floor((lat - 36.0) / 0.5 * float(G))
+                    .astype(np.int64) * G)
+            wkbs = [geo.wkb_from_rings([np.array(
+                [[lon[i] - r[i], lat[i] - r[i]],
+                 [lon[i] + r[i], lat[i] - r[i]],
+                 [lon[i] + r[i], lat[i] + r[i]],
+                 [lon[i] - r[i], lat[i] + r[i]]])])
+                for i in range(len(k))]
+            return pa.table({
+                "event_id": pa.array(k, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "v": pa.array((k * 11) % 1000, pa.int64()),
+                "geom_wkb": pa.array(wkbs, pa.binary()),
+            })
+
+        write_partitioned(
+            ds.map_batches(with_feat, batch_format="pyarrow"),
+            out_dir, "cell", sort_cols=["event_id"],
+            vector_from=("geom_wkb", "geojsonl"))
+        files = sorted(_os.path.join(out_dir, f)
+                       for f in _os.listdir(out_dir)
+                       if f.endswith(".geojsonl"))
+        if not files:
+            return empty
+        parsed = read_geojsonl(files)
+
+        def bounds_partial(t: pa.Table) -> pd.DataFrame:
+            if t.num_rows == 0:
+                return empty
+            b = t.to_pandas()
+            wkbs = b["geom_wkb"].tolist()
+            bb = np.empty((len(wkbs), 4), np.float64)
+            for i, w in enumerate(wkbs):
+                bb[i] = geo.polygon_bounds(geo.parse_wkb(w))
+            g = pd.DataFrame({
+                "cell": b["cell"].astype(np.int64),
+                "v": b["v"].astype(np.int64),
+                "minx": bb[:, 0], "maxy": bb[:, 3],
+            }).groupby("cell").agg(
+                n_rows=("v", "size"), sum_v=("v", "sum"),
+                min_minx=("minx", "min"), max_maxy=("maxy", "max"),
+            ).reset_index()
+            return g
+
+        parts = partial_combine(parsed, bounds_partial,
+                                batch_format="pyarrow")
+        if len(parts) == 0:
+            return empty
+        agg = parts.groupby("cell").agg(
+            n_rows=("n_rows", "sum"), sum_v=("sum_v", "sum"),
+            min_minx=("min_minx", "min"), max_maxy=("max_maxy", "max"),
+        ).reset_index()
+        for c, t in cols.items():
+            agg[c] = agg[c].astype(t)
+        return agg.sort_values("cell").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
