@@ -236,6 +236,76 @@ def wkb_from_rings(rings) -> bytes:
     return b"".join(out)
 
 
+def wkb_quad_polygons(x0, y0, x1, y1) -> "pa.BinaryArray":
+    """Vectorized WKB for N axis-aligned quad polygons (CCW from the SW
+    corner, explicitly closed — byte-identical to
+    ``wkb_from_rings([[(x0,y0),(x1,y0),(x1,y1),(x0,y1)]])`` per row):
+    ONE buffer assembly + a zero-copy Arrow binary column, no per-row
+    Python in the hot path.  Used by the vector ingest/sink stages where
+    every row grows a footprint polygon."""
+    import pyarrow as pa
+
+    x0 = np.asarray(x0, np.float64)
+    y0 = np.asarray(y0, np.float64)
+    x1 = np.asarray(x1, np.float64)
+    y1 = np.asarray(y1, np.float64)
+    n = len(x0)
+    rec = np.zeros((n, 93), np.uint8)  # 1+4+4+4 header + 5 pts * 16 B
+    rec[:, 0] = 1   # little-endian
+    rec[:, 1] = 3   # geometry type Polygon
+    rec[:, 5] = 1   # one ring
+    rec[:, 9] = 5   # five points (closed)
+    coords = np.empty((n, 5, 2), "<f8")
+    coords[:, 0, 0] = x0
+    coords[:, 0, 1] = y0
+    coords[:, 1, 0] = x1
+    coords[:, 1, 1] = y0
+    coords[:, 2, 0] = x1
+    coords[:, 2, 1] = y1
+    coords[:, 3, 0] = x0
+    coords[:, 3, 1] = y1
+    coords[:, 4] = coords[:, 0]
+    rec[:, 13:] = coords.view(np.uint8).reshape(n, 80)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 93)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1],
+                         pa.py_buffer(rec.tobytes())])
+
+
+_QUAD_HEADER = np.array([1, 3, 0, 0, 0, 1, 0, 0, 0, 5, 0, 0, 0], np.uint8)
+
+
+def quad_wkb_bounds(arr):
+    """(n, 4) [minx, miny, maxx, maxy] for an Arrow binary column of
+    93-byte single-ring 5-point polygon WKBs (the wkb_quad_polygons
+    layout; bounds = min/max over the ring, so ANY closed quadrilateral is
+    exact), computed from the column's raw buffers — zero per-row Python.
+    Returns ``None`` when the column isn't uniformly such records (nulls,
+    other vertex counts, multi-ring); callers fall back to parse_wkb +
+    polygon_bounds per row."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = (arr.chunk(0) if arr.num_chunks == 1
+               else pa.concat_arrays(arr.chunks))
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 4), np.float64)
+    if arr.null_count:
+        return None
+    offs = np.frombuffer(arr.buffers()[1], "<i4", count=n + 1,
+                         offset=arr.offset * 4)
+    if not np.all(np.diff(offs) == 93):
+        return None
+    vals = np.frombuffer(arr.buffers()[2], np.uint8,
+                         count=int(offs[-1] - offs[0]), offset=int(offs[0]))
+    rec = vals.reshape(n, 93)
+    if not np.all(rec[:, :13] == _QUAD_HEADER):
+        return None
+    pts = np.ascontiguousarray(rec[:, 13:]).view("<f8").reshape(n, 5, 2)
+    return np.concatenate([pts.min(axis=1), pts.max(axis=1)], axis=1)
+
+
 def wkb_from_polygons(polygons) -> bytes:
     """Encode a MultiPolygon from a list of ring-lists."""
     out = [struct.pack("<BI", 1, 6), struct.pack("<I", len(polygons))]

@@ -4299,18 +4299,16 @@ def geojson_parse_bounds(sf_dir: str):
               + ",".join(feats) + "]}"
         t = _shp.geojson_to_table(doc)
         ks = t["event_id"].to_numpy().astype(np.int64)
-        wkbs = t["geom_wkb"].to_pylist()
         # parse invariant: the text roundtrip reproduced the geometry bytes
+        # (wholesale Arrow equality against the vectorized direct build)
         lon, lat = derive_lon(ks), derive_lat(ks)
         r = (((ks * 13) % 7) + 1) * 0.001
-        bounds = np.empty((len(ks), 4), np.float64)
-        for i, wkb in enumerate(wkbs):
-            polys = geo.parse_wkb(wkb)
-            ring = np.array(
-                [[lon[i] - r[i], lat[i] - r[i]], [lon[i] + r[i], lat[i] - r[i]],
-                 [lon[i] + r[i], lat[i] + r[i]], [lon[i] - r[i], lat[i] + r[i]]])
-            assert wkb == geo.wkb_from_rings([ring]), "GeoJSON roundtrip drift"
-            bounds[i] = geo.polygon_bounds(polys)
+        expect = geo.wkb_quad_polygons(lon - r, lat - r, lon + r, lat + r)
+        got = t["geom_wkb"].combine_chunks()
+        assert got.equals(expect), "GeoJSON roundtrip drift"
+        # bounds from the PARSED column's raw buffers — no per-row Python
+        bounds = geo.quad_wkb_bounds(got)
+        assert bounds is not None
         return pa.table({
             "event_id": pa.array(ks, pa.int64()),
             "minx": pa.array(bounds[:, 0], pa.float64()),
@@ -4413,17 +4411,13 @@ def vector_sink_roundtrip(sf_dir: str):
                     .astype(np.int64)
                     + np.floor((lat - 36.0) / 0.5 * float(G))
                     .astype(np.int64) * G)
-            wkbs = [geo.wkb_from_rings([np.array(
-                [[lon[i] - r[i], lat[i] - r[i]],
-                 [lon[i] + r[i], lat[i] - r[i]],
-                 [lon[i] + r[i], lat[i] + r[i]],
-                 [lon[i] - r[i], lat[i] + r[i]]])])
-                for i in range(len(k))]
             return pa.table({
                 "event_id": pa.array(k, pa.int64()),
                 "cell": pa.array(cell, pa.int64()),
                 "v": pa.array((k * 11) % 1000, pa.int64()),
-                "geom_wkb": pa.array(wkbs, pa.binary()),
+                # vectorized footprint build: one buffer, no per-row Python
+                "geom_wkb": geo.wkb_quad_polygons(
+                    lon - r, lat - r, lon + r, lat + r),
             })
 
         write_partitioned(
@@ -4441,10 +4435,14 @@ def vector_sink_roundtrip(sf_dir: str):
             if t.num_rows == 0:
                 return empty
             b = t.to_pandas()
-            wkbs = b["geom_wkb"].tolist()
-            bb = np.empty((len(wkbs), 4), np.float64)
-            for i, w in enumerate(wkbs):
-                bb[i] = geo.polygon_bounds(geo.parse_wkb(w))
+            # fast path: uniform quad records -> bounds off the raw Arrow
+            # buffers; general WKB falls back to the per-row parser
+            bb = geo.quad_wkb_bounds(t["geom_wkb"])
+            if bb is None:
+                wkbs = b["geom_wkb"].tolist()
+                bb = np.empty((len(wkbs), 4), np.float64)
+                for i, w in enumerate(wkbs):
+                    bb[i] = geo.polygon_bounds(geo.parse_wkb(w))
             g = pd.DataFrame({
                 "cell": b["cell"].astype(np.int64),
                 "v": b["v"].astype(np.int64),

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from demeter_ray.functions import shp as _shp
 from demeter_ray.functions import tiff
 
 
@@ -158,8 +159,8 @@ def write_partition(out_dir: str, key, df: pd.DataFrame, sort_cols=None,
         os.replace(tpath + ".tmp", tpath)
         rec["tif_bytes"] = len(tif)
     if vector_from is not None:
-        from demeter_ray.functions import shp as _shp
-
+        # _shp is a module-level import: this body runs in WORKERS, where a
+        # call-time demeter_ray import would miss pickle-by-value shipping
         geom_col, fmt = vector_from
         vt = pa.Table.from_pandas(df, preserve_index=False)
         if fmt == "geojsonl":

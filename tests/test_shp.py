@@ -218,3 +218,39 @@ def test_read_geojsonl_source(ray_session, tmp_path):
     got = out.sort_values("mukey").reset_index(drop=True)
     assert got["mukey"].tolist() == tbl["mukey"].to_pylist()
     assert got["geom_wkb"].tolist() == tbl["geom_wkb"].to_pylist()
+
+
+def test_wkb_quad_polygons_vectorized_equivalence():
+    rng = np.random.default_rng(3)
+    x0 = rng.normal(size=200)
+    y0 = rng.normal(size=200)
+    x1 = x0 + np.abs(rng.normal(size=200))
+    y1 = y0 + np.abs(rng.normal(size=200))
+    arr = geo.wkb_quad_polygons(x0, y0, x1, y1)
+    want = [geo.wkb_from_rings([np.array(
+        [[x0[i], y0[i]], [x1[i], y0[i]], [x1[i], y1[i]], [x0[i], y1[i]]])])
+        for i in range(200)]
+    assert arr.to_pylist() == want  # byte-identical to the scalar builder
+    bb = geo.quad_wkb_bounds(arr)
+    np.testing.assert_array_equal(bb[:, 0], x0)
+    np.testing.assert_array_equal(bb[:, 1], y0)
+    np.testing.assert_array_equal(bb[:, 2], x1)
+    np.testing.assert_array_equal(bb[:, 3], y1)
+    # empty input is total
+    assert len(geo.wkb_quad_polygons([], [], [], [])) == 0
+    assert geo.quad_wkb_bounds(geo.wkb_quad_polygons([], [], [], [])).shape \
+        == (0, 4)
+    # any single-ring 5-point polygon gets exact bounds (min/max over the
+    # ring), not just axis-aligned quads
+    sq = geo.quad_wkb_bounds(pa.array([geo.wkb_from_rings([OUTER])]))
+    np.testing.assert_array_equal(sq[0], [0.0, 0.0, 10.0, 10.0])
+    # other vertex counts / multi-ring records decline the fast path
+    tri = geo.wkb_from_rings([np.array([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]])])
+    assert geo.quad_wkb_bounds(pa.array([want[0], tri], pa.binary())) is None
+    holed = geo.wkb_from_rings([OUTER, HOLE])
+    assert geo.quad_wkb_bounds(pa.array([holed], pa.binary())) is None
+    withnull = pa.array([want[0], None], pa.binary())
+    assert geo.quad_wkb_bounds(withnull) is None
+    # sliced (offset != 0) columns still read the right records
+    bb2 = geo.quad_wkb_bounds(arr.slice(50, 100))
+    np.testing.assert_array_equal(bb2[:, 0], x0[50:150])
