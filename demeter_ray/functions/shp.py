@@ -365,6 +365,9 @@ def decode_dbf(buf: bytes) -> pa.Table:
     if len(buf) < 33 or buf[0] not in (0x02, 0x03, 0x83):
         raise ValueError("not a dBase III file")
     n, hdr_size, rec_size = struct.unpack_from("<IHH", buf, 4)
+    if len(buf) < hdr_size:
+        raise ValueError(
+            f"dbf truncated: {len(buf)} bytes < header size {hdr_size}")
     fields = []
     pos = 32
     while pos < hdr_size - 1 and buf[pos] != 0x0D:
@@ -375,6 +378,10 @@ def decode_dbf(buf: bytes) -> pa.Table:
         pos += 32
     if 1 + sum(f[2] for f in fields) != rec_size:
         raise ValueError("dbf record size disagrees with field widths")
+    if len(buf) < hdr_size + n * rec_size:  # EOF byte optional in the wild
+        raise ValueError(
+            f"dbf truncated: {len(buf)} bytes < header {hdr_size} + "
+            f"{n} records x {rec_size}")
     cols: dict[str, list] = {f[0]: [] for f in fields}
     at = hdr_size
     for _ in range(n):

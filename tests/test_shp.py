@@ -254,3 +254,12 @@ def test_wkb_quad_polygons_vectorized_equivalence():
     # sliced (offset != 0) columns still read the right records
     bb2 = geo.quad_wkb_bounds(arr.slice(50, 100))
     np.testing.assert_array_equal(bb2[:, 0], x0[50:150])
+
+
+def test_dbf_truncation_fails_loud_everywhere():
+    d = shp.encode_dbf(pa.table({"a": pa.array([1, 2, 3], pa.int64())}))
+    for cut in (10, 33, 40, len(d) - 2):
+        with pytest.raises(ValueError):
+            shp.decode_dbf(d[:cut])
+    # trailing EOF byte is optional in the wild
+    assert shp.decode_dbf(d[:-1])["a"].to_pylist() == [1, 2, 3]
