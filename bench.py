@@ -204,6 +204,7 @@ def run_benchmarks() -> dict:
         "shapefile_pip_count",
         "geojson_parse_bounds",
         "vector_sink_roundtrip",
+        "shapefile_polyline_lengths",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
